@@ -1,0 +1,130 @@
+"""Scalar-function surface (SURVEY.md §2.8).
+
+The reference's own scalar usage is just `length` and `split`
+(dag-knlp.py:102, 273); the engine exposes the full
+`pyspark.sql.functions` surface. Correctness-checked representatives
+over the driver tables cover date/time, arithmetic, string, and array
+families. Everything here is JVM-side whole-stage-codegen — no Python
+in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "date_extract",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(YEAR FROM o_orderdate)::BIGINT    AS order_year,
+           EXTRACT(MONTH FROM o_orderdate)::BIGINT   AS order_month,
+           EXTRACT(QUARTER FROM o_orderdate)::BIGINT AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+    FROM orders
+    """,
+)
+def date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date part extraction + truncation on `orders.o_orderdate`."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+    )
+
+
+@query(
+    "math_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           CAST(CEIL(l_quantity) AS BIGINT)  AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           ABS(l_discount - 0.05)            AS disc_dev,
+           l_orderkey % 7                    AS key_mod
+    FROM lineitem
+    """,
+)
+def math_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic expression family on lineitem prices (SURVEY §2.8).
+
+    Per-row double arithmetic is order-deterministic (unlike aggregated
+    sums) so no rounding is needed for the oracle; ceil/floor cast to
+    BIGINT explicitly because engines disagree on the return type.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
+            "charge"
+        ),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name)                        AS name_upper,
+           LOWER(c_mktsegment)                  AS seg_lower,
+           substr(c_name, 1, 8)                 AS name_prefix,
+           length(c_name)::BIGINT               AS name_len,
+           TRIM(c_name)                         AS name_trim,
+           c_name || '#' || c_mktsegment        AS name_tagged,
+           replace(c_name, 'Customer', 'Cust')  AS name_short
+    FROM customer
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (reference uses only length/split —
+    dag-knlp.py:102, 273; this covers the standard surface)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.trim(F.col("c_name")).alias("name_trim"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("name_tagged"),
+        F.regexp_replace("c_name", "Customer", "Cust").alias("name_short"),
+    )
+
+
+@query(
+    "array_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)::INT                       AS dim,
+           CAST(embedding[1] AS DOUBLE)              AS first_val,
+           CAST(embedding[-1] AS DOUBLE)             AS last_val,
+           len(list_filter(embedding, x -> x > 0))::INT AS n_positive
+    FROM embeddings
+    """,
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column functions over `embeddings.embedding`
+    (array<float> — the engine's vector-column capability, SURVEY
+    §2.12): size, element access, higher-order filter. All JVM-side
+    (`F.filter` is a Catalyst lambda, not a Python UDF)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_val"),
+        F.element_at(emb, -1).cast("double").alias("last_val"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+    )

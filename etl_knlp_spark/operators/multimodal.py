@@ -1,0 +1,136 @@
+"""Multimodal column plumbing (SURVEY.md §2.12).
+
+Design: image/audio/video payloads are opaque `binary` columns with a
+typed metadata struct beside them; decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas functions over `mapInPandas`
+(per-batch, never per-row). The media codec libraries are not in this
+container, so the decode kernel is stubbed behind a clearly-marked
+NotImplementedError with a deterministic fake used by tests — the
+Spark-side contract (schema, batch shape, partitioning) is real.
+
+At 100 TB: binary payloads dominate bytes, so the plumbing (a) keeps
+metadata in separate columns so predicate pushdown prunes row groups
+without touching payloads, (b) never shuffles payloads — feature
+extraction is a map-side `mapInPandas`, and only the (small) features
+shuffle afterwards.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import query
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Real decode requires codec libraries (PIL/librosa/av) that are
+    not installed in this environment."""
+    raise NotImplementedError(
+        "media decode is stubbed in this environment: install an image/audio "
+        "codec library and replace decode_media; the Spark plumbing around it "
+        "(mapInPandas batching, schemas, partitioning) is real and tested"
+    )
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for the decode→embed kernel: byte-histogram
+    moments. Keeps tests meaningful without codec libraries."""
+    if not payload:
+        return [0.0] * dim
+    return [float(sum(payload[i::dim]) % 997) / 997.0 for i in range(dim)]
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
+    """Feature extraction over binary payloads via `mapInPandas`.
+
+    Map-side only: payloads never shuffle; each Arrow batch yields a
+    small feature frame. Swap `_fake_feature` for a real decode+model
+    kernel (`decode_media`) in production.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": [_fake_feature(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table from `documents` (UTF-8 payloads) — the
+    binary-column capability demo this environment supports."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+@query(
+    "multimodal_bytes",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text/plain' AS media_type,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata path: payload size + digest computed on a
+    real `binary` column, metadata kept alongside (pushdown-prunable).
+    Payload bytes themselves stay out of the result — at scale you
+    select metadata, never the blob."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return media.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+@query("multimodal_features", oracle=None)  # mapInPandas kernel — not SQL-expressible
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal feature pipeline on synthesized payloads:
+    binary column → mapInPandas feature extraction → typed
+    array<double> feature column."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "media_type", "n_bytes", F.size("feature").alias("feature_dim")
+    )

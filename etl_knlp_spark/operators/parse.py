@@ -1,0 +1,164 @@
+"""Text-parsing operators — the reference's preprocess stage re-expressed
+as vectorized column expressions (SURVEY.md §2.1 S1-S3).
+
+The reference parses three raw text formats with per-line Python loops
+and O(n²) pandas row appends (dag-knlp.py:85-188 — the code that "waits
+for hours"). Here the same parses are declarative `split`/`explode`
+expressions that run inside whole-stage codegen; file-backed variants
+live in ``sources.text``. The oracle-checked demos below reconstruct
+delimited/tuple-burst lines from the ``documents`` table and parse them
+back, proving the parse is lossless against the identity oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import query
+
+
+def split_delimited(
+    df: DataFrame,
+    input_col: str,
+    sep: str,
+    field_names: list[str],
+    overflow: str = "join",
+    join_sep: str | None = None,
+) -> DataFrame:
+    """Split ``input_col`` on ``sep`` into ``field_names``.
+
+    Reference semantics (dag-knlp.py:94-107): lines may be ragged; when
+    a line has more fields than columns, the overflow packs into the
+    LAST column — as a rejoined string (``overflow='join'``) or an
+    honest ``array<string>`` (``overflow='array'``, the de-facto type
+    hiding in the reference's staged JSON, SURVEY.md §1.2).
+
+    Short lines (fewer fields than columns — e.g. a line with no
+    delimiter at all) yield NULLs in the missing trailing fields:
+    ``F.get`` is the null-tolerant indexer (``getItem`` throws under
+    ANSI mode).
+
+    ``F.split`` takes a regex where Python's ``str.split`` is literal —
+    callers pass a pre-escaped pattern (e.g. ``\\),\\(`` for ``),(``)
+    and, when the pattern isn't the literal text, the literal
+    ``join_sep`` to rejoin overflow with.
+    """
+    n = len(field_names)
+    join_sep = sep if join_sep is None else join_sep
+    parts = F.split(F.col(input_col), sep)
+    cols = [F.get(parts, i).alias(field_names[i]) for i in range(n - 1)]
+    tail = F.slice(parts, n, F.greatest(F.size(parts) - (n - 1), F.lit(0)))
+    if overflow == "array":
+        cols.append(tail.alias(field_names[n - 1]))
+    else:
+        cols.append(
+            F.when(F.size(parts) >= n, F.array_join(tail, join_sep))
+            .otherwise(F.get(parts, n - 1))
+            .alias(field_names[n - 1])
+        )
+    return df.select(*[c for c in df.columns if c != input_col], *cols)
+
+
+@query(
+    "parse_delimited",
+    oracle="""
+    WITH raw AS (
+      SELECT source || ':' || lang || ':' || CAST(doc_id AS VARCHAR)
+             || ':' || substr(text, 1, 20) AS line
+      FROM documents
+    ), parts AS (SELECT string_split(line, ':') AS p FROM raw)
+    SELECT p[1] AS f1, p[2] AS f2, array_to_string(p[3:], ':') AS rest
+    FROM parts
+    """,
+)
+def parse_delimited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """':'-delimited parse with ragged-overflow-into-last-column
+    (dag-knlp.py:94-107, S1/S2). Lines are built with 4 fields and
+    parsed into 3, so the overflow path is always exercised; the tail
+    rejoins with the original separator, matching the reference's
+    list-in-last-column then re-serialize behavior.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat_ws(
+            ":",
+            F.col("source"),
+            F.col("lang"),
+            F.col("doc_id").cast("string"),
+            F.substring(F.col("text"), 1, 20),
+        ).alias("line")
+    )
+    return split_delimited(lines, "line", ":", ["f1", "f2", "rest"], overflow="join")
+
+
+@query(
+    "explode_tuples",
+    oracle="SELECT CAST(doc_id AS VARCHAR) AS article_id, lang AS language FROM documents",
+)
+def explode_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuple-burst parse (dag-knlp.py:160-179, S3): one input line holds
+    many '),('-separated tuples; each explodes to a row, then splits on
+    ','. The reference's only row-multiplying operator → `explode` of a
+    split array. Lines are reconstructed per-source from `documents`,
+    so the identity oracle proves the roundtrip is lossless. Note the
+    regex-escaped separator ``\\),\\(`` (F.split is regex; Python's
+    str.split at dag-knlp.py:173 is literal).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.groupBy("source").agg(
+        F.concat_ws(
+            "),(",
+            F.collect_list(F.concat_ws(",", F.col("doc_id").cast("string"), F.col("lang"))),
+        ).alias("line")
+    )
+    tuples = lines.select(F.explode(F.split(F.col("line"), r"\),\(")).alias("tup"))
+    parts = F.split(F.col("tup"), ",")
+    return tuples.select(
+        parts.getItem(0).alias("article_id"), parts.getItem(1).alias("language")
+    )
+
+
+@query(
+    "json_roundtrip",
+    oracle="SELECT event_id, event_type, value FROM events",
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines encode→decode roundtrip (S4+S6: the reference stages
+    pandas `to_json(orient='records', lines=True)` files to S3 and loads
+    them with `COPY ... JSON 'auto'` name-binding, dag-knlp.py:109-111,
+    202-205). `to_json(struct(...))` → `from_json` with explicit schema
+    reproduces the name-bound roundtrip; the identity oracle proves it
+    lossless (doubles included — Jackson emits shortest-roundtrip
+    literals)."""
+    e = load_table(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    encoded = e.select(
+        F.to_json(F.struct("event_id", "event_type", "value")).alias("js")
+    )
+    return encoded.select(F.from_json("js", schema).alias("r")).select("r.*")
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON field extraction from the `events.props` JSON column
+    (SURVEY §2.8) — `get_json_object` stays JVM-side, no UDF."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )

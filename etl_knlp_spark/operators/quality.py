@@ -1,0 +1,97 @@
+"""Data-quality operators — the reference's signature category
+(SURVEY.md §2.9; dag-knlp.py:243-279).
+
+The reference runs two runtime assertions inside its pipeline and
+raises ``ValueError`` on violation:
+- ``check_data_count``: table non-empty (dag-knlp.py:243-258).
+- ``check_data_length``: top-1 ``length(field)`` ≤ threshold
+  (dag-knlp.py:260-279; threshold 13 for korean.word_id at :400).
+Plus cleaning described-but-never-coded in README.md:15 (NA rows
+removed, out-of-schema data removed).
+
+Here each check is an engine op that returns its measurement as a
+DataFrame (composable, no driver collect until the caller asserts) with
+a raising wrapper that reproduces the reference's fail-the-pipeline
+behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+# ---- engine API -----------------------------------------------------------
+
+
+def check_count(df: DataFrame, min_rows: int = 1) -> int:
+    """Row-count check (dag-knlp.py:243-258): raise if < min_rows.
+
+    ``df.count()`` is a distributed partial+final count — the only value
+    crossing to the driver is one long.
+    """
+    n = df.count()
+    if n < min_rows:
+        raise ValueError(f"Data quality check failed. Rows {n} < {min_rows}")
+    return n
+
+
+def check_max_length(df: DataFrame, column: str, max_length_th: int) -> int:
+    """Max-string-length check (dag-knlp.py:260-279).
+
+    The reference writes this as ``ORDER BY length(f) DESC LIMIT 1``;
+    semantically it is ``max(length(f))``, which aggregates map-side and
+    avoids even the top-k heap. Raise if the max exceeds the threshold.
+    """
+    row = df.select(F.max(F.length(F.col(column))).alias("max_len")).first()
+    max_len = row["max_len"] if row is not None else None
+    if max_len is not None and max_len > max_length_th:
+        raise ValueError(
+            f"Data quality check failed. length {max_len} > {max_length_th} for {column}"
+        )
+    return max_len if max_len is not None else 0
+
+
+def drop_na_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """README.md:15's 'NA rows are removed' as a real operator."""
+    return df.na.drop(subset=subset)
+
+
+def enforce_varchar(df: DataFrame, widths: dict[str, int]) -> DataFrame:
+    """Out-of-schema cleaning: truncate strings to declared VARCHAR(n)
+    widths (the reference declares widths in DDL, dag-knlp.py:24-63, but
+    relies on Redshift to enforce them)."""
+    out = df
+    for col_name, width in widths.items():
+        out = out.withColumn(col_name, F.substring(F.col(col_name), 1, width))
+    return out
+
+
+# ---- oracle-checked query demos ------------------------------------------
+
+
+@query("agg_count", oracle="SELECT COUNT(*) AS cnt FROM lineitem")
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table COUNT(*) (dag-knlp.py:252, Q-DQ1)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "max_length_toplimit",
+    oracle="SELECT length(c_name) AS len FROM customer ORDER BY length(c_name) DESC LIMIT 1",
+)
+def max_length_toplimit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-as-top-1-sort-limit, the reference's exact shape
+    (dag-knlp.py:273, Q-DQ2). Only the length is selected, so ordering
+    ties cannot make the result nondeterministic. Catalyst executes the
+    sort-limit as TakeOrderedAndProject (per-partition heap, no global
+    sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(F.length("c_name").alias("len"))
+        .orderBy(F.col("len").desc())
+        .limit(1)
+    )

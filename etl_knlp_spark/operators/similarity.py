@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12).
+
+Two paths:
+- Brute-force top-k cosine: broadcast the (small) query set against the
+  corpus, rank per query. Exact; the baseline and the verifier.
+- LSH-bucketed ANN: random-hyperplane signatures, candidates share a
+  signature band, rank within candidates. The 100 TB path — probe cost
+  is per-bucket, not per-corpus.
+
+All scoring is JVM-side higher-order expressions (functions.vector);
+no UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vector import cosine, dot
+from ..registry import query
+
+_TOP_K = 10
+_N_QUERIES = 5
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(q.q_emb, e.emb), 6) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the first {N} vectors query the corpus.
+
+    The query set is tiny → broadcast join (no shuffle of the corpus);
+    ranking orders by the ROUNDED score with vec_id tiebreak so
+    engine/oracle rank identically. At scale the per-query ranking uses
+    WindowGroupLimit (per-partition top-k heaps before the shuffle).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 6))
+        .select("query_id", "vec_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 random hyperplanes (seeded — reproducible across
+    runs, required for stable LSH bucket assignment)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def rhp_signature(emb, planes: list[list[float]]):
+    """Random-hyperplane signature: bit j = sign(emb · plane_j), packed
+    into a long. Pure column expression over array literals."""
+    bits = [
+        F.when(dot(emb, F.array(*[F.lit(v) for v in plane])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    sig = F.lit(0).cast("long")
+    for j, bit in enumerate(bits):
+        sig = sig + (bit.cast("long") * F.lit(2**j).cast("long"))
+    return sig
+
+
+@query("similarity_ann_lsh", oracle=None)  # bucketing is probabilistic/engine-side
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH (SURVEY §2.12 scale path).
+
+    16-bit signatures; a query probes only vectors sharing its full
+    signature band on at least one of two 8-bit sub-bands — at 100 TB
+    this turns the all-pairs scan into a per-bucket scan. Recall vs the
+    exact top-k is asserted in tests; the driver records rows-only.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    planes = _hyperplanes(dim, 16)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sigs = e.select("vec_id", "embedding", rhp_signature(emb_d, planes).alias("sig"))
+    banded = sigs.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.expr(
+                "transform(sequence(0,1), b -> named_struct("
+                "'band_idx', b, 'band_val', (shiftright(sig, b * 8) & 255L)))"
+            )
+        ).alias("band"),
+    ).select("vec_id", "embedding", "band.band_idx", "band.band_val")
+    q = (
+        banded.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            "band_idx",
+            "band_val",
+        )
+    )
+    cands = (
+        banded.join(F.broadcast(q), ["band_idx", "band_val"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.withColumn(
+        "cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+    ).select("query_id", "vec_id", "cos_sim")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,203 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.11-2.12).
+
+The reference's text processing is per-row Python (tokenize-by-split in
+pandas loops, dag-knlp.py:85-188). Here the hot path is JVM-side column
+expressions (split/regexp/higher-order functions inside whole-stage
+codegen); Python appears only in Arrow-batched pandas UDFs for the
+genuinely non-relational pieces (language-ID scoring), never row-at-a-time.
+
+Operators: per-language corpus stats, token counting (whitespace + a
+BPE-ish regex), quality scoring (length/punct/stopword ratios), document
+fingerprinting (normalized-text digest), language-ID (stopword-profile
+heuristic, pandas UDF), tokenizer UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load_table
+from ..registry import query
+
+_TOKENS = lambda c: F.split(F.trim(F.lower(c)), r"\s+")  # noqa: E731
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*)                                                       AS n_docs,
+           ROUND(AVG(n_chars), 4)                                         AS avg_chars,
+           ROUND(AVG(len(string_split_regex(trim(lower(text)), '\\s+'))), 4) AS avg_tokens,
+           MAX(len(string_split_regex(trim(lower(text)), '\\s+')))::BIGINT   AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics over `documents` (SURVEY §2.12).
+
+    Tokenization is a codegen'd split expression — the partial
+    aggregation happens map-side, so per-language traffic is O(langs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_TOKENS(F.col("text")))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
+        F.max(n_tokens).cast("bigint").alias("max_tokens"),
+    )
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(lower(text)), '\\s+'))::INT AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::INT AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (SURVEY §2.12): whitespace tokens and a
+    BPE-ish pre-tokenizer regex (letter runs / digit runs / single
+    punctuation) — the standard proxy for LLM token budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_TOKENS(F.col("text"))).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks)::INT AS n_tokens,
+           ROUND(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks), 6) AS stopword_ratio,
+           ROUND(n_chars * 1.0 / len(toks), 6) AS avg_token_len,
+           ROUND(LEAST(n_chars / 500.0, 1.0) * 0.5
+                 + LEAST(len(list_filter(toks, x -> x IN ('the', 'a'))) * 5.0 / len(toks), 1.0) * 0.5,
+                 6) AS quality
+    FROM t
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score (SURVEY §2.12): length and
+    stopword-density components, the usual pre-training filter signals.
+    Entirely higher-order column expressions — no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _TOKENS(F.col("text"))
+    base = docs.select("doc_id", "n_chars", toks.alias("toks"))
+    n_tok = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda x: x.isin("the", "a")))
+    return base.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(n_stop * 1.0 / n_tok, 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars") * 1.0 / n_tok, 6).alias("avg_token_len"),
+        F.round(
+            F.least(F.col("n_chars") / 500.0, F.lit(1.0)) * 0.5
+            + F.least(n_stop * 5.0 / n_tok, F.lit(1.0)) * 0.5,
+            6,
+        ).alias("quality"),
+    )
+
+
+@query(
+    "fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (SURVEY §2.12): digest of
+    whitespace-normalized, lowercased text — the exact-dedup key that
+    survives formatting noise. md5 is bit-identical across engines, so
+    this is oracle-checkable end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.select("doc_id", F.md5(normalized).alias("fp"))
+
+
+# ---- pandas-UDF NLP surface (rows-only checks; SURVEY §2.11) -------------
+
+# Stopword profiles per language for the n-gram/stopword language-ID
+# heuristic. Real pipelines use fastText/CLD3; the heuristic keeps the
+# same Spark plumbing (Arrow-batched pandas UDF over a text column).
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset({"the", "a", "of", "and", "to"}),
+    "de": frozenset({"der", "die", "das", "und", "ein"}),
+    "fr": frozenset({"le", "la", "et", "un", "une"}),
+    "es": frozenset({"el", "la", "y", "un", "una"}),
+}
+
+
+def _langid_batch(texts: pd.Series) -> pd.Series:
+    """Language-ID over an Arrow batch: argmax of stopword-profile hit
+    rate, 'und' (undetermined) when nothing matches."""
+
+    def detect(t: str) -> str:
+        if not t:
+            return "und"
+        toks = t.lower().split()
+        best, best_score = "und", 0
+        for lang, profile in sorted(_LANG_PROFILES.items()):
+            score = sum(1 for tok in toks if tok in profile)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    return texts.map(detect)
+
+
+def _tokenize_batch(texts: pd.Series) -> pd.Series:
+    """Tokenizer batch fn (SURVEY §2.11 `udf_tokenize`): lowercase +
+    non-alphanumeric split. Mirrors the reference's str.split parsing
+    (dag-knlp.py:102) but vectorized per Arrow batch."""
+    import re
+
+    pat = re.compile(r"[^\W_]+", re.UNICODE)
+    return texts.map(lambda t: pat.findall(t.lower()) if t else [])
+
+
+def langid_udf():
+    """Built lazily — pandas_udf registration needs an active session,
+    and the registry must stay importable without one."""
+    return pandas_udf(_langid_batch, T.StringType())
+
+
+def tokenize_udf():
+    return pandas_udf(_tokenize_batch, T.ArrayType(T.StringType()))
+
+
+@query("udf_langid", oracle=None)  # heuristic scoring — not SQL-expressible
+def udf_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID pandas UDF applied to `documents.text`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", langid_udf()(F.col("text")).alias("lang_pred"))
+
+
+@query("udf_tokenize", oracle=None)
+def udf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer pandas UDF: doc_id → token array + count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_udf()(F.col("text"))
+    return docs.select("doc_id", toks.alias("tokens")).select(
+        "doc_id", "tokens", F.size("tokens").alias("n_tokens")
+    )

@@ -1,0 +1,74 @@
+"""Flagship plan: the reference's dimension-table build (its only real query).
+
+Reference semantics (``/root/reference/dag-knlp.py:65-80``): INSERT INTO a
+dimension table the result of ``SELECT DISTINCT`` over a star-shaped pair
+of LEFT JOINs off the fact table, with a positional rename of one joined
+column. Re-expressed on the driver's testdata star schema
+(SURVEY.md §7): ``lineitem ⟕ orders ⟕ customer → SELECT DISTINCT 4 cols``.
+
+100 TB notes: the lineitem⟕orders join shuffles both sides on
+``orderkey`` (sort-merge under AQE; bucketing both tables on orderkey
+removes the shuffle entirely). ``customer`` stays broadcast-able far
+longer; DISTINCT runs as partial hash-aggregate before its shuffle, so
+duplicate elimination is map-side first. No driver-side collection
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..registry import query
+
+_ORACLE = """
+SELECT DISTINCT
+  l.l_orderkey,
+  l.l_returnflag,
+  o.o_orderstatus AS status,
+  c.c_mktsegment  AS segment
+FROM lineitem l
+LEFT JOIN orders   o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey  = c.c_custkey
+"""
+
+
+@query("q1_dimension_build", oracle=_ORACLE)
+def dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-shaped double LEFT JOIN + projection/rename + DISTINCT.
+
+    Mirrors dag-knlp.py:72-79 (korean ⟕ korean_japanese ⟕ korean_hanjya →
+    SELECT DISTINCT word_id, korean, text→japanese, hanjya). The rename
+    happens via ``alias`` instead of the reference's INSERT column-list
+    position. The surrogate ``data_id`` identity column is engine-side
+    (see ``with_identity``) and excluded from results — the reference
+    never reads it either (SURVEY.md §1.3).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+        .join(cust, orders.o_custkey == cust.c_custkey, "left")
+        .select(
+            li.l_orderkey,
+            li.l_returnflag,
+            orders.o_orderstatus.alias("status"),
+            cust.c_mktsegment.alias("segment"),
+        )
+        .distinct()
+    )
+
+
+def with_identity(df: DataFrame, col_name: str = "data_id") -> DataFrame:
+    """Surrogate-key policy for the reference's ``INT IDENTITY(1,1)``.
+
+    ``monotonically_increasing_id`` is unique and partition-parallel but
+    non-contiguous; exact 1..N semantics would force a global window.
+    Nothing in the reference ever reads ``data_id`` values
+    (dag-knlp.py:66-79 never selects it), so uniqueness is the contract.
+    Excluded from all correctness hashing (non-deterministic).
+    """
+    from pyspark.sql import functions as F
+
+    return df.withColumn(col_name, F.monotonically_increasing_id())

@@ -1,0 +1,166 @@
+"""Event-time windowing over the `events` table (SURVEY.md §2.10).
+
+The reference is batch-only (@monthly Airflow trigger, dag-knlp.py:293);
+the extended engine adds the streaming operator family. Spark's window
+functions evaluate identically in batch and streaming, so these run as
+batch queries for the DuckDB oracle while `streaming.stream` wires the
+same aggregations behind `readStream` with watermarks (tested via the
+rate/memory sources).
+
+100 TB notes: event-time windows aggregate partially map-side like any
+groupBy; the shuffle key is (window, type) whose cardinality is bounded
+by time-range/width × types, not by row count. Session windows shuffle
+once on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)                   AS window_start,
+           CAST(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*)                 AS n_events,
+           ROUND(SUM(value), 2)     AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type
+    (`F.window` — identical semantics in batch and streaming)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w, ts, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS w, ts, value
+      FROM events
+    )
+    SELECT CAST(w AS TIMESTAMP)                      AS window_start,
+           CAST(w + INTERVAL '1 hour' AS TIMESTAMP)  AS window_end,
+           COUNT(*)                                  AS n_events,
+           ROUND(SUM(value), 2)                      AS total_value
+    FROM starts
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour width, 30-minute slide — every event
+    lands in exactly 2 windows (the oracle materializes both starts
+    explicitly; Spark's `window()` does the same expansion internally)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP)                          AS session_start,
+           CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP)  AS session_end,
+           COUNT(*)                                            AS n_events,
+           ROUND(SUM(value), 2)                                AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap per user
+    (`F.session_window`; the oracle is the classic gaps-and-islands
+    formulation — session_end = last event + gap, matching Spark)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
+                                time_bucket(INTERVAL '1 hour', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of `dropDuplicatesWithinWatermark`: keep the
+    first event per (user, type) within each 1-hour bucket. The true
+    streaming form (state-store dedup bounded by the watermark) is
+    exercised in tests via a memory-source stream."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.window("ts", "1 hour")
+    ).orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
