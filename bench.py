@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query materializes fully through the noop sink (no driver
+collect, no display truncation) — the measured cost is the whole
+distributed plan. A warmup run of the flagship amortizes JVM/codegen
+startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_knlp_spark import registry  # noqa: E402
+from etl_knlp_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship plan, the heaviest relational shapes, and
+# every LLM-pipeline operator family (dedup, similarity, text, window).
+HEADLINE = [
+    "q1_dimension_build",
+    "groupby_agg",
+    "join_left_equi",
+    "join_asof",
+    "window_frame_sum",
+    "date_extract",
+    "json_extract",
+    "text_stats",
+    "token_count",
+    "fingerprint",
+    "quality_score",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "stream_tumbling_window",
+    "stream_session_window",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="etl_knlp_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+
+    materialize(queries["q1_dimension_build"](spark, SF_DIR))  # warmup
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

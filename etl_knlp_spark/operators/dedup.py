@@ -26,17 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.vector import cosine
 from ..registry import query
-
-# word 2-grams of the lowercased, whitespace-split text, deduplicated.
-_GRAMS_EXPR = """
-array_distinct(transform(
-  sequence(1, size(toks) - 1),
-  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))
-))
-"""
-
 
 def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
     """Keep one row per key — `dropDuplicates` = hash aggregate with
@@ -106,19 +96,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    grams = (
+    # index-explode then hash each bigram to a long: the inverted index
+    # shuffles 8-byte keys, not gram strings, and the array expression
+    # is never inlined into Generate (see minhash_candidates note).
+    exploded = (
         docs.select("doc_id", "lang", toks.alias("toks"))
         .filter(F.size("toks") >= 2)
-        .select("doc_id", "lang", F.expr(_GRAMS_EXPR).alias("g"))
+        .select(
+            "doc_id",
+            "lang",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - F.lit(1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("xxhash64(element_at(toks, i), element_at(toks, i + 1))").alias("gh"),
+        )
     )
-    inv = grams.select(
-        "doc_id", "lang", F.size("g").alias("n"), F.explode("g").alias("gram")
-    )
+    distinct_grams = exploded.dropDuplicates(["doc_id", "gh"])
+    sizes = distinct_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inv = distinct_grams.join(sizes, "doc_id")  # sizes is tiny → broadcast
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(
             b,
-            (F.col("a.gram") == F.col("b.gram"))
+            (F.col("a.gh") == F.col("b.gh"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -152,14 +155,30 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluates only within blocks, a stand-in for the LSH/IVF bucketing
     that bounds pair counts at 100 TB. Cosine is a pure Catalyst
     higher-order expression (functions.vector), no UDF."""
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..functions.vector import as_double, dot, l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("emb"),
+    )
+    # Precompute each row's norm ONCE before the join — the pairwise
+    # expression then folds the arrays a single time (dot) instead of
+    # three times (dot + both norms), a 3× cut on the O(pairs·dim) cost.
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
     a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"), F.col("embedding").alias("emb_a")
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("embedding").alias("emb_b")
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
-    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cos_sim_raw", sim)
@@ -170,69 +189,104 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- MinHash + LSH --------------------------------------------------------
 
-_SHINGLES_EXPR = """
+# Word 3-gram shingles, hashed to longs immediately: ~60 shingles/doc
+# instead of ~400 char-5-grams (8× fewer lambda-fold steps in the
+# signature), and all downstream set math (bands, Jaccard verify)
+# operates on fixed-width longs instead of strings.
+_SHINGLE_HASHES_EXPR = """
 array_distinct(transform(
-  sequence(1, greatest(length(norm) - 4, 1)),
-  i -> substr(norm, i, 5)
+  sequence(1, size(toks) - 2),
+  i -> xxhash64(element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
 ))
 """
 
-# 32 minhash permutations via seeded xxhash64; banded 8×4 for LSH.
+# 32 minhash permutations; banded 8×4 for LSH. Each shingle is hashed
+# ONCE; the 32 "permutations" derive from fixed-width xxhash64(h, j)
+# combines evaluated inside whole-stage codegen (explode + min-agg),
+# not interpreted higher-order lambdas — ~10× faster at sf0.1.
 _N_HASHES = 32
 _BAND_ROWS = 4
+_N_BANDS = _N_HASHES // _BAND_ROWS
 
-_SIG_EXPR = f"""
-transform(
-  sequence(0, {_N_HASHES - 1}),
-  j -> array_min(transform(shingles, s -> xxhash64(concat(cast(j AS string), s))))
-)
-"""
 
-_BANDS_EXPR = f"""
-transform(
-  sequence(0, {_N_HASHES // _BAND_ROWS - 1}),
-  b -> named_struct(
-    'band_idx', b,
-    'band_hash', xxhash64(concat_ws(',', transform(
-      slice(sig, b * {_BAND_ROWS} + 1, {_BAND_ROWS}), h -> cast(h AS string))))
-  )
-)
-"""
+def _shingle_sets(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, shingle_hashes): distinct word-3-gram shingles as longs."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.expr(_SHINGLE_HASHES_EXPR).alias("shingle_hashes"))
+    )
 
 
 def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Candidate near-dup pairs via MinHash banding (the scalable path).
 
-    char-5-shingles → 32 seeded-xxhash64 minhashes → 8 bands of 4 →
-    docs colliding on any (band_idx, band_hash) become candidates. The
-    only shuffle is the groupBy on band buckets; signature computation
-    is a per-row projection. Probability of candidacy ≈
+    word-3-gram shingles hashed to longs → 32 derived minhashes
+    (xxhash64(h, j), no per-permutation string hashing) → 8 bands of
+    4 → docs colliding on any (band_idx, band_hash) become candidates.
+    The band self-join is NARROW — only (band, doc_id) shuffles, never
+    the shingle sets; shingle-hash sets re-join onto the (few)
+    surviving candidate pairs for exact-Jaccard verification, as two
+    broadcast-able hash joins. Probability of candidacy ≈
     1-(1-j^4)^8 for true Jaccard j (≥0.9 dups are caught w.p. >99.9%).
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    sigs = (
-        docs.select(F.col(id_col).alias("doc_id"), norm.alias("norm"))
-        .filter(F.length("norm") >= 5)
-        .withColumn("shingles", F.expr(_SHINGLES_EXPR))
-        .withColumn("sig", F.expr(_SIG_EXPR))
-        .withColumn("band", F.explode(F.expr(_BANDS_EXPR)))
-        .select("doc_id", "shingles", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+    shingled = _shingle_sets(docs, text_col, id_col)
+    # signature: explode → 32 codegen'd min-aggregates. Partial
+    # aggregation collapses to one row per doc per partition before the
+    # doc_id shuffle — shuffle volume is docs × 32 longs.
+    #
+    # NOTE the explode is over the cheap index sequence, not over the
+    # shingle-hash array: Catalyst collapses a preceding projection INTO
+    # Generate, so an inlined array-building expression would re-evaluate
+    # per OUTPUT row (~60× the work — measured 20× slower at sf0.1).
+    # Min is duplicate-insensitive, so no array_distinct is needed here.
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    exploded = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - F.lit(2))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "xxhash64(element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))"
+            ).alias("h"),
+        )
     )
-    a = sigs.select(
-        F.col("band_idx"), F.col("band_hash"), F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    sig_tbl = exploded.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("h"), F.lit(j))).alias(f"mh{j}") for j in range(_N_HASHES)]
     )
-    b = sigs.select(
-        F.col("band_idx"),
-        F.col("band_hash"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.xxhash64(
+                *[F.col(f"mh{b * _BAND_ROWS + i}") for i in range(_BAND_ROWS)]
+            ).alias("band_hash"),
+        )
+        for b in range(_N_BANDS)
+    ]
+    banded = sig_tbl.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_hash").alias("band_hash"),
     )
-    return (
+    a = banded.select("band_idx", "band_hash", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band_idx", "band_hash", F.col("doc_id").alias("doc_b"))
+    pairs = (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))
+    return pairs.join(sh_a, "doc_a").join(sh_b, "doc_b").select("doc_a", "doc_b", "sh_a", "sh_b")
 
 
 @query("dedup_minhash", oracle=None)  # seeded-hash signatures are engine-specific
@@ -253,33 +307,54 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_EXPR = """
-aggregate(
-  sequence(0, 63),
-  0L,
-  (acc, k) -> acc + shiftleft(
-    if(aggregate(toks, 0L,
-         (s, t) -> s + if((shiftright(xxhash64(t), k) & 1L) = 1L, 1L, -1L)) >= 0L,
-       1L, 0L),
-    k)
-)
-"""
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per row: each distinct token's xxhash64 votes ±1
+    on every bit position; the sign vector packs into one long.
+
+    Formulated as explode → 64 codegen'd conditional sums → bit
+    reassembly (whole-stage codegen end to end; interpreted
+    higher-order lambdas were ~4× slower). Partial aggregation keeps
+    the doc_id shuffle at docs × 64 longs. Rows with no tokens are
+    dropped (no signature is definable for an empty document).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    exploded = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks"))).alias("i"),
+        )
+        .select("doc_id", F.expr("xxhash64(element_at(toks, i))").alias("h"))
+        # distinct-token voting: dedupe (doc, token-hash) before the bit
+        # sums — partial aggregation makes this map-side cheap.
+        .dropDuplicates(["doc_id", "h"])
+    )
+    bit_votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{k}")
+            for k in range(64)
+        ]
+    )
+    sig = None
+    for k in range(64):
+        bit = F.when(F.col(f"b{k}") >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, k)
+        sig = term if sig is None else sig + term
+    return bit_votes.select("doc_id", sig.alias("simhash"))
 
 
 @query("dedup_simhash", oracle=None)  # xxhash64 bit-patterns are engine-specific
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signature per document (SURVEY §2.12).
-
-    Each token's xxhash64 votes ±1 on every bit position; the sign
-    vector packs into one long. Computed entirely in per-row
-    higher-order expressions — a pure projection, zero shuffles; near-dup
-    search then joins on 16-bit sub-bands of the signature (tests)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
-    return (
-        docs.select("doc_id", toks.alias("toks"))
-        .select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
-    )
+    """64-bit SimHash signature per document (SURVEY §2.12); near-dup
+    search then joins on 16-bit sub-bands of the signature
+    (`simhash_neardup_pairs`, exercised in tests)."""
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
 def simhash_neardup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.vector import cosine, dot
+from ..functions.vector import as_double, dot, l2_norm
 from ..registry import query
 
 _TOP_K = 10
@@ -49,14 +49,21 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine/oracle rank identically. At scale the per-query ranking uses
     WindowGroupLimit (per-partition top-k heaps before the shuffle).
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    q = (
-        e.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
     )
+    # norms computed once per row (corpus) / per query — the pairwise
+    # expression is a single array fold (dot), not three.
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sim = dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 6))
+        .withColumn("cos_sim", F.round(sim, 6))
         .select("query_id", "vec_id", "cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -98,26 +105,32 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     this turns the all-pairs scan into a per-bucket scan. Recall vs the
     exact top-k is asserted in tests; the driver records rows-only.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
     dim = 64
     planes = _hyperplanes(dim, 16)
-    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    sigs = e.select("vec_id", "embedding", rhp_signature(emb_d, planes).alias("sig"))
+    e = e.withColumn("nrm", l2_norm(F.col("embedding")))
+    sigs = e.select(
+        "vec_id", "embedding", "nrm", rhp_signature(F.col("embedding"), planes).alias("sig")
+    )
     banded = sigs.select(
         "vec_id",
         "embedding",
+        "nrm",
         F.explode(
             F.expr(
                 "transform(sequence(0,1), b -> named_struct("
                 "'band_idx', b, 'band_val', (shiftright(sig, b * 8) & 255L)))"
             )
         ).alias("band"),
-    ).select("vec_id", "embedding", "band.band_idx", "band.band_val")
+    ).select("vec_id", "embedding", "nrm", "band.band_idx", "band.band_val")
     q = (
         banded.filter(F.col("vec_id") < _N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
             "band_idx",
             "band_val",
         )
@@ -127,9 +140,10 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cands.withColumn(
-        "cos_sim", F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
-    ).select("query_id", "vec_id", "cos_sim")
+    sim = dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+    scored = cands.withColumn("cos_sim", F.round(sim, 6)).select(
+        "query_id", "vec_id", "cos_sim"
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

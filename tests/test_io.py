@@ -1,0 +1,58 @@
+"""Sinks/loads: JSON-lines roundtrip, chunked part-files, DDL + insert
+(SURVEY.md §2.1 S4-S8)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from etl_knlp_spark.catalog import load_table
+from etl_knlp_spark.sources.io import (
+    create_table_if_not_exists,
+    insert_into,
+    read_json_auto,
+    write_json_lines,
+)
+
+
+def test_json_lines_roundtrip_and_chunking(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    out = str(tmp_path / "docs_json")
+    write_json_lines(docs.repartition(1), out, max_records_per_file=100)
+    # 500 rows / 100 per file → ≥5 part files (the reference's 10k-row
+    # chunking, dag-knlp.py:139-145, scaled down)
+    assert len(glob.glob(out + "/part-*")) >= 5
+    back = read_json_auto(spark, out, columns=["doc_id", "lang", "source"])
+    assert back.count() == docs.count()
+    # name-based binding survives column reorder (COPY JSON 'auto' semantics)
+    reordered = read_json_auto(spark, out, columns=["source", "doc_id", "lang"])
+    assert reordered.columns == ["source", "doc_id", "lang"]
+
+
+def test_ddl_and_insert_into(spark, sf_dir):
+    spark.sql("DROP TABLE IF EXISTS korean_hanjya_test")
+    create_table_if_not_exists(
+        spark, "korean_hanjya_test", "korean STRING, hanjya STRING, examples STRING"
+    )
+    # IF NOT EXISTS: second call is a no-op, not an error (dag-knlp.py:24)
+    create_table_if_not_exists(
+        spark, "korean_hanjya_test", "korean STRING, hanjya STRING, examples STRING"
+    )
+    df = spark.createDataFrame(
+        [("가", "家", "가족"), ("각", "各", "각자")], ["korean", "hanjya", "examples"]
+    )
+    insert_into(df, "korean_hanjya_test")
+    insert_into(df, "korean_hanjya_test")  # append semantics (S8)
+    assert spark.table("korean_hanjya_test").count() == 4
+    spark.sql("DROP TABLE korean_hanjya_test")
+
+
+def test_events_nanos_timestamp_loads(spark, sf_dir):
+    """events.parquet is TIMESTAMP(NANOS) — catalog must surface a
+    proper timestamp column (truncated to µs) on any session."""
+    e = load_table(spark, sf_dir, "events")
+    assert e.schema["ts"].dataType.simpleString() == "timestamp"
+    r = e.orderBy("event_id").first()
+    assert r["ts"].year == 2024
+    assert e.filter(F.col("ts").isNull()).count() == 0

@@ -1,0 +1,41 @@
+"""Multimodal plumbing: binary columns, mapInPandas feature extraction,
+stubbed decode (SURVEY.md §2.12)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_knlp_spark.catalog import load_table
+from etl_knlp_spark.operators.multimodal import (
+    decode_media,
+    documents_as_media,
+    extract_features,
+)
+
+
+def test_decode_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError, match="stubbed"):
+        decode_media(b"\x89PNG", "image/png")
+
+
+def test_media_table_schema(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    assert media.schema.simpleString() == (
+        "struct<media_id:bigint,payload:binary,media_type:string,n_bytes:bigint>"
+    )
+    row = media.first()
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["n_bytes"] == len(row["payload"])
+
+
+def test_feature_extraction_schema_and_determinism(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    f1 = extract_features(media)
+    assert f1.schema["feature"].dataType.simpleString() == "array<double>"
+    a = {r["media_id"]: r["feature"] for r in f1.collect()}
+    b = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert a == b
+    assert all(len(v) == 8 for v in a.values())
+    # payloads never shuffle: plan is scan → project → mapInPandas only
+    plan = f1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -1,0 +1,55 @@
+"""DQ operators vs the reference's runtime assertions (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_knlp_spark.operators.quality import (
+    check_count,
+    check_max_length,
+    drop_na_rows,
+    enforce_varchar,
+)
+
+
+@pytest.fixture(scope="module")
+def words(spark):
+    # word_id ≤ 13 chars passes the reference's threshold (dag-knlp.py:400)
+    return spark.createDataFrame(
+        [("1", "short", "가"), ("2", "exactly13char", "각"), ("3", None, "간")],
+        ["edit_id", "word_id", "korean"],
+    )
+
+
+def test_check_count_passes_and_returns_n(words):
+    assert check_count(words) == 3
+
+
+def test_check_count_raises_on_empty(spark, words):
+    with pytest.raises(ValueError, match="quality check failed"):
+        check_count(words.filter("edit_id = 'nope'"))
+
+
+def test_check_max_length_at_threshold(words):
+    assert check_max_length(words, "word_id", 13) == 13
+
+
+def test_check_max_length_raises_above_threshold(spark):
+    # FIXTURES.md A2: a 14-char word_id must FAIL the check
+    bad = spark.createDataFrame([("1", "fourteen-chars",)], ["edit_id", "word_id"])
+    with pytest.raises(ValueError, match="quality check failed"):
+        check_max_length(bad, "word_id", 13)
+
+
+def test_drop_na_rows(words):
+    assert drop_na_rows(words, subset=["word_id"]).count() == 2
+
+
+def test_enforce_varchar_truncates(words):
+    out = {
+        r["edit_id"]: r["word_id"]
+        for r in enforce_varchar(words, {"word_id": 5}).collect()
+    }
+    assert out["2"] == "exact"
+    assert out["1"] == "short"
+    assert out["3"] is None

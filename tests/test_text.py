@@ -1,0 +1,49 @@
+"""Text-analysis operators: langid heuristic, tokenizer, fingerprint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_knlp_spark.catalog import load_table
+from etl_knlp_spark.operators.text import fingerprint, langid_udf, tokenize_udf
+
+
+def test_langid_detects_profiled_languages(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog"),
+            (2, "der Hund und die Katze und das Haus"),
+            (3, "le chat et la maison et un chien"),
+            (4, "xyzzy plugh 12345"),
+            (5, None),
+        ],
+        ["id", "text"],
+    )
+    got = {
+        r["id"]: r["pred"]
+        for r in df.select("id", langid_udf()(F.col("text")).alias("pred")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und", 5: "und"}
+
+
+def test_tokenizer_lowercases_and_strips_punct(spark):
+    df = spark.createDataFrame([(1, "Hello, World! Été 123")], ["id", "text"])
+    toks = df.select(tokenize_udf()(F.col("text")).alias("t")).first()["t"]
+    assert toks == ["hello", "world", "été", "123"]
+
+
+def test_fingerprint_invariant_to_whitespace(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    base = {r["doc_id"]: r["fp"] for r in fingerprint(spark, sf_dir).collect()}
+    # re-spacing the text must not change the fingerprint
+    respaced = docs.select(
+        "doc_id", F.regexp_replace("text", " ", "   ").alias("text")
+    )
+    from etl_knlp_spark.operators.text import _TOKENS  # noqa: F401  (module import check)
+
+    refp = respaced.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("fp"),
+    )
+    for r in refp.collect():
+        assert base[r["doc_id"]] == r["fp"]
