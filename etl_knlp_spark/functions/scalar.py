@@ -104,6 +104,108 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)         AS due_date,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS BIGINT)
+                                                               AS days_to_cutoff,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)   AS month_end
+    FROM orders
+    """,
+)
+def interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic: offsets, day differences, month ends."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_cutoff"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+
+
+@query(
+    "regexp_ops",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS name_num,
+           len(regexp_extract_all(c_name, '0'))::INT                      AS n_zeros,
+           (regexp_matches(c_name, '1$'))                                 AS ends_in_one
+    FROM customer
+    """,
+)
+def regexp_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: capture-group extraction, match counting,
+    boolean match — all JVM-side (no UDF)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "Customer#([0-9]+)", 1).cast("bigint").alias("name_num"),
+        F.size(F.regexp_extract_all(F.col("c_name"), F.lit("0"), 0)).alias("n_zeros"),
+        F.col("c_name").rlike("1$").alias("ends_in_one"),
+    )
+
+
+@query(
+    "coalesce_null",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_or_flag,
+           (l_discount = 0.0)                      AS is_zero_disc,
+           IFNULL(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none
+    FROM lineitem
+    """,
+)
+def coalesce_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling family: NULLIF / COALESCE / IFNULL and NULL-safe
+    boolean logic (README.md:15's cleaning semantics, SURVEY §2.2 P3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "disc_or_flag"
+        ),
+        (F.col("l_discount") == 0.0).alias("is_zero_disc"),
+        F.ifnull(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+    )
+
+
+@query(
+    "case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS size_class,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'partial' END AS status_name
+    FROM orders
+    """,
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE expression family — searched and simple forms."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("partial")
+        .alias("status_name"),
+    )
+
+
+@query(
     "array_ops",
     oracle="""
     SELECT vec_id,

@@ -1,0 +1,70 @@
+"""Skew-mitigation utilities (SURVEY.md §2.12 100 TB design rules).
+
+Zipfian keys (wiki titles, user ids, hot languages) concentrate a
+shuffle join's work on a few reducers. Two remedies ship here:
+
+- AQE skew-join splitting is ON by default in the engine session
+  (`spark.sql.adaptive.skewJoin.enabled`) — the zero-code path.
+- `salted_join` is the explicit pre-planned form for when AQE can't
+  help (e.g. the skewed side feeds an aggregation, or a deterministic
+  layout is required): the probe side scatters each hot key across
+  `buckets` sub-keys, the build side replicates `buckets`×. Results
+  are identical to the plain join — verified against the plain-join
+  oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with salted keys: spreads each left-side key over
+    ``buckets`` shuffle partitions, replicating the right side
+    ``buckets``× (right side must be the smaller one).
+
+    The salt is a deterministic per-row hash of the whole left row —
+    uniform across duplicates of the same hot key, stable across
+    retries (a nondeterministic salt breaks task re-execution).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets))
+    salted_left = left.withColumn("_salt", salt)
+    replicated_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    cond = (F.col(f"l.{left_key}") == F.col(f"r.{right_key}")) & (
+        F.col("l._salt") == F.col("r._salt")
+    )
+    return (
+        salted_left.alias("l")
+        .join(replicated_right.alias("r"), cond, how)
+        .drop("_salt")
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join demo — must produce EXACTLY the plain join's rows
+    (the oracle is the unsalted SQL), proving salting is a pure
+    physical-layout transform."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = salted_join(o, c, "o_custkey", "c_custkey", buckets=8)
+    return joined.select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")

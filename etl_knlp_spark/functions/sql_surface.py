@@ -1,0 +1,102 @@
+"""SQL-text entry point (SURVEY.md §3 E3).
+
+The reference's only query interface is SQL strings shipped to a
+warehouse (dag-knlp.py:65-80, 252, 273). This module is the parity
+surface: `spark.sql` over the registered table views, demonstrating
+CTEs, correlated subqueries, scalar subqueries, HAVING, and set ops in
+SQL text. Catalyst decorrelates the subqueries into joins — same
+physical plans as the DataFrame formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import register_views
+from ..registry import query
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Register the catalog as temp views and run one SQL statement."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+_CTE_SQL = """
+WITH big_orders AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_totalprice > 200000
+),
+per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_big, ROUND(SUM(o_totalprice), 2) AS spend
+  FROM big_orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_mktsegment, p.n_big, p.spend
+FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+"""
+
+
+@query("cte_query", oracle=_CTE_SQL)
+def cte_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE query through the SQL surface — filter → aggregate →
+    join, all planned by Catalyst from SQL text."""
+    return run_sql(spark, sf_dir, _CTE_SQL)
+
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+
+@query("exists_subquery", oracle=_EXISTS_SQL)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst decorrelates to a left-semi join
+    (identical physical shape to the DataFrame `join_semi`)."""
+    return run_sql(spark, sf_dir, _EXISTS_SQL)
+
+
+_SCALAR_SUBQ_SQL = """
+SELECT o_orderkey,
+       ROUND(o_totalprice / (SELECT AVG(o_totalprice) FROM orders), 6) AS price_ratio
+FROM orders
+"""
+
+
+@query("scalar_subquery", oracle=_SCALAR_SUBQ_SQL)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery — planned as a broadcast of the
+    1-row aggregate into the projection (no per-row re-evaluation)."""
+    return run_sql(spark, sf_dir, _SCALAR_SUBQ_SQL)
+
+
+_HAVING_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+"""
+
+
+@query("having_clause", oracle=_HAVING_SQL)
+def having_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING — post-aggregation predicate."""
+    return run_sql(spark, sf_dir, _HAVING_SQL)
+
+
+_UNION_DISTINCT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@query("union_distinct", oracle=_UNION_DISTINCT_SQL)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — union-all + aggregate under the hood
+    (SURVEY §2.7)."""
+    return run_sql(spark, sf_dir, _UNION_DISTINCT_SQL)

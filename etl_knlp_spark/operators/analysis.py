@@ -1,0 +1,194 @@
+"""Corpus-analysis operators for training-data pipelines (SURVEY.md
+§2.12): PII scrubbing, n-gram frequency tables, embedding centroids,
+quality-threshold filtering, token-length histograms.
+
+Everything stays in whole-stage codegen (regex/arithmetic column
+expressions, explode + aggregate); nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+_EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH tainted AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' contact: user' || CAST(doc_id AS VARCHAR)
+               || '@example.com tel 555-0199' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g') AS clean_text
+    FROM tainted
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/phone redaction via regexp_replace (the
+    standard pre-training cleanup pass). PII is injected
+    deterministically so the scrub path is actually exercised; the
+    regex subset used is portable between Java regex and RE2."""
+    docs = load_table(spark, sf_dir, "documents")
+    tainted = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 555-0199"),
+        ).alias("text"),
+    )
+    return tainted.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            r"[0-9]{3}-[0-9]{4}",
+            "<PHONE>",
+        ).alias("clean_text"),
+    )
+
+
+@query(
+    "ngram_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), g AS (
+      SELECT lang,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS gram
+      FROM toks WHERE len(t) >= 2
+    ), c AS (
+      SELECT lang, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+    )
+    SELECT lang, gram, cnt, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rn
+      FROM c
+    ) WHERE rn <= 10
+    """,
+)
+def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 word bigrams per language (corpus frequency table —
+    the Zipf/contamination diagnostic). Occurrence counts (not
+    per-doc distinct); deterministic tiebreak on the gram text. The
+    rank filter enables WindowGroupLimit: per-partition top-k heaps
+    run before the lang shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = (
+        docs.select("lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "lang",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - F.lit(1))).alias("i"),
+        )
+        .select(
+            "lang",
+            F.expr("concat(element_at(toks, i), ' ', element_at(toks, i + 1))").alias("gram"),
+        )
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "gram")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "gram", "cnt", "rn")
+    )
+
+
+@query(
+    "embedding_centroid",
+    oracle="""
+    SELECT label, dim, ROUND(AVG(val), 6) AS centroid_val
+    FROM (
+      SELECT label,
+             unnest(embedding::DOUBLE[]) AS val,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ) GROUP BY label, dim
+    """,
+)
+def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors, long-form
+    (label, dim, value): posexplode → per-dimension mean. Shuffle rows
+    are (label, dim) pairs — bounded by labels × dim, not corpus size.
+    The k-means/IVF building block for coarse quantization."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .select("label", (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+    )
+
+
+@query(
+    "doc_quality_filter",
+    oracle="""
+    WITH t AS (
+      SELECT lang, n_chars,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT lang,
+             LEAST(n_chars / 500.0, 1.0) * 0.5
+             + LEAST(len(list_filter(toks, x -> x IN ('the', 'a'))) * 5.0 / len(toks), 1.0) * 0.5
+               AS quality
+      FROM t
+    )
+    SELECT lang,
+           CAST(COUNT(*) FILTER (WHERE quality >= 0.5) AS BIGINT) AS n_kept,
+           COUNT(*) AS n_total,
+           ROUND(AVG(quality), 6) AS avg_quality
+    FROM scored GROUP BY lang
+    """,
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold filter summary per language — the
+    keep/drop accounting step of a pretraining filter pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("lang", "n_chars", toks.alias("toks"))
+    n_tok = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda x: x.isin("the", "a")))
+    quality = (
+        F.least(F.col("n_chars") / 500.0, F.lit(1.0)) * 0.5
+        + F.least(n_stop * 5.0 / n_tok, F.lit(1.0)) * 0.5
+    )
+    scored = base.select("lang", quality.alias("quality"))
+    return scored.groupBy("lang").agg(
+        F.count_if(F.col("quality") >= 0.5).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+@query(
+    "token_histogram",
+    oracle="""
+    SELECT CAST(len(string_split_regex(trim(lower(text)), '\\s+')) // 10 AS BIGINT)
+             AS tok_bucket,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in 10-token buckets — the sequence-
+    length planning input for batch/context-size decisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    return docs.groupBy(
+        F.floor(n_tok / 10).cast("bigint").alias("tok_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1,0 +1,144 @@
+"""Statistical & reshaping aggregates (SURVEY.md §2.4 A4 extension):
+percentiles, moments/correlation, pivot, conditional aggregation,
+histograms, ordered string aggregation.
+
+All are single groupBy pipelines — partial aggregation map-side, one
+shuffle keyed on the group columns. Floating aggregates round to a
+fixed scale on both engine and oracle (summation-order sensitivity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "percentile_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           ROUND(quantile_disc(l_quantity, 0.5), 4)       AS median_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous/discrete percentiles per group. Exact
+    percentile needs the full value multiset per group — at 100 TB use
+    `approx_percentile` (KLL-style sketch, constant memory) unless the
+    group cardinality is bounded; both shapes exposed here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+        F.round(F.expr("percentile_approx(l_quantity, 0.5, 2147483647)"), 4).alias(
+            "median_qty_disc"
+        ),
+    )
+
+
+@query(
+    "stats_agg",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(stddev_samp(l_quantity), 4)             AS qty_stddev,
+           ROUND(var_samp(l_discount), 6)                AS disc_var,
+           ROUND(corr(l_quantity, l_extendedprice), 6)   AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_tax), 6)       AS qty_tax_covar
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group (stddev/variance/corr/covar)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_tax"), 6).alias("qty_tax_covar"),
+    )
+
+
+@query(
+    "pivot_agg",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag = 'A'), 2) AS A,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag = 'N'), 2) AS N,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag = 'R'), 2) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide reshape): return-flag columns per line status.
+    Explicit pivot values keep the plan single-pass (no extra distinct
+    scan to discover columns) — mandatory at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@query(
+    "conditional_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+           ROUND(SUM(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END), 2)
+             AS big_spend
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (count_if / sum-case) — the one-pass
+    alternative to N filtered scans."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.round(
+            F.sum(F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).otherwise(0.0)),
+            2,
+        ).alias("big_spend"),
+    )
+
+
+@query(
+    "histogram_bucket",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via arithmetic bucketing — integer bucket
+    ids are engine-portable (unlike float bin edges)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "string_agg_sorted",
+    oracle="""
+    SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+    FROM documents GROUP BY lang
+    """,
+)
+def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: deterministic because the collected
+    set is de-duplicated and sorted before joining (collect_set order
+    is partition-dependent; sort_array fixes it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources")
+    )

@@ -67,8 +67,18 @@ def _load_all() -> None:
     if _LOADED:
         return
     # Imports are for their registration side effects.
-    from .operators import dedup, multimodal, parse, quality, relational, similarity, text  # noqa: F401
-    from .functions import scalar  # noqa: F401
+    from .operators import (  # noqa: F401
+        analysis,
+        dedup,
+        multimodal,
+        parse,
+        quality,
+        relational,
+        similarity,
+        stats,
+        text,
+    )
+    from .functions import scalar, skew, sql_surface  # noqa: F401
     from .plans import dimension  # noqa: F401
     from .streaming import windows  # noqa: F401
 

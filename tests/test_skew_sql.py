@@ -1,0 +1,37 @@
+"""Salted-join equivalence on skewed data + SQL-surface entry point."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_knlp_spark.functions.skew import salted_join
+from etl_knlp_spark.functions.sql_surface import run_sql
+
+
+def test_salted_join_equals_plain_join_on_skewed_keys(spark):
+    # 90% of left rows share one hot key — the salting target case
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 20).select(
+        F.col("id").alias("rk"), (F.col("id") * 100).alias("rv")
+    )
+    plain = left.join(right, left.k == right.rk, "inner").select("k", "payload", "rv")
+    salted = salted_join(left, right, "k", "rk", buckets=8).select("k", "payload", "rv")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.range(100).select(F.col("id").alias("k"))
+    right = spark.range(50).select(F.col("id").alias("rk"), F.lit("x").alias("v"))
+    out = salted_join(left, right, "k", "rk", buckets=4, how="left")
+    assert out.count() == 100
+    assert out.filter(F.col("v").isNull()).count() == 50
+
+
+def test_run_sql_over_views(spark, sf_dir):
+    n = run_sql(spark, sf_dir, "SELECT COUNT(*) AS n FROM lineitem").first()["n"]
+    assert n > 0
