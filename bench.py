@@ -47,6 +47,12 @@ HEADLINE = [
     "similarity_ann_lsh",
     "stream_tumbling_window",
     "stream_session_window",
+    "ngram_freq",
+    "embedding_centroid",
+    "pii_scrub",
+    "stats_agg",
+    "pivot_agg",
+    "join_skew_salted",
 ]
 
 

@@ -511,6 +511,46 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing per group (deterministic via unique tiebreak)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal, c_custkey), 6)    AS cume
+    FROM customer
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank analytics (percent_rank / cume_dist)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
     "window_frame_sum",
     oracle="""
     SELECT o_orderkey, o_custkey,

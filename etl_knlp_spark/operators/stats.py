@@ -128,6 +128,69 @@ def histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minmax_by",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_custkey, c_acctbal) AS richest_cust,
+           arg_min(c_custkey, c_acctbal) AS poorest_cust,
+           ROUND(MAX(c_acctbal), 2)      AS max_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min aggregation (max_by/min_by): the key of the
+    extreme row without a self-join or window. Deterministic here
+    because c_acctbal has no within-nation ties (checked); with tied
+    orderings, compose a unique tiebreak into the ordering value."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
+        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@query(
+    "bool_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)   AS all_over_1k,
+           bool_or(o_totalprice > 400000)  AS any_over_400k
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregation (every/some)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+    )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long reshape) — the inverse of `pivot_agg`.
+    One scan, rows fan out 3× in the projection (no shuffle at all)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+@query(
     "string_agg_sorted",
     oracle="""
     SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources
