@@ -88,6 +88,24 @@ def having_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _HAVING_SQL)
 
 
+_GROUPING_SETS_SQL = """
+SELECT lang, source,
+       CAST(GROUPING(lang) AS INT)   AS g_lang,
+       CAST(GROUPING(source) AS INT) AS g_src,
+       COUNT(*) AS n
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), ())
+"""
+
+
+@query("grouping_sets", oracle=_GROUPING_SETS_SQL)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers — the general
+    form behind rollup/cube (SURVEY §2.4 A4); the markers disambiguate
+    aggregate NULLs from data NULLs."""
+    return run_sql(spark, sf_dir, _GROUPING_SETS_SQL)
+
+
 _UNION_DISTINCT_SQL = """
 SELECT c_nationkey AS nationkey FROM customer
 UNION

@@ -1,0 +1,97 @@
+"""Iterative graph operators over DataFrames (SURVEY.md §2.12).
+
+Near-dup PAIRS are only half a dedup pipeline — production dedup keeps
+one representative per connected component of the similarity graph.
+`connected_components` is minimum-label propagation as a driver loop
+over distributed joins: each iteration is a full DataFrame plan, the
+driver only checks the (scalar) convergence condition.
+
+100 TB notes: label propagation converges in O(graph diameter)
+iterations; near-dup graphs are shallow (dup clusters are cliques-ish),
+so 3-5 iterations dominate. Each iteration shuffles edges once on src
+and once on dst. For adversarially deep graphs use the large-star/
+small-star variant (alternating contraction halves the diameter per
+round). `localCheckpoint` every iteration truncates the lineage so
+plans don't grow unboundedly — the classic iterative-Spark failure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .dedup import minhash_candidates
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Connected components by min-label propagation.
+
+    Input: undirected edges (src long, dst long). Output:
+    (node, component) where component = min node id in the component.
+    """
+    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
+        edges.selectExpr(f"{dst} AS a", f"{src} AS b")
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()  # truncate lineage every iteration
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("near_dup_clusters", oracle=None)  # iterative + hash-seeded: rows-only
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering end-to-end: MinHash-LSH candidate pairs →
+    exact-Jaccard edges (≥0.7) → connected components → one
+    representative (min doc_id) per cluster. The output is the dedup
+    decision table: (doc_id, cluster_rep, is_kept)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidates(docs)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    edges = (
+        cands.withColumn("j", inter * 1.0 / union)
+        .filter(F.col("j") >= 0.7)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = connected_components(edges)
+    all_docs = docs.select("doc_id")
+    return (
+        all_docs.join(comp, all_docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_rep"),
+        )
+        .withColumn("is_kept", F.col("doc_id") == F.col("cluster_rep"))
+    )

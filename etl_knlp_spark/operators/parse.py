@@ -148,6 +148,25 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "posexplode_array",
+    oracle="""
+    SELECT vec_id,
+           generate_subscripts(embedding[1:3], 1)      AS pos,
+           CAST(unnest(embedding[1:3]) AS DOUBLE)      AS val
+    FROM embeddings
+    """,
+)
+def posexplode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (UNNEST WITH ORDINALITY) over an array slice —
+    the lateral-view/flatten operator with position tracking."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", F.posexplode(F.slice("embedding", 1, 3)).alias("p", "v"))
+        .select("vec_id", (F.col("p") + 1).alias("pos"), F.col("v").cast("double").alias("val"))
+    )
+
+
+@query(
     "json_extract",
     oracle="""
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

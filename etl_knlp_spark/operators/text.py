@@ -182,6 +182,29 @@ def langid_udf():
     return pandas_udf(_langid_batch, T.StringType())
 
 
+def broadcast_lookup_udf(spark, mapping: dict[str, str], default: str | None = None):
+    """Dictionary-lookup pandas UDF with an explicitly broadcast table
+    (SURVEY §2.11: the Hanja↔Hangul mapping pattern — a bounded
+    reference dict shipped once per executor, not per task/row).
+
+    Returns a UDF mapping each whitespace token through `mapping`
+    (untouched tokens pass through, or `default` replaces them).
+    """
+    bc = spark.sparkContext.broadcast(mapping)
+
+    def look_up(texts: pd.Series) -> pd.Series:
+        m = bc.value
+
+        def map_tokens(t: str) -> str:
+            if not t:
+                return t
+            return " ".join(m.get(tok, tok if default is None else default) for tok in t.split())
+
+        return texts.map(map_tokens)
+
+    return pandas_udf(look_up, T.StringType())
+
+
 def tokenize_udf():
     return pandas_udf(_tokenize_batch, T.ArrayType(T.StringType()))
 

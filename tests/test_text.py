@@ -5,7 +5,24 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_knlp_spark.catalog import load_table
-from etl_knlp_spark.operators.text import fingerprint, langid_udf, tokenize_udf
+from etl_knlp_spark.operators.text import (
+    broadcast_lookup_udf,
+    fingerprint,
+    langid_udf,
+    tokenize_udf,
+)
+
+
+def test_broadcast_dict_lookup_maps_hanja(spark):
+    """The reference's core semantic: Korean→Hanja mapping via a
+    bounded broadcast dictionary (dag-knlp.py's hanja table, applied
+    as the SURVEY §2.11 lookup-UDF pattern)."""
+    mapping = {"수학": "數學", "역사": "歷史"}
+    udf = broadcast_lookup_udf(spark, mapping)
+    df = spark.createDataFrame([(1, "수학 그리고 역사"), (2, None)], ["id", "text"])
+    got = {r["id"]: r["m"] for r in df.select("id", udf(F.col("text")).alias("m")).collect()}
+    assert got[1] == "數學 그리고 歷史"
+    assert got[2] is None
 
 
 def test_langid_detects_profiled_languages(spark):
