@@ -40,6 +40,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _tune_session(spark: SparkSession) -> None:
+    """Engine session settings, applied once per session at first table
+    load. queries() callables receive the DRIVER's session, which may
+    ship Spark defaults (AQE off in older configs, 200 shuffle
+    partitions, machine-local timezone); these runtime-settable confs
+    make plans and timestamp semantics match the engine's design
+    regardless of who built the session."""
+    if getattr(spark, "_etl_knlp_tuned", False):
+        return
+    for k, v in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.shuffle.partitions", "32"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # a locked-down session still works, just less tuned
+    spark._etl_knlp_tuned = True
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Declarative parquet scan → pushdown-friendly.
 
@@ -51,6 +75,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _tune_session(spark)
     if name == "events":
         from pyspark.sql import functions as F
 

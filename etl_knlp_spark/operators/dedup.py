@@ -307,6 +307,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_fuzzy", oracle=None)  # SURVEY §2.12's canonical name for this op
+def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy/near dedup under the inventory name SURVEY.md §2.12
+    declares (`dedup_fuzzy`): the MinHash-LSH candidate + exact-verify
+    pipeline, thresholded at Jaccard ≥ 0.7. Same engine path as
+    `dedup_minhash`; kept as its own entry so the §2 inventory maps
+    one-to-one onto `queries()`."""
+    return dedup_minhash(spark, sf_dir)
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per row: each distinct token's xxhash64 votes ±1
     on every bit position; the sign vector packs into one long.

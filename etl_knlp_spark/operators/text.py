@@ -209,6 +209,31 @@ def tokenize_udf():
     return pandas_udf(_tokenize_batch, T.ArrayType(T.StringType()))
 
 
+def _geomean_batch(v: pd.Series) -> float:
+    """Grouped-agg kernel: geometric mean of a numeric column."""
+    import numpy as np
+
+    vals = v.to_numpy(dtype="float64")
+    vals = vals[vals > 0]
+    if len(vals) == 0:
+        return 0.0
+    return float(np.exp(np.log(vals).mean()))
+
+
+@query("udaf_geomean", oracle=None)  # GROUPED_AGG pandas UDF — engine-side only
+def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregating pandas UDF (SURVEY §2.11's UDAF surface): per-lang
+    geometric mean of document length via a GROUPED_AGG kernel. The
+    whole group's column arrives as one Arrow batch; use only when the
+    aggregate has no algebraic partial form (geomean does via
+    sum-of-logs — kept here as the canonical UDAF plumbing demo)."""
+    docs = load_table(spark, sf_dir, "documents")
+    geomean = pandas_udf(_geomean_batch, T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
+    return docs.groupBy("lang").agg(
+        F.round(geomean(F.col("n_chars")), 4).alias("geomean_chars")
+    )
+
+
 @query("udf_langid", oracle=None)  # heuristic scoring — not SQL-expressible
 def udf_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID pandas UDF applied to `documents.text`."""
