@@ -79,7 +79,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3, 4
     )
     SELECT doc_a, doc_b,
-           ROUND(n_shared * 1.0 / (n_a + n_b - n_shared), 6) AS jaccard
+           n_shared * 1.0 / (n_a + n_b - n_shared) AS jaccard
     FROM shared
     WHERE n_shared * 1.0 / (n_a + n_b - n_shared) >= 0.05
     """,
@@ -133,10 +133,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    # jaccard is a ratio of exact ints — unrounded doubles are
+    # bit-identical across engines (rounding risks half-boundaries)
     jac = F.col("n_shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return shared.filter(jac >= 0.05).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-    )
+    return shared.filter(jac >= 0.05).select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
 @query(

@@ -532,21 +532,27 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_percent_rank",
     oracle="""
     SELECT c_custkey,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey
-                                      ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey
-                                   ORDER BY c_acctbal, c_custkey), 6)    AS cume
+           PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) AS pct_rank,
+           CUME_DIST() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal, c_custkey)    AS cume
     FROM customer
     """,
 )
 def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relative-rank analytics (percent_rank / cume_dist)."""
+    """Relative-rank analytics (percent_rank / cume_dist).
+
+    Deliberately UNROUNDED: these are exact rationals (rank/n) whose
+    IEEE division is bit-identical across engines, while rounding would
+    reintroduce half-boundary disagreements (rank/640 = 0.5203125 →
+    engines disagree at round-half — found at sf0.1). Round only
+    summation-order-dependent aggregates, never per-row rationals."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 

@@ -83,17 +83,35 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def rhp_signature(emb, planes: list[list[float]]):
-    """Random-hyperplane signature: bit j = sign(emb · plane_j), packed
-    into a long. Pure column expression over array literals."""
-    bits = [
-        F.when(dot(emb, F.array(*[F.lit(v) for v in plane])) >= 0, F.lit(1)).otherwise(F.lit(0))
-        for plane in planes
+def rhp_signatures(spark: SparkSession, vectors: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """Random-hyperplane signatures: bit j = sign(emb · plane_j),
+    packed into one long per vector.
+
+    Formulated as posexplode → broadcast join with the long-form plane
+    matrix → codegen'd sum aggregates (interpreted per-plane array
+    folds were ~3× slower — same Generate/HOF pitfall as the dedup
+    signatures). Shuffle volume: vectors × n_planes partial sums.
+
+    Input must have (vec_id, embedding array<double>); output is
+    (vec_id, sig long).
+    """
+    n_planes = len(planes)
+    plane_rows = [
+        (j, d, w) for j, plane in enumerate(planes) for d, w in enumerate(plane)
     ]
-    sig = F.lit(0).cast("long")
-    for j, bit in enumerate(bits):
-        sig = sig + (bit.cast("long") * F.lit(2**j).cast("long"))
-    return sig
+    planes_df = spark.createDataFrame(plane_rows, "j INT, d INT, w DOUBLE")
+    comp = (
+        vectors.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .join(F.broadcast(planes_df), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+    )
+    term = F.expr("shiftleft(CAST(CASE WHEN s >= 0 THEN 1 ELSE 0 END AS BIGINT), j)")
+    return (
+        comp.select("vec_id", term.alias("term"))
+        .groupBy("vec_id")
+        .agg(F.sum("term").alias("sig"))
+    )
 
 
 @query("similarity_ann_lsh", oracle=None)  # bucketing is probabilistic/engine-side
@@ -111,9 +129,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = 64
     planes = _hyperplanes(dim, 16)
     e = e.withColumn("nrm", l2_norm(F.col("embedding")))
-    sigs = e.select(
-        "vec_id", "embedding", "nrm", rhp_signature(F.col("embedding"), planes).alias("sig")
-    )
+    sigs = e.join(rhp_signatures(spark, e.select("vec_id", "embedding"), planes), "vec_id")
     banded = sigs.select(
         "vec_id",
         "embedding",

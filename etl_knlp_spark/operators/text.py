@@ -45,12 +45,16 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation happens map-side, so per-language traffic is O(langs).
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(_TOKENS(F.col("text")))
-    return docs.groupBy("lang").agg(
+    # tokenize once in the projection; the two aggregates then read the
+    # precomputed count instead of re-splitting the text per aggregate
+    base = docs.select(
+        "lang", "n_chars", F.size(_TOKENS(F.col("text"))).alias("n_tokens")
+    )
+    return base.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
-        F.max(n_tokens).cast("bigint").alias("max_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
 
 
@@ -87,18 +91,20 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            len(toks)::INT AS n_tokens,
-           ROUND(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks), 6) AS stopword_ratio,
-           ROUND(n_chars * 1.0 / len(toks), 6) AS avg_token_len,
-           ROUND(LEAST(n_chars / 500.0, 1.0) * 0.5
-                 + LEAST(len(list_filter(toks, x -> x IN ('the', 'a'))) * 5.0 / len(toks), 1.0) * 0.5,
-                 6) AS quality
+           len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) AS stopword_ratio,
+           n_chars * 1.0 / len(toks) AS avg_token_len,
+           LEAST(n_chars / 500.0, 1.0) * 0.5
+             + LEAST(len(list_filter(toks, x -> x IN ('the', 'a'))) * 5.0 / len(toks), 1.0) * 0.5
+             AS quality
     FROM t
     """,
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality score (SURVEY §2.12): length and
     stopword-density components, the usual pre-training filter signals.
-    Entirely higher-order column expressions — no UDF."""
+    Entirely higher-order column expressions — no UDF. Per-row ratios
+    of exact ints stay UNROUNDED: IEEE division is engine-identical,
+    while round-half boundaries are not (see window_percent_rank)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _TOKENS(F.col("text"))
     base = docs.select("doc_id", "n_chars", toks.alias("toks"))
@@ -107,12 +113,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(n_stop * 1.0 / n_tok, 6).alias("stopword_ratio"),
-        F.round(F.col("n_chars") * 1.0 / n_tok, 6).alias("avg_token_len"),
-        F.round(
+        (n_stop * 1.0 / n_tok).alias("stopword_ratio"),
+        (F.col("n_chars") * 1.0 / n_tok).alias("avg_token_len"),
+        (
             F.least(F.col("n_chars") / 500.0, F.lit(1.0)) * 0.5
-            + F.least(n_stop * 5.0 / n_tok, F.lit(1.0)) * 0.5,
-            6,
+            + F.least(n_stop * 5.0 / n_tok, F.lit(1.0)) * 0.5
         ).alias("quality"),
     )
 
