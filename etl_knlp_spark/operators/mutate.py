@@ -1,0 +1,102 @@
+"""Mutation patterns on immutable storage: MERGE/upsert and SCD2
+emulation (no Delta/Iceberg jars in this environment, so the MERGE
+semantics compose from anti-join + union — the classic emulation).
+
+At 100 TB: the anti-join shuffles on the merge key (broadcast when the
+change batch is small — the common CDC case); rewriting only affected
+partitions (dynamic partition overwrite) bounds the write. With a
+table format (Delta/Iceberg) this collapses to a native MERGE INTO;
+the logical semantics below are exactly what that executes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+def merge_into(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """UPSERT: rows of `target` whose key appears in `source` are
+    replaced by the source row; source-only keys are inserted.
+    (`WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`.)
+    """
+    untouched = target.join(source, on=key, how="left_anti")
+    return untouched.unionByName(source.select(*target.columns))
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey < 100
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_nationkey, 0.0 AS c_acctbal,
+             'NEW' AS c_mktsegment
+      FROM customer WHERE c_custkey < 50
+    )
+    SELECT * FROM updates
+    UNION ALL
+    SELECT c.* FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation: a deterministic change batch (100 balance
+    updates + 50 inserts derived from the table itself) upserted into
+    `customer`. The oracle is the textbook NOT EXISTS + UNION ALL
+    formulation — identical semantics, hash-verified."""
+    c = load_table(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") < 100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") < 50).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_name",
+                "c_nationkey",
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    return merge_into(c, updates, "c_custkey")
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    key: str,
+    effective_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close out current versions of
+    changed keys (set `valid_to` = the change's `valid_from`) and
+    append the new versions as open rows (`valid_to` NULL)."""
+    change_keys = changes.select(F.col(key), F.col(effective_col).alias("_new_from"))
+    closed = (
+        current.join(change_keys, on=key, how="inner")
+        .filter(F.col(end_col).isNull())
+        .withColumn(end_col, F.col("_new_from"))
+        .drop("_new_from")
+    )
+    untouched = current.join(change_keys.select(key), on=key, how="left_anti")
+    still_closed = (
+        current.join(change_keys.select(key), on=key, how="left_semi")
+        .filter(F.col(end_col).isNotNull())
+    )
+    new_rows = changes.withColumn(end_col, F.lit(None).cast("timestamp"))
+    return (
+        untouched.unionByName(still_closed)
+        .unionByName(closed)
+        .unionByName(new_rows.select(*current.columns))
+    )

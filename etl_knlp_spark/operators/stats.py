@@ -131,21 +131,29 @@ def histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minmax_by",
     oracle="""
     SELECT c_nationkey,
-           arg_max(c_custkey, c_acctbal) AS richest_cust,
-           arg_min(c_custkey, c_acctbal) AS poorest_cust,
-           ROUND(MAX(c_acctbal), 2)      AS max_bal
+           arg_max(c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+             AS richest_cust,
+           arg_min(c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+             AS poorest_cust,
+           ROUND(MAX(c_acctbal), 2) AS max_bal
     FROM customer GROUP BY c_nationkey
     """,
 )
 def minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """arg-max/arg-min aggregation (max_by/min_by): the key of the
-    extreme row without a self-join or window. Deterministic here
-    because c_acctbal has no within-nation ties (checked); with tied
-    orderings, compose a unique tiebreak into the ordering value."""
+    extreme row without a self-join or window.
+
+    The ordering value is (balance in cents) ⊕ custkey packed into one
+    BIGINT: sf0.1 has within-nation balance TIES, and arg-max among
+    tied orderings is engine-arbitrary — a composite unique ordering
+    makes the answer well-defined everywhere."""
     c = load_table(spark, sf_dir, "customer")
+    ord_key = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * 10000000 + F.col("c_custkey")
+    )
     return c.groupBy("c_nationkey").agg(
-        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
-        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+        F.max_by("c_custkey", ord_key).alias("richest_cust"),
+        F.min_by("c_custkey", ord_key).alias("poorest_cust"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
     )
 

@@ -72,6 +72,7 @@ def _load_all() -> None:
         dedup,
         graph,
         multimodal,
+        mutate,
         parse,
         quality,
         relational,

@@ -1,0 +1,40 @@
+"""MERGE/upsert and SCD2 emulation semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_knlp_spark.operators.mutate import merge_into, scd2_apply
+
+
+def test_merge_into_updates_and_inserts(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "v"]
+    )
+    source = spark.createDataFrame([(2, "b2", 99.0), (4, "d", 40.0)], ["k", "name", "v"])
+    out = {r["k"]: (r["name"], r["v"]) for r in merge_into(target, source, "k").collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_scd2_closes_and_appends_versions(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 6, 1)
+    current = spark.createDataFrame(
+        [(1, "v1", t0, None), (2, "w1", t0, None), (3, "x0", t0, t1), (3, "x1", t1, None)],
+        "k INT, val STRING, valid_from TIMESTAMP, valid_to TIMESTAMP",
+    )
+    t2 = datetime.datetime(2025, 1, 1)
+    changes = spark.createDataFrame(
+        [(1, "v2", t2)], "k INT, val STRING, valid_from TIMESTAMP"
+    ).withColumn("valid_to", F.lit(None).cast("timestamp"))
+
+    out = scd2_apply(current, changes, "k")
+    rows = {(r["k"], r["val"]): (r["valid_from"], r["valid_to"]) for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[(1, "v1")] == (t0, t2)        # closed out at change time
+    assert rows[(1, "v2")] == (t2, None)      # new open version
+    assert rows[(2, "w1")] == (t0, None)      # untouched key stays open
+    assert rows[(3, "x0")] == (t0, t1)        # historical rows preserved
+    assert rows[(3, "x1")] == (t1, None)
