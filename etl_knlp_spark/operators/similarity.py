@@ -22,6 +22,7 @@ from ..registry import query
 
 _TOP_K = 10
 _N_QUERIES = 5
+_EMB_DIM = 64  # testdata embedding dimensionality (TESTDATA.md)
 
 
 @query(
@@ -126,8 +127,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("embedding")
     )
-    dim = 64
-    planes = _hyperplanes(dim, 16)
+    planes = _hyperplanes(_EMB_DIM, 16)
     e = e.withColumn("nrm", l2_norm(F.col("embedding")))
     sigs = e.join(rhp_signatures(spark, e.select("vec_id", "embedding"), planes), "vec_id")
     banded = sigs.select(

@@ -27,16 +27,33 @@ def write_json_lines(df: DataFrame, path: str, max_records_per_file: int = 10_00
     df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file).json(path)
 
 
-def read_json_auto(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+def read_json_auto(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
     """S6: bulk JSON load with name-based binding — `spark.read.json`
     infers the schema and binds by key name exactly like
     `COPY ... JSON 'auto'` (dag-knlp.py:202-205); a directory path
     loads every part-file (the reference's prefix COPY,
     dag-knlp.py:231-239). Pass `columns` to project to DDL order
-    (the explicit column-list COPY variant, dag-knlp.py:202)."""
-    df = spark.read.json(path)
+    (the explicit column-list COPY variant, dag-knlp.py:202).
+
+    Malformed-record policy (the part Redshift's COPY error table
+    handles in the reference): PERMISSIVE (default) nulls bad rows —
+    pass `corrupt_col` to quarantine the raw bad line into a column
+    instead of dropping it silently; DROPMALFORMED discards;
+    FAILFAST raises on the first bad record.
+    """
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    df = reader.json(path)
     if columns is not None:
-        df = df.select(*[F.col(c) for c in columns])
+        keep = list(columns) + ([corrupt_col] if corrupt_col in df.columns else [])
+        df = df.select(*[F.col(c) for c in keep])
     return df
 
 

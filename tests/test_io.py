@@ -48,6 +48,21 @@ def test_ddl_and_insert_into(spark, sf_dir):
     spark.sql("DROP TABLE korean_hanjya_test")
 
 
+def test_corrupt_json_records_are_quarantined(spark, tmp_path):
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "good.json").write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    (d / "bad.json").write_text('{"a": 3, "b": "z"}\n{broken not json\n')
+    df = read_json_auto(spark, str(d), columns=["a", "b"], corrupt_col="_bad")
+    rows = df.collect()
+    assert len(rows) == 4
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert len(bad) == 1 and "broken" in bad[0]["_bad"]
+    # DROPMALFORMED discards the bad line instead
+    dropped = read_json_auto(spark, str(d), columns=["a", "b"], mode="DROPMALFORMED")
+    assert dropped.count() == 3
+
+
 def test_events_nanos_timestamp_loads(spark, sf_dir):
     """events.parquet is TIMESTAMP(NANOS) — catalog must surface a
     proper timestamp column (truncated to µs) on any session."""
