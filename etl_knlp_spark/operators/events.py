@@ -1,0 +1,139 @@
+"""Event-sequence analytics over the `events` table (SURVEY.md §2.10's
+timestamped-event abstraction): funnels, retention cohorts, inter-event
+timing. The standard product-analytics query family — one shuffle on
+user_id each, aggregates partial map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+@query(
+    "funnel_steps",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view')     AS first_view,
+             min(ts) FILTER (WHERE event_type = 'click')    AS first_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) FILTER (WHERE first_view IS NOT NULL)            AS n_viewed,
+      COUNT(*) FILTER (WHERE first_view IS NOT NULL
+                         AND first_click > first_view)          AS n_clicked_after_view,
+      COUNT(*) FILTER (WHERE first_view IS NOT NULL
+                         AND first_click > first_view
+                         AND first_purchase > first_click)      AS n_purchased_after_click
+    FROM per_user
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed → clicked after viewing →
+    purchased after clicking (first-touch timestamps per stage).
+    One groupBy on user_id, then a single global aggregate — funnel
+    counts shuffle one row per user, not per event."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return per_user.agg(
+        F.count_if(viewed).alias("n_viewed"),
+        F.count_if(clicked).alias("n_clicked_after_view"),
+        F.count_if(purchased).alias("n_purchased_after_click"),
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-seen week,
+    counted in each subsequent active week. The firsts table is one
+    row per user → broadcast-able against the event stream."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+@query(
+    "inter_event_gap",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+               AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_s) AS BIGINT)      AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT)        AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT)        AS max_gap_s,
+           AVG(gap_s)                        AS avg_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def inter_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event time statistics per user (lag window → aggregate) —
+    the arrival-process diagnostic behind session-gap tuning."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    # avg of exact ints stays UNROUNDED: both engines sum exactly
+    # (< 2^53) and divide the same two numbers — identical doubles;
+    # rounding could disagree at exact half-boundaries (s/2^a5^b).
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.avg("gap_s").alias("avg_gap_s"),
+    )

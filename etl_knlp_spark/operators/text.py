@@ -30,10 +30,10 @@ _TOKENS = lambda c: F.split(F.trim(F.lower(c)), r"\s+")  # noqa: E731
     "text_stats",
     oracle="""
     SELECT lang,
-           COUNT(*)                                                       AS n_docs,
-           ROUND(AVG(n_chars), 4)                                         AS avg_chars,
-           ROUND(AVG(len(string_split_regex(trim(lower(text)), '\\s+'))), 4) AS avg_tokens,
-           MAX(len(string_split_regex(trim(lower(text)), '\\s+')))::BIGINT   AS max_tokens
+           COUNT(*)                                                     AS n_docs,
+           AVG(n_chars)                                                 AS avg_chars,
+           AVG(len(string_split_regex(trim(lower(text)), '\\s+')))      AS avg_tokens,
+           MAX(len(string_split_regex(trim(lower(text)), '\\s+')))::BIGINT AS max_tokens
     FROM documents
     GROUP BY lang
     """,
@@ -50,10 +50,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "lang", "n_chars", F.size(_TOKENS(F.col("text"))).alias("n_tokens")
     )
+    # integer averages unrounded: exact sums (< 2^53) ÷ same count →
+    # identical doubles on both engines (see window_percent_rank note)
     return base.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.avg("n_tokens").alias("avg_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
 

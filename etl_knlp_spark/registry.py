@@ -70,6 +70,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         analysis,
         dedup,
+        events,
         graph,
         multimodal,
         mutate,
