@@ -10,8 +10,9 @@ loops, no row-at-a-time Python):
 - MinHash+LSH:    shingle → minhash signature → banded bucket join →
                   verify exact Jaccard. The 100 TB path: candidate
                   generation touches only docs sharing a band bucket.
-- SimHash:        64-bit signature, computed entirely in per-row
-                  higher-order expressions (one projection, no shuffle).
+- SimHash:        64-bit signature via explode + codegen'd bit-vote
+                  aggregates (shuffle = docs × 64 longs after partial
+                  aggregation).
 
 At 100 TB: exact dedup is one shuffle on the digest key; MinHash
 banding keys the shuffle on (band_idx, band_hash) whose cardinality is

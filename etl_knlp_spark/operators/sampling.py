@@ -1,0 +1,94 @@
+"""Deterministic hash-based splitting & sampling (SURVEY.md §2.12).
+
+Train/val/test assignment and sampling for training-data pipelines
+must be (a) deterministic across runs and engines, (b) stable under
+repartitioning, and (c) derivable per-row with no global state —
+`rand()` fails all three. The standard answer: bucket each row by a
+digest of its stable key and split on bucket ranges. md5 is
+bit-identical everywhere, so the assignment is even oracle-checkable
+across engines.
+
+At 100 TB this is a pure map-side projection — no shuffle, no sampling
+pass, and adding new data never reassigns existing rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Stable bucket in [0, n_buckets): first 4 md5 hex digits of the
+    key, as an int, mod n_buckets. Engine-portable (md5 + hex parse)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("bigint")
+        % n_buckets
+    )
+
+
+def split_by_hash(
+    df: DataFrame, key_col: str, splits: dict[str, int], split_col: str = "split"
+) -> DataFrame:
+    """Assign each row to a named split by hash bucket. `splits` maps
+    name → percent (must sum to 100), e.g. {'train': 80, 'val': 10,
+    'test': 10}. Assignment depends only on the key value."""
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percents must sum to 100, got {splits}")
+    bucket = hash_bucket(F.col(key_col))
+    expr = None
+    lo = 0
+    for name, pct in splits.items():
+        cond = bucket < (lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn(split_col, expr)
+
+
+def sample_by_hash(df: DataFrame, key_col: str, percent: int) -> DataFrame:
+    """Deterministic ~percent% sample: rows whose bucket < percent.
+    Unlike `df.sample()`, re-running (or re-partitioning) returns the
+    SAME rows, and disjoint percent ranges give disjoint samples."""
+    return df.filter(hash_bucket(F.col(key_col)) < percent)
+
+
+@query(
+    "hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT) % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment of `documents` by doc_id
+    digest — per-row deterministic, hash-verified against DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return split_by_hash(
+        docs.select("doc_id"), "doc_id", {"train": 80, "val": 10, "test": 10}
+    )
+
+
+@query(
+    "sample_hash",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT) % 100 < 10
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample of `documents` (bucket < 10)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_by_hash(docs.select("doc_id", "lang"), "doc_id", 10)

@@ -77,6 +77,7 @@ def _load_all() -> None:
         parse,
         quality,
         relational,
+        sampling,
         similarity,
         stats,
         text,

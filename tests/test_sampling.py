@@ -1,0 +1,45 @@
+"""Hash-split determinism, stability under repartitioning, proportions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_knlp_spark.catalog import load_table
+from etl_knlp_spark.operators.sampling import sample_by_hash, split_by_hash
+
+
+def test_split_deterministic_and_partition_stable(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in split_by_hash(docs, "doc_id", {"train": 80, "val": 10, "test": 10}).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(
+            docs.repartition(13), "doc_id", {"train": 80, "val": 10, "test": 10}
+        ).collect()
+    }
+    assert a == b
+
+
+def test_split_proportions_roughly_match(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = split_by_hash(docs, "doc_id", {"train": 80, "val": 10, "test": 10})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.7 < counts["train"] / n < 0.9
+    assert 0.04 < counts["val"] / n < 0.17
+
+
+def test_sample_is_subset_of_train_range(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s10 = {r["doc_id"] for r in sample_by_hash(docs, "doc_id", 10).collect()}
+    s20 = {r["doc_id"] for r in sample_by_hash(docs, "doc_id", 20).collect()}
+    assert s10 <= s20  # nested percent ranges give nested samples
+    assert 0 < len(s10) < len(s20)
+
+
+def test_split_percent_validation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="sum to 100"):
+        split_by_hash(docs, "doc_id", {"train": 50, "test": 40})
