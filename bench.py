@@ -53,6 +53,9 @@ HEADLINE = [
     "stats_agg",
     "pivot_agg",
     "join_skew_salted",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "q10_returned_items",
 ]
 
 
@@ -67,11 +70,16 @@ def main() -> None:
 
     materialize(queries["q1_dimension_build"](spark, SF_DIR))  # warmup
 
+    # min of 2 runs per query: strips GC/compilation noise so the
+    # recorded number reflects the plan, not the JVM's mood
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(queries[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(queries[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -1,0 +1,138 @@
+"""TPC-H-style showcase analytics (adapted to the driver's star schema).
+
+The reference's only query is a 3-table left join (dag-knlp.py:65-80);
+these three classics prove the engine on the harder shapes an analytics
+user actually runs — selective multi-way joins, grouped revenue
+aggregation, and deterministic top-k — with Catalyst choosing join
+order/strategy and AQE re-planning at runtime.
+
+Determinism note: revenue is a shuffled double sum, so ordering ranks
+on the ROUNDED value with a unique key tiebreak on both engine and
+oracle (unrounded fp sums differ in the last ulp across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+_REVENUE = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered 3-way join → per-order revenue
+    → top-10. Filters push into all three scans; customer/orders
+    broadcast at this SF (SMJ at scale); TakeOrderedAndProject caps the
+    result without a global sort."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(_REVENUE, 2).alias("revenue"))
+        .select(
+            "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("order_date")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_volume",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (region→nation→supplier→lineitem→
+    orders→customer) with a local-supplier condition (customer and
+    supplier share a nation). The bounded dims broadcast; only
+    lineitem⋈orders is a real shuffle at scale."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(s, s.s_nationkey == n.n_nationkey)
+        .join(li, li.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, (c.c_custkey == o.o_custkey) & (c.c_nationkey == s.s_nationkey))
+        .groupBy("n_name")
+        .agg(F.round(_REVENUE, 2).alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top-20.
+    The returnflag filter pushes into the lineitem scan (reads a
+    fraction of the fact table); nation broadcast-decorates at the end.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(_REVENUE, 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

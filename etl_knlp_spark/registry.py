@@ -83,7 +83,7 @@ def _load_all() -> None:
         text,
     )
     from .functions import scalar, skew, sql_surface  # noqa: F401
-    from .plans import dimension  # noqa: F401
+    from .plans import dimension, tpch  # noqa: F401
     from .streaming import windows  # noqa: F401
 
     _LOADED = True
