@@ -123,6 +123,51 @@ def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame sampling over binary payloads: 1 input row → up to
+    `max_frames` output rows per payload via `mapInPandas` (the video
+    frame-extraction plumbing shape — a row-EXPANDING batch kernel,
+    unlike `extract_features`' 1→1).
+
+    The real decoder (`decode_media`) is stubbed in this environment;
+    the deterministic stand-in slices the payload every `every_n_bytes`
+    — batch shapes, schema, and the 1→N row accounting are real.
+    """
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for k in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    chunk = bytes(payload[k * every_n_bytes : (k + 1) * every_n_bytes])
+                    rows.append((mid, k, chunk, len(chunk)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_bytes", "n_bytes"]
+            )
+
+    return media.mapInPandas(frames, FRAME_SCHEMA)
+
+
+@query("multimodal_frames", oracle=None)  # row-expanding mapInPandas kernel
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline: payload → N frame rows with typed
+    metadata (frame_idx, byte size). Rows-only driver check; tests pin
+    the 1→N accounting and determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return sample_frames(media).select("media_id", "frame_idx", "n_bytes")
+
+
 @query("multimodal_features", oracle=None)  # mapInPandas kernel — not SQL-expressible
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal feature pipeline on synthesized payloads:

@@ -216,6 +216,37 @@ def tokenize_udf():
     return pandas_udf(_tokenize_batch, T.ArrayType(T.StringType()))
 
 
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: per-language z-score of document length."""
+    mu = pdf["n_chars"].mean()
+    sd = pdf["n_chars"].std(ddof=1)
+    out = pdf[["doc_id", "lang"]].copy()
+    out["z_chars"] = ((pdf["n_chars"] - mu) / sd).round(6)
+    return out
+
+
+@query(
+    "grouped_map_zscore",
+    oracle="""
+    SELECT doc_id, lang,
+           ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                 / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 6) AS z_chars
+    FROM documents
+    """,
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (SURVEY §2.11): per-language z-score
+    computed in a pandas kernel, hash-verified against the equivalent
+    SQL window formulation — proving the Arrow group-batch path agrees
+    with the relational one. Use the pandas form only when the
+    transform has no window/agg equivalent; the shuffle (one per group
+    key) is the same either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", "n_chars").groupBy("lang").applyInPandas(
+        _zscore_group, schema="doc_id long, lang string, z_chars double"
+    )
+
+
 def _geomean_batch(v: pd.Series) -> float:
     """Grouped-agg kernel: geometric mean of a numeric column."""
     import numpy as np

@@ -51,6 +51,23 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def write_stream_foreach_batch(df: DataFrame, path: str, checkpoint: str):
+    """Exactly-once-style sink via foreachBatch: each micro-batch
+    writes to a batchId-keyed subdirectory with overwrite, so a
+    replayed batch (failure → restart from checkpoint) lands
+    idempotently instead of duplicating. This is the pattern for sinks
+    without native transactional support."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").json(f"{path}/batch_id={batch_id}")
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
 def write_stream_json(df: DataFrame, path: str, checkpoint: str, max_records_per_file: int = 10_000):
     """JSON-lines streaming sink with part-file chunking — the streaming
     analog of the reference's 10k-row chunked S3 staging

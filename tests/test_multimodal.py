@@ -10,7 +10,27 @@ from etl_knlp_spark.operators.multimodal import (
     decode_media,
     documents_as_media,
     extract_features,
+    sample_frames,
 )
+
+
+def test_frame_sampling_expands_rows_deterministically(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_n_bytes=64, max_frames=8)
+    pdf = frames.toPandas()
+    # every payload ≥ 64 bytes yields >1 frame; counts bounded by 8
+    per_media = pdf.groupby("media_id").size()
+    assert per_media.max() <= 8
+    assert (per_media >= 1).all()
+    assert per_media.sum() == len(pdf) and len(pdf) > media.count()
+    # frame indices are dense from 0
+    first = pdf[pdf.media_id == pdf.media_id.iloc[0]]
+    assert sorted(first.frame_idx) == list(range(len(first)))
+    # deterministic across runs
+    again = sample_frames(media, every_n_bytes=64, max_frames=8).toPandas()
+    assert pdf.sort_values(["media_id", "frame_idx"]).reset_index(drop=True).equals(
+        again.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    )
 
 
 def test_decode_is_explicitly_stubbed():

@@ -73,6 +73,31 @@ def test_windowed_counts_stream_equals_batch(spark, events_json_dir):
     assert streamed == batch
 
 
+def test_foreach_batch_sink_is_idempotent_per_batch(spark, events_json_dir, tmp_path):
+    from etl_knlp_spark.streaming.stream import write_stream_foreach_batch
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(events_json_dir)
+    )
+    q = write_stream_foreach_batch(src.select("event_id", "event_type"), out, ckpt).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    written = spark.read.json(out)
+    expected = spark.read.schema(EVENTS_SCHEMA).json(events_json_dir).count()
+    assert written.count() == expected
+    # restart from the same checkpoint: no new data → no duplication
+    q2 = write_stream_foreach_batch(src.select("event_id", "event_type"), out, ckpt).trigger(
+        availableNow=True
+    ).start()
+    q2.awaitTermination(120)
+    assert spark.read.json(out).count() == expected
+
+
 def test_dedup_stream_drops_duplicate_ids(spark, events_json_dir):
     # feed the same files twice via two readStream unions is awkward;
     # instead duplicate rows inside the stream then dedup
