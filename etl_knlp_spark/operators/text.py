@@ -152,6 +152,7 @@ _LANG_PROFILES: dict[str, frozenset[str]] = {
     "de": frozenset({"der", "die", "das", "und", "ein"}),
     "fr": frozenset({"le", "la", "et", "un", "une"}),
     "es": frozenset({"el", "la", "y", "un", "una"}),
+    "ko": frozenset({"은", "는", "이", "가", "을", "를", "의", "에", "와", "과"}),
 }
 
 
@@ -162,6 +163,13 @@ def _langid_batch(texts: pd.Series) -> pd.Series:
     def detect(t: str) -> str:
         if not t:
             return "und"
+        # script heuristic first: majority-Hangul text is Korean even
+        # when no function-word particle appears standalone (Korean
+        # particles agglutinate onto the noun, dag-knlp's domain)
+        hangul = sum(1 for ch in t if "가" <= ch <= "힣")
+        alpha = sum(1 for ch in t if ch.isalpha())
+        if alpha and hangul / alpha > 0.5:
+            return "ko"
         toks = t.lower().split()
         best, best_score = "und", 0
         for lang, profile in sorted(_LANG_PROFILES.items()):
@@ -269,6 +277,37 @@ def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     geomean = pandas_udf(_geomean_batch, T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
     return docs.groupBy("lang").agg(
         F.round(geomean(F.col("n_chars")), 4).alias("geomean_chars")
+    )
+
+
+@query(
+    "script_ratio",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[가-힣]'))::INT        AS n_hangul,
+           len(regexp_extract_all(text, '[一-鿿]'))::INT        AS n_cjk_ideograph,
+           len(regexp_extract_all(text, '[a-zA-Z]'))::INT      AS n_latin,
+           len(regexp_extract_all(text, '[0-9]'))::INT         AS n_digit
+    FROM documents
+    """,
+)
+def script_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script character profile per document (SURVEY §2.12 text
+    analysis): Hangul / CJK-ideograph (Hanja) / Latin / digit counts —
+    the script-mix signal behind the reference's Korean↔Hanja domain
+    and any multilingual corpus routing. Pure regexp counting, JVM-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def count(pattern: str):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pattern), 0))
+
+    return docs.select(
+        "doc_id",
+        count("[가-힣]").alias("n_hangul"),
+        count("[一-鿿]").alias("n_cjk_ideograph"),
+        count("[a-zA-Z]").alias("n_latin"),
+        count("[0-9]").alias("n_digit"),
     )
 
 

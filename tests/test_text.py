@@ -33,6 +33,8 @@ def test_langid_detects_profiled_languages(spark):
             (3, "le chat et la maison et un chien"),
             (4, "xyzzy plugh 12345"),
             (5, None),
+            (6, "한국어 위키백과 문서의 제목과 본문"),  # agglutinated — script path
+            (7, "수학 은 아름답다"),  # standalone particle — profile path
         ],
         ["id", "text"],
     )
@@ -40,7 +42,7 @@ def test_langid_detects_profiled_languages(spark):
         r["id"]: r["pred"]
         for r in df.select("id", langid_udf()(F.col("text")).alias("pred")).collect()
     }
-    assert got == {1: "en", 2: "de", 3: "fr", 4: "und", 5: "und"}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und", 5: "und", 6: "ko", 7: "ko"}
 
 
 def test_tokenizer_lowercases_and_strips_punct(spark):
