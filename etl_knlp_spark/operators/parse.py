@@ -167,6 +167,34 @@ def posexplode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant
+    FROM events
+    """,
+)
+def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): `parse_json` →
+    binary-encoded variant → typed `variant_get` extraction. At scale
+    variant decode beats per-query string re-parsing (shredded storage
+    + typed access); falls back to `get_json_object` when the variant
+    API is unavailable."""
+    e = load_table(spark, sf_dir, "events")
+    try:
+        return e.select(
+            "event_id",
+            F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint").alias(
+                "k_variant"
+            ),
+        )
+    except AttributeError:  # pre-4.0 Spark without the variant API
+        return e.select(
+            "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k_variant")
+        )
+
+
+@query(
     "json_extract",
     oracle="""
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

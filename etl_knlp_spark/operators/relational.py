@@ -511,6 +511,63 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW), 2) AS nearby_spend
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frame — peers within 50k of the
+    current price, per customer. Distinct from ROWS frames: the frame
+    is defined by the ORDER BY value distance and includes ties, so no
+    unique tiebreak is needed for determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_spend"),
+    )
+
+
+@query(
+    "window_value_funcs",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (first/last/nth): each customer's first,
+    last, and second order. last_value needs the full-partition frame
+    (the default frame stops at CURRENT ROW — the classic gotcha)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@query(
     "window_ntile",
     oracle="""
     SELECT o_orderkey, o_orderpriority,

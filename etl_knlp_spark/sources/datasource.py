@@ -1,0 +1,92 @@
+"""Custom Python Data Source (Spark 4 DataSource API): the reference's
+delimited raw-text format as a pluggable `spark.read.format(...)`
+source (SURVEY.md §2.1 S1/S2 as a first-class connector, not just a
+post-processing recipe).
+
+The declarative path (`sources/text.read_delimited` — spark.read.text +
+split expressions) remains the performance default: it runs in
+whole-stage codegen. This source exists for the connector surface —
+schema-aware options, file-level partition planning, and a pure-Python
+reader that could wrap any format codec — the shape you'd use when the
+input needs a real Python parsing library.
+
+Partitioning: one InputPartition per file (each file is one reference
+dump, parsed in parallel across executors). Ragged lines follow the
+engine's overflow rule: extra fields rejoin into the last column,
+missing fields are NULL.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _parse_line(line: str, sep: str, n_fields: int) -> tuple:
+    parts = line.split(sep)
+    if len(parts) >= n_fields:
+        head = parts[: n_fields - 1]
+        head.append(sep.join(parts[n_fields - 1 :]))
+        return tuple(head)
+    return tuple(parts + [None] * (n_fields - len(parts)))
+
+
+try:
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _FilePartition(InputPartition):
+        def __init__(self, file_path: str):
+            self.file_path = file_path
+
+    class DelimitedTextReader(DataSourceReader):
+        def __init__(self, schema, options):
+            self.schema = schema
+            self.path = options.get("path")
+            self.sep = options.get("sep", ":")
+            self.n_fields = len(schema.fields)
+
+        def partitions(self):
+            if os.path.isdir(self.path):
+                files = sorted(
+                    os.path.join(self.path, f)
+                    for f in os.listdir(self.path)
+                    if not f.startswith((".", "_"))
+                )
+            else:
+                files = [self.path]
+            return [_FilePartition(f) for f in files]
+
+        def read(self, partition):
+            with open(partition.file_path, encoding="utf-8") as fh:
+                for raw in fh:
+                    line = raw.rstrip("\n")
+                    if not line.strip():
+                        continue
+                    yield _parse_line(line, self.sep, self.n_fields)
+
+    class DelimitedTextDataSource(DataSource):
+        """Usage:
+        spark.dataSource.register(DelimitedTextDataSource)
+        (spark.read.format("knlp_delimited")
+              .schema("korean string, hanjya string, examples string")
+              .option("path", "/data/hanja.txt").option("sep", ":").load())
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "knlp_delimited"
+
+        def reader(self, schema) -> DataSourceReader:
+            return DelimitedTextReader(schema, self.options)
+
+    DATASOURCE_AVAILABLE = True
+except ImportError:  # Spark < 4: Python DataSource API absent
+    DelimitedTextDataSource = None  # type: ignore[assignment]
+    DATASOURCE_AVAILABLE = False
+
+
+def register(spark) -> bool:
+    """Register the custom source on a session; returns availability."""
+    if not DATASOURCE_AVAILABLE:
+        return False
+    spark.dataSource.register(DelimitedTextDataSource)
+    return True

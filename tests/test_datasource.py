@@ -1,0 +1,60 @@
+"""Custom Python Data Source: format registration, parallel file
+partitions, ragged-line semantics matching the declarative reader."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_knlp_spark.sources.datasource import DATASOURCE_AVAILABLE, register
+
+pytestmark = pytest.mark.skipif(
+    not DATASOURCE_AVAILABLE, reason="Python DataSource API requires Spark 4"
+)
+
+LINES_A = "가:家:가족, 가정\n간:間:시간:공간:기간\n"
+LINES_B = "수학:數學:산수\nnocolon\n\n"
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds")
+    (d / "part_a.txt").write_text(LINES_A, encoding="utf-8")
+    (d / "part_b.txt").write_text(LINES_B, encoding="utf-8")
+    return str(d)
+
+
+def test_custom_source_reads_directory(spark, raw_dir):
+    assert register(spark)
+    df = (
+        spark.read.format("knlp_delimited")
+        .schema("korean string, hanjya string, examples string")
+        .option("path", raw_dir)
+        .option("sep", ":")
+        .load()
+    )
+    rows = {r["korean"]: r for r in df.collect()}
+    assert len(rows) == 4  # blank line skipped
+    assert rows["가"]["examples"] == "가족, 가정"
+    assert rows["간"]["examples"] == "시간:공간:기간"  # ragged overflow rejoined
+    assert rows["nocolon"]["hanjya"] is None  # short line → NULLs
+    # one partition per file → the scan parallelizes across dumps
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_custom_source_matches_declarative_reader(spark, raw_dir):
+    from etl_knlp_spark.sources.text import read_delimited
+
+    register(spark)
+    custom = (
+        spark.read.format("knlp_delimited")
+        .schema("korean string, hanjya string, examples string")
+        .option("path", raw_dir)
+        .option("sep", ":")
+        .load()
+    )
+    declarative = read_delimited(
+        spark, raw_dir, ["korean", "hanjya", "examples"], sep=":"
+    )
+    assert sorted(map(tuple, custom.collect())) == sorted(
+        map(tuple, declarative.collect())
+    )
