@@ -258,6 +258,57 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cross_join_small",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def cross_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join — legitimate only between bounded dims (5×25
+    here); plans as BroadcastNestedLoopJoin. Any unbounded side makes
+    this the operator to refuse, not optimize."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (SELECT l_orderkey, l_linenumber, NULLIF(l_returnflag, 'N') AS flag
+               FROM lineitem WHERE l_orderkey < 100),
+         f AS (SELECT * FROM (VALUES ('A', 'returned-accepted'),
+                                     ('R', 'returned-rejected'),
+                                     (NULL, 'not-returned')) t(flag, label))
+    SELECT l.l_orderkey, l.l_linenumber, f.label
+    FROM l JOIN f ON l.flag IS NOT DISTINCT FROM f.flag
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other — the decode-table pattern where NULL is a
+    legitimate code. A plain equi-join silently drops those rows; the
+    null-safe variant still hash-joins (NULL gets its own bucket)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag"),
+        )
+    )
+    decode = spark.createDataFrame(
+        [("A", "returned-accepted"), ("R", "returned-rejected"), (None, "not-returned")],
+        "flag STRING, label STRING",
+    )
+    return li.join(decode, li.flag.eqNullSafe(decode.flag)).select(
+        "l_orderkey", "l_linenumber", "label"
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregations  (SURVEY §2.4)
 # --------------------------------------------------------------------------
