@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import query
 
-_REVENUE = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+def _revenue():
+    # built lazily — a module-level Column would require an active
+    # SparkContext at import time, breaking sessionless queries() import
+    return F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
 
 
 @query(
@@ -55,7 +58,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(_REVENUE, 2).alias("revenue"))
+        .agg(F.round(_revenue(), 2).alias("revenue"))
         .select(
             "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("order_date")
         )
@@ -97,7 +100,7 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, (c.c_custkey == o.o_custkey) & (c.c_nationkey == s.s_nationkey))
         .groupBy("n_name")
-        .agg(F.round(_REVENUE, 2).alias("revenue"))
+        .agg(F.round(_revenue(), 2).alias("revenue"))
     )
 
 
@@ -131,7 +134,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(_REVENUE, 2).alias("revenue"))
+        .agg(F.round(_revenue(), 2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)

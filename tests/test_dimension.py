@@ -22,6 +22,30 @@ def test_every_query_has_callable_and_oracle_alignment():
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in os_.values())
 
 
+def test_registry_importable_without_session():
+    """The driver may call queries()/oracle_sql() before creating a
+    SparkSession — module-level Column/pandas_udf construction would
+    crash that (regression: plans/tpch once built a module-level
+    Column). Check in a clean subprocess."""
+    import subprocess
+    import sys
+
+    code = (
+        "from etl_knlp_spark import registry; "
+        "qs = registry.all_queries(); os_ = registry.all_oracles(); "
+        "assert len(qs) >= 95 and set(os_) <= set(qs); print('ok')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ok" in out.stdout
+
+
 def test_with_identity_is_unique(spark):
     df = spark.range(10_000).select(F.col("id").alias("x"))
     out = with_identity(df.repartition(8))
