@@ -1,0 +1,161 @@
+"""IVF (inverted-file) similarity index: k-means coarse quantization +
+cluster-probed search (SURVEY.md §2.12 — the scale path alternative to
+random-hyperplane LSH in `similarity.py`).
+
+Build: Lloyd's k-means over DataFrames. Assignment and distance are
+distributed column expressions; only the k×dim centroid table (bounded,
+~16×64 doubles here) syncs through the driver per iteration — the same
+bounded-aggregate pattern MLlib's k-means uses. Deterministic: seeded
+init (first k vec_ids), min-struct tie-breaks.
+
+Search: a query probes the `nprobe` nearest centroids and brute-forces
+only those clusters — at 100 TB the corpus is stored partitioned by
+cluster_id, so a probe reads nprobe/k of the data (partition pruning
+does the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vector import as_double, dot, l2_norm
+from ..registry import query
+
+_K = 16
+_N_PROBE = 4
+_TOP_K = 10
+_N_QUERIES = 5
+
+
+def _sq_dist(a, b):
+    """Squared L2 distance via one zip_with fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: crossJoin with the broadcast
+    centroid table, argmin via min-of-struct (distance, cluster_id) —
+    the struct tiebreak keeps equal-distance assignment deterministic."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "emb",
+        F.struct(_sq_dist(F.col("emb"), F.col("centroid")).alias("d"), F.col("cluster_id")).alias(
+            "dc"
+        ),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min("dc").alias("best"), F.first("emb").alias("emb"))
+        .select("vec_id", "emb", F.col("best.cluster_id").alias("cluster_id"))
+    )
+
+
+def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = _K, max_iter: int = 5) -> DataFrame:
+    """Lloyd's k-means; returns the centroid table (cluster_id,
+    centroid array<double>). Init = the k lowest vec_ids (seeded and
+    deterministic; k-means|| would replace this at real scale)."""
+    init = (
+        vectors.orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = spark.createDataFrame(
+        [(i, list(r["emb"])) for i, r in enumerate(init)],
+        "cluster_id INT, centroid ARRAY<DOUBLE>",
+    )
+    for _ in range(max_iter):
+        assigned = _assign(vectors, centroids)
+        # per-dimension means, long-form, then re-pack ordered arrays
+        new_rows = (
+            assigned.select("cluster_id", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+            .collect()  # k rows × dim doubles — bounded driver sync
+        )
+        centroids = spark.createDataFrame(
+            [(r["cluster_id"], r["centroid"]) for r in new_rows],
+            "cluster_id INT, centroid ARRAY<DOUBLE>",
+        )
+    return centroids
+
+
+def ivf_build(spark: SparkSession, embeddings: DataFrame, k: int = _K) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: (assignments, centroids). Store the corpus
+    partitioned by cluster_id so probes prune partitions."""
+    vectors = embeddings.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    centroids = kmeans_fit(spark, vectors, k=k)
+    return _assign(vectors, centroids), centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobe: int = _N_PROBE,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """Probe: per query, rank centroids by distance, keep `nprobe`,
+    brute-force cosine only within those clusters."""
+    q_probe = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            "cluster_id",
+            _sq_dist(F.col("q_emb"), F.col("centroid")).alias("d"),
+        )
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d", "cluster_id")
+            ),
+        )
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_emb", "q_nrm", "cluster_id")
+    )
+    corpus = assigned.withColumn("nrm", l2_norm(F.col("emb")))
+    sim = dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
+    scored = (
+        corpus.join(F.broadcast(q_probe), "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(sim, 6))
+        .select("query_id", "vec_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+@query("similarity_ivf", oracle=None)  # iterative index build — rows-only
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN top-k over `embeddings`: k-means index (k=16,
+    5 Lloyd iterations) + 4-cluster probe per query. Tests measure
+    recall against the exact brute force; the driver records rows-only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(spark, e)
+    queries = (
+        assigned.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("q_nrm", l2_norm(F.col("emb")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            "q_nrm",
+        )
+    )
+    return ivf_search(assigned, centroids, queries)

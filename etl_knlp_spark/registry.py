@@ -72,6 +72,7 @@ def _load_all() -> None:
         dedup,
         events,
         graph,
+        ivf,
         multimodal,
         mutate,
         parse,

@@ -1,0 +1,62 @@
+"""IVF index: k-means determinism, cluster coverage, probe recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_knlp_spark.catalog import load_table
+from etl_knlp_spark.operators.ivf import ivf_build, similarity_ivf
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_build(spark, e, k=8)
+
+
+def test_every_vector_assigned_exactly_once(spark, sf_dir, index):
+    assigned, centroids = index
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    assert centroids.count() == 8
+    # clusters are non-degenerate: more than one in use
+    assert assigned.select("cluster_id").distinct().count() > 1
+
+
+def test_kmeans_is_deterministic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    a1, _ = ivf_build(spark, e, k=8)
+    a2, _ = ivf_build(spark, e, k=8)
+    m1 = {r["vec_id"]: r["cluster_id"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["cluster_id"] for r in a2.collect()}
+    assert m1 == m2
+
+
+def test_ivf_results_are_true_cosines_with_recall(spark, sf_dir):
+    got = similarity_ivf(spark, sf_dir).collect()
+    assert len(got) > 0
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    # scores must be exact cosines (IVF prunes candidates, never distorts)
+    for r in got[:20]:
+        q, v = vecs[r["query_id"]], vecs[r["vec_id"]]
+        expected = float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        assert abs(r["cos_sim"] - round(expected, 6)) < 1e-9
+    # some overlap with exact top-10 (probabilistic, but 4/16 clusters
+    # probed on near-random data should still surface true neighbors)
+    hits = 0
+    for qid in range(5):
+        scores = sorted(
+            ((float(np.dot(vecs[qid], v) / (np.linalg.norm(vecs[qid]) * np.linalg.norm(v))), i)
+             for i, v in vecs.items() if i != qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        true10 = {i for _, i in scores[:10]}
+        ivf10 = {r["vec_id"] for r in got if r["query_id"] == qid}
+        hits += len(true10 & ivf10)
+    assert hits > 0
