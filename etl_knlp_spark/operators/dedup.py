@@ -59,43 +59,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
-      FROM documents
-    ), grams AS (
-      SELECT doc_id, lang,
-             list_distinct(list_transform(generate_series(1, len(t) - 1),
-                                          i -> t[i] || ' ' || t[i + 1])) AS g
-      FROM toks WHERE len(t) >= 2
-    ), inv AS (
-      SELECT doc_id, lang, len(g) AS n, unnest(g) AS gram FROM grams
-    ), shared AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.n AS n_a, b.n AS n_b, COUNT(*) AS n_shared
-      FROM inv a JOIN inv b ON a.gram = b.gram AND a.lang = b.lang
-                           AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
-    )
-    SELECT doc_a, doc_b,
-           n_shared * 1.0 / (n_a + n_b - n_shared) AS jaccard
-    FROM shared
-    WHERE n_shared * 1.0 / (n_a + n_b - n_shared) >= 0.05
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.05, max_df_frac: float = 0.25
+) -> DataFrame:
     """Word-bigram Jaccard near-dup pairs via inverted-index self-join
     (SURVEY §2.12 fuzzy dedup, exact variant).
 
     Candidate pairs come from the inverted index (docs sharing ≥1 gram
-    within the same language block) — never a cross join. Jaccard is a
-    ratio of exact integers, so engine/oracle agree bit-for-bit. At
-    scale, hot grams need a document-frequency cap (drop grams in >p%
-    of docs, standard in dedup pipelines) or the MinHash path below.
+    within the same language block) — never a cross join. A
+    document-frequency cap drops grams present in more than
+    ``max_df_frac`` of the corpus before the self-join: a stop-word
+    bigram in p·N docs would otherwise fan out O((p·N)²) join rows,
+    the classic inverted-index blow-up at 100 TB. Jaccard is then
+    computed over the retained (discriminative) gram space — a ratio
+    of exact integers, so engine and oracle agree bit-for-bit.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     # index-explode then hash each bigram to a long: the inverted index
     # shuffles 8-byte keys, not gram strings, and the array expression
@@ -116,8 +96,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     distinct_grams = exploded.dropDuplicates(["doc_id", "gh"])
-    sizes = distinct_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inv = distinct_grams.join(sizes, "doc_id")  # sizes is tiny → broadcast
+    # Document-frequency cap: one window count over the (lang, gh)
+    # posting list — the same shuffle key the self-join needs — then a
+    # broadcast of the single-row corpus count for the fractional cut.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        distinct_grams.withColumn(
+            "df_ct", F.count(F.lit(1)).over(Window.partitionBy("lang", "gh"))
+        )
+        .join(F.broadcast(n_docs))
+        .filter(F.col("df_ct") <= F.col("n_docs") * F.lit(max_df_frac))
+        .select("doc_id", "lang", "gh")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inv = kept.join(sizes, "doc_id")
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(
@@ -137,7 +129,151 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jaccard is a ratio of exact ints — unrounded doubles are
     # bit-identical across engines (rounding risks half-boundaries)
     jac = F.col("n_shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return shared.filter(jac >= 0.05).select("doc_a", "doc_b", jac.alias("jaccard"))
+    return shared.filter(jac >= threshold).select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ), inv AS (
+      SELECT doc_id, lang, unnest(g) AS gram FROM grams
+    ), kept AS (
+      SELECT doc_id, lang, gram
+      FROM (SELECT doc_id, lang, gram,
+                   COUNT(*) OVER (PARTITION BY lang, gram) AS df_ct
+            FROM inv)
+      WHERE df_ct <= (SELECT COUNT(*) * 0.25 FROM documents)
+    ), sized AS (
+      SELECT doc_id, lang, gram,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM kept
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS n_a, b.n AS n_b, COUNT(*) AS n_shared
+      FROM sized a JOIN sized b ON a.gram = b.gram AND a.lang = b.lang
+                               AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           n_shared * 1.0 / (n_a + n_b - n_shared) AS jaccard
+    FROM shared
+    WHERE n_shared * 1.0 / (n_a + n_b - n_shared) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for `ngram_jaccard_pairs` on the documents table,
+    document-frequency cap at 25% of the corpus (mirrored in the
+    DuckDB oracle's COUNT(*) OVER posting-list window)."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession,
+    e: DataFrame,
+    threshold: float = 0.35,
+    max_block: int = 4096,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with BOUNDED label blocking
+    (SURVEY §2.12).
+
+    Labels whose block fits in ``max_block`` rows take the exact
+    all-pairs path (pair count ≤ C(max_block, 2) per join key — the
+    blow-up is capped by construction). Oversized blocks are routed
+    through random-hyperplane LSH banding *within the label*: pairs
+    must collide on an 8-bit signature band before cosine evaluates,
+    so a degenerate corpus (one label, 10⁹ rows) costs per-bucket
+    work, not all-pairs. The LSH route trades recall for boundedness —
+    near-identical vectors (the dedup targets) collide with high
+    probability; weak-similarity pairs may be missed.
+
+    Input needs (vec_id, label, embedding array<double>). Cosine is a
+    pure Catalyst higher-order expression (functions.vector), no UDF.
+    """
+    from ..functions.vector import dot, l2_norm
+    from .similarity import _hyperplanes, rhp_signatures
+
+    # Precompute each row's norm ONCE before the join — the pairwise
+    # expression then folds the arrays a single time (dot) instead of
+    # three times (dot + both norms), a 3× cut on the O(pairs·dim) cost.
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
+    block_sizes = e.groupBy("label").agg(F.count(F.lit(1)).alias("block_n"))
+    e = e.join(F.broadcast(block_sizes), "label")
+
+    small = e.filter(F.col("block_n") <= max_block)
+    a = small.select(
+        F.col("label").alias("label_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = small.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    exact = (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos_sim_raw", sim)
+        .filter(F.col("cos_sim_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )
+
+    # Overflow route: 32-bit random-hyperplane signature, banded 4×8.
+    # The candidate join keys on (label, band_idx, band_val) — hot
+    # labels split into ≤256 buckets per band, and a pair only costs a
+    # cosine when the vectors collide on some band. Near-identical
+    # vectors (per-bit collision p ≈ 1) are recalled w.p.
+    # ≈ 1-(1-p^8)^4 → >0.97 at cos ≥ 0.98; weak pairs may be missed.
+    big = e.filter(F.col("block_n") > max_block)
+    sigs = rhp_signatures(
+        spark, big.select("vec_id", F.col("emb").alias("embedding")), _hyperplanes(64, 32)
+    )
+    banded = (
+        big.join(sigs, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            "nrm",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0,3), b -> named_struct("
+                    "'band_idx', b, 'band_val', (shiftright(sig, b * 8) & 255L)))"
+                )
+            ).alias("band"),
+        )
+        .select("vec_id", "label", "emb", "nrm", "band.band_idx", "band.band_val")
+    )
+    ba = banded.select(
+        "label", "band_idx", "band_val",
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a"),
+    )
+    bb = banded.select(
+        "label", "band_idx", "band_val",
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b"),
+    )
+    lsh_sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    lsh = (
+        ba.join(bb, ["label", "band_idx", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cos_sim_raw", lsh_sim)
+        .filter(F.col("cos_sim_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )
+    return exact.unionByName(lsh)
 
 
 @query(
@@ -151,41 +287,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs with label blocking
-    (SURVEY §2.12). The equi conjunct on `label` keys the join — cosine
-    evaluates only within blocks, a stand-in for the LSH/IVF bucketing
-    that bounds pair counts at 100 TB. Cosine is a pure Catalyst
-    higher-order expression (functions.vector), no UDF."""
-    from ..functions.vector import as_double, dot, l2_norm
+    """Embedding near-dup pairs on the embeddings table via
+    `embedding_neardup_pairs`. Testdata label blocks (≤218 rows at
+    sf0.1) sit far under the 4096-row cap, so every block takes the
+    exact path and the DuckDB oracle mirrors it one-to-one; the LSH
+    overflow route is exercised by tests on a synthetic giant block."""
+    from ..functions.vector import as_double
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         as_double(F.col("embedding")).alias("emb"),
     )
-    # Precompute each row's norm ONCE before the join — the pairwise
-    # expression then folds the arrays a single time (dot) instead of
-    # three times (dot + both norms), a 3× cut on the O(pairs·dim) cost.
-    e = e.withColumn("nrm", l2_norm(F.col("emb")))
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("label_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
-        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cos_sim_raw", sim)
-        .filter(F.col("cos_sim_raw") >= 0.35)
-        .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
-    )
+    return embedding_neardup_pairs(spark, e)
 
 
 # ---- MinHash + LSH --------------------------------------------------------

@@ -10,6 +10,7 @@ from etl_knlp_spark.operators.dedup import (
     dedup_simhash,
     exact_dedup,
     minhash_candidates,
+    ngram_jaccard_pairs,
     simhash_neardup_pairs,
     simhash_signatures,
 )
@@ -51,6 +52,60 @@ def test_minhash_finds_injected_near_dups(docs_with_dups):
     # and P(band collision) > 1 - (1-0.98^4)^8 ≈ 1 - 1e-13
     expected = {(i, i + 100_000) for i in range(20)}
     assert expected <= found
+
+
+def test_ngram_df_cap_drops_hot_grams(spark):
+    """A stop-word bigram shared by every doc must NOT generate
+    candidate pairs: without the document-frequency cap, 40 docs
+    sharing one hot gram fan out C(40,2)=780 join rows. Rare shared
+    grams still pair."""
+    rows = [(i, f"hot gram filler{i} tail{i}", "en") for i in range(40)]
+    rows += [
+        (100, "rare pair alpha beta", "en"),
+        (101, "rare pair alpha gamma", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.05, max_df_frac=0.25)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    # "hot gram" appears in 40/42 docs (df 95% > cap 25%) → dropped, so
+    # the only surviving pair is the rare-gram one: docs 100/101 share
+    # ("rare","pair") and ("pair","alpha") of 3 kept grams each → 2/4.
+    assert set(got) == {(100, 101)}
+    assert got[(100, 101)] == pytest.approx(0.5)
+
+
+def test_embedding_block_cap_routes_through_lsh(spark):
+    """A label block larger than max_block takes the LSH route: the
+    all-pairs join never sees it, yet near-identical vectors are still
+    recalled (identical vectors share every signature band)."""
+    import math
+
+    from etl_knlp_spark.operators.dedup import embedding_neardup_pairs
+
+    def vec(i):
+        # unit-ish vectors spread around a 64-dim circle: far apart
+        # pairwise (cos well below threshold) except the injected dups
+        v = [0.0] * 64
+        v[i % 32] = math.cos(i)
+        v[(i % 32) + 32] = math.sin(i)
+        return v
+
+    rows = [(i, "hot", vec(i)) for i in range(120)]
+    rows += [(1000 + i, "hot", vec(i)) for i in range(10)]  # exact dups
+    rows += [(2000, "cold", vec(1)), (2001, "cold", vec(1))]  # small block
+    e = spark.createDataFrame(
+        rows, "vec_id long, label string, emb array<double>"
+    )
+    pairs = embedding_neardup_pairs(spark, e, threshold=0.95, max_block=50)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    # LSH route: identical vectors collide on all 4 bands → all 10
+    # injected dup pairs found despite the 170-row "hot" block never
+    # entering the exact join.
+    assert {(i, 1000 + i) for i in range(10)} <= got
+    # exact route still covers the small block
+    assert (2000, 2001) in got
+    # nothing else is that similar
+    assert len(got) == 11
 
 
 def test_simhash_identical_docs_collide(spark, sf_dir):
