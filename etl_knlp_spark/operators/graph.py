@@ -32,6 +32,11 @@ def connected_components(
 
     Input: undirected edges (src long, dst long). Output:
     (node, component) where component = min node id in the component.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds — silently returning unconverged labels would
+    hand the caller wrong components with no signal. Convergence needs
+    O(graph diameter) rounds; raise ``max_iter`` for deep graphs.
     """
     sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
         edges.selectExpr(f"{dst} AS a", f"{src} AS b")
@@ -66,8 +71,11 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        f"(labels still changing) — increase max_iter for deep graphs"
+    )
 
 
 @query("near_dup_clusters", oracle=None)  # iterative + hash-seeded: rows-only

@@ -81,22 +81,34 @@ def scd2_apply(
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: close out current versions of
     changed keys (set `valid_to` = the change's `valid_from`) and
-    append the new versions as open rows (`valid_to` NULL)."""
-    change_keys = changes.select(F.col(key), F.col(effective_col).alias("_new_from"))
+    append the new versions as open rows (`valid_to` NULL).
+
+    Handles multiple changes per key in one batch: changes are chained
+    by `valid_from` (each version's `valid_to` = the next change's
+    `valid_from`, `lead()` per key; the latest stays open), and the
+    previously-open row closes at the EARLIEST change — validity
+    ranges never overlap. Exact (key, valid_from) duplicates are
+    collapsed to one arbitrary survivor before chaining (they would
+    be ambiguous zero-length versions otherwise)."""
+    from pyspark.sql import Window
+
+    changes = changes.dropDuplicates([key, effective_col])
+    w = Window.partitionBy(key).orderBy(effective_col)
+    chained = changes.withColumn(end_col, F.lead(effective_col).over(w))
+    first_change = changes.groupBy(key).agg(F.min(effective_col).alias("_new_from"))
     closed = (
-        current.join(change_keys, on=key, how="inner")
+        current.join(first_change, on=key, how="inner")
         .filter(F.col(end_col).isNull())
         .withColumn(end_col, F.col("_new_from"))
         .drop("_new_from")
     )
-    untouched = current.join(change_keys.select(key), on=key, how="left_anti")
+    untouched = current.join(changes.select(key), on=key, how="left_anti")
     still_closed = (
-        current.join(change_keys.select(key), on=key, how="left_semi")
+        current.join(changes.select(key), on=key, how="left_semi")
         .filter(F.col(end_col).isNotNull())
     )
-    new_rows = changes.withColumn(end_col, F.lit(None).cast("timestamp"))
     return (
         untouched.unionByName(still_closed)
         .unionByName(closed)
-        .unionByName(new_rows.select(*current.columns))
+        .unionByName(chained.select(*current.columns))
     )

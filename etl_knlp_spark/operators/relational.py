@@ -406,18 +406,30 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct", oracle=None)  # HLL sketch values are engine-specific
+@query(
+    "approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS within_5pct
+    FROM orders
+    """,
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct — HyperLogLog++ sketch (SURVEY §2.4 A4).
 
     The constant-memory path for distinct counts at 100 TB (exact
-    distinct shuffles every key). Sketch results are engine-specific, so
-    the driver records a rows-only check; tests assert the estimate is
-    within rsd of the exact count.
+    distinct shuffles every key). Raw sketch values are
+    engine-specific, so the oracle-checked output is the relative-error
+    ASSERTION: the exact count plus a boolean that the HLL estimate
+    lands within ±5% of it (rsd=0.02 → ~2.5σ). A drifting sketch flips
+    the boolean and fails the driver's hash match.
     """
     o = load_table(spark, sf_dir, "orders")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
+    exact = F.countDistinct("o_custkey")
     return o.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+        exact.alias("exact_customers"),
+        (F.abs(approx - exact) / exact <= 0.05).alias("within_5pct"),
     )
 
 

@@ -95,7 +95,7 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL '30 minutes'
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -103,7 +103,7 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), numbered AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )

@@ -38,3 +38,25 @@ def test_scd2_closes_and_appends_versions(spark):
     assert rows[(2, "w1")] == (t0, None)      # untouched key stays open
     assert rows[(3, "x0")] == (t0, t1)        # historical rows preserved
     assert rows[(3, "x1")] == (t1, None)
+
+
+def test_scd2_chains_multiple_changes_per_key(spark):
+    """Two changes for one key in a single batch: versions chain by
+    valid_from (no duplicate closed rows, no overlapping ranges)."""
+    t0 = datetime.datetime(2024, 1, 1)
+    current = spark.createDataFrame(
+        [(1, "v1", t0, None)],
+        "k INT, val STRING, valid_from TIMESTAMP, valid_to TIMESTAMP",
+    )
+    t2 = datetime.datetime(2025, 1, 1)
+    t3 = datetime.datetime(2025, 6, 1)
+    changes = spark.createDataFrame(
+        [(1, "v2", t2), (1, "v3", t3)], "k INT, val STRING, valid_from TIMESTAMP"
+    ).withColumn("valid_to", F.lit(None).cast("timestamp"))
+
+    out = scd2_apply(current, changes, "k")
+    rows = {(r["k"], r["val"]): (r["valid_from"], r["valid_to"]) for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[(1, "v1")] == (t0, t2)   # closed ONCE, at the earliest change
+    assert rows[(1, "v2")] == (t2, t3)   # intra-batch version closed by the next
+    assert rows[(1, "v3")] == (t3, None)  # latest stays open
