@@ -46,12 +46,36 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# Optional codec dependencies: decode is REAL where the libraries
+# exist and a clearly-marked deterministic fake where they don't —
+# the Spark plumbing (mapInPandas batching, schemas, partitioning)
+# is identical either way.
+try:
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    _HAS_PIL = False
+
+
 def decode_media(payload: bytes, media_type: str):
-    """Real decode requires codec libraries (PIL/librosa/av) that are
-    not installed in this environment."""
+    """Decode a binary payload to a numpy array.
+
+    Images decode via PIL when it is installed (`pip install pillow`);
+    other modalities (audio/video) need librosa/av. Without the codec
+    library this raises NotImplementedError — callers that can degrade
+    (feature extraction) fall back to the deterministic fake kernel.
+    """
+    if media_type.startswith("image/") and _HAS_PIL:
+        import io
+
+        import numpy as np
+
+        return np.asarray(_PILImage.open(io.BytesIO(payload)))
     raise NotImplementedError(
-        "media decode is stubbed in this environment: install an image/audio "
-        "codec library and replace decode_media; the Spark plumbing around it "
+        f"no decoder available for {media_type!r}: install pillow (images) or "
+        "an audio/video codec library; the Spark plumbing around decode "
         "(mapInPandas batching, schemas, partitioning) is real and tested"
     )
 
@@ -64,12 +88,29 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [float(sum(payload[i::dim]) % 997) / 997.0 for i in range(dim)]
 
 
+def media_feature(payload: bytes, media_type: str, dim: int = 8) -> list[float]:
+    """Feature vector for one payload: real pixel statistics when the
+    payload is decodable in this environment, the deterministic fake
+    otherwise (same shape/dtype, so downstream plans are identical)."""
+    try:
+        arr = decode_media(payload, media_type)
+    except NotImplementedError:
+        return _fake_feature(payload, dim)
+    flat = arr.reshape(-1).astype("float64")
+    if flat.size == 0:
+        return [0.0] * dim
+    # per-stride mean intensities, normalized — cheap, deterministic,
+    # and genuinely a function of the decoded pixels
+    return [float(flat[i::dim].mean()) / 255.0 for i in range(dim)]
+
+
 def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
     """Feature extraction over binary payloads via `mapInPandas`.
 
     Map-side only: payloads never shuffle; each Arrow batch yields a
-    small feature frame. Swap `_fake_feature` for a real decode+model
-    kernel (`decode_media`) in production.
+    small feature frame. The kernel (`media_feature`) decodes for real
+    when codec libraries are installed and degrades to the
+    deterministic fake otherwise.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -79,7 +120,10 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["n_bytes"],
-                    "feature": [_fake_feature(p) for p in pdf["payload"]],
+                    "feature": [
+                        media_feature(p, t)
+                        for p, t in zip(pdf["payload"], pdf["media_type"])
+                    ],
                 }
             )
 

@@ -33,9 +33,39 @@ def test_frame_sampling_expands_rows_deterministically(spark, sf_dir):
     )
 
 
-def test_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError, match="stubbed"):
+def test_decode_raises_without_codec_libs():
+    from etl_knlp_spark.operators import multimodal
+
+    if multimodal._HAS_PIL:
+        pytest.skip("PIL installed — covered by test_real_image_decode")
+    with pytest.raises(NotImplementedError, match="no decoder available"):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_real_image_decode_when_pil_present():
+    """Where pillow exists the decode path is REAL: a 2x2 PNG decodes
+    to its pixel array and media_feature reflects actual intensities."""
+    from etl_knlp_spark.operators import multimodal
+
+    if not multimodal._HAS_PIL:
+        pytest.skip("pillow not installed in this environment")
+    import io
+
+    img = multimodal._PILImage.new("L", (2, 2), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    arr = decode_media(buf.getvalue(), "image/png")
+    assert arr.shape == (2, 2)
+    feat = multimodal.media_feature(buf.getvalue(), "image/png", dim=4)
+    assert feat == pytest.approx([128 / 255.0] * 4)
+
+
+def test_media_feature_falls_back_deterministically():
+    from etl_knlp_spark.operators.multimodal import _fake_feature, media_feature
+
+    payload = b"not decodable as audio" * 4
+    # audio has no decoder in any environment here → fake kernel
+    assert media_feature(payload, "audio/wav") == _fake_feature(payload)
 
 
 def test_media_table_schema(spark, sf_dir):
