@@ -205,9 +205,16 @@ def embedding_neardup_pairs(
     # three times (dot + both norms), a 3× cut on the O(pairs·dim) cost.
     e = e.withColumn("nrm", l2_norm(F.col("emb")))
     block_sizes = e.groupBy("label").agg(F.count(F.lit(1)).alias("block_n"))
-    e = e.join(F.broadcast(block_sizes), "label")
-
-    small = e.filter(F.col("block_n") <= max_block)
+    # Plan selection via ONE bounded driver sync (a single long — the
+    # same pattern as the IVF centroid sync): when no block exceeds the
+    # cap, the compiled plan is exactly the plain blocked join, with no
+    # routing join and no empty LSH sub-plan dragging stages along.
+    max_seen = block_sizes.agg(F.max("block_n")).first()[0] or 0
+    if max_seen <= max_block:
+        small = e
+    else:
+        e = e.join(F.broadcast(block_sizes), "label")
+        small = e.filter(F.col("block_n") <= max_block)
     a = small.select(
         F.col("label").alias("label_a"),
         F.col("vec_id").alias("vec_a"),
@@ -227,6 +234,9 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
     )
+
+    if max_seen <= max_block:
+        return exact
 
     # Overflow route: 32-bit random-hyperplane signature, banded 4×8.
     # The candidate join keys on (label, band_idx, band_val) — hot

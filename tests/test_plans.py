@@ -61,3 +61,58 @@ def test_similarity_broadcasts_query_side(plans):
 def test_window_rownum_uses_group_limit(plans):
     p = plans("window_rownum")
     assert "WindowGroupLimit" in p  # rank filter pushed below the shuffle
+
+
+def test_salted_join_shuffles_on_salted_key(spark):
+    """The 100× skew story: the probe side's exchange must partition on
+    (key, _salt) — a hot key then lands on `buckets` reducers instead
+    of one. If a refactor drops _salt from the shuffle key, salting
+    silently stops mitigating skew while staying correctness-green.
+    (Broadcast is disabled so the shuffle exchange actually exists —
+    at 100 TB neither side of a skewed join broadcasts.)"""
+    import re
+
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.functions.skew import salted_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, SF, "orders")
+        c = load_table(spark, SF, "customer")
+        p = (
+            salted_join(o, c, "o_custkey", "c_custkey", buckets=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert any("_salt" in e and "o_custkey" in e for e in exchanges), exchanges
+    assert any("_salt" in e and "c_custkey" in e for e in exchanges), exchanges
+
+
+def test_salting_flattens_partition_distribution(spark):
+    """Distribution-level evidence: with 90% of rows on one hot key,
+    the max partition after a (k, _salt) shuffle holds ~1/buckets of
+    the hot rows, vs ~all of them when shuffling on k alone."""
+    from pyspark.sql import functions as F
+
+    buckets = 8
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    salt = F.pmod(F.xxhash64("k", "payload"), F.lit(buckets))
+    plain_max = (
+        left.repartition(32, "k")
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().agg(F.max("count")).first()[0]
+    )
+    salted_max = (
+        left.withColumn("_salt", salt)
+        .repartition(32, "k", "_salt")
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().agg(F.max("count")).first()[0]
+    )
+    assert plain_max >= 9_000  # the hot key concentrates on one reducer
+    assert salted_max <= plain_max / 4  # salting spreads it ≥4× thinner
