@@ -192,3 +192,119 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(
         F.floor(n_tok / 10).cast("bigint").alias("tok_bucket")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+@query(
+    "tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+    ), dfq AS (
+      SELECT term, COUNT(*)::BIGINT AS df_ct FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT doc_id, term, tf, df_ct,
+             tf * 1.0 * ((SELECT COUNT(*) + 1 FROM documents)) / (df_ct + 1) AS score
+      FROM tf JOIN dfq USING (term)
+    )
+    SELECT doc_id, term, tf, df_ct, score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF-style
+    weighting (SURVEY §2.12 text analysis — the keyword-extraction /
+    topic-drift diagnostic).
+
+    The weight is tf·(N+1)/(df+1): reciprocal document frequency
+    instead of log-idf, because it is a ratio of exact integers —
+    bit-identical across engines, where ln() could differ by one ULP
+    between libm implementations and break the oracle hash. Same
+    weighting family (rare terms up, ubiquitous terms down), fully
+    deterministic. At 100 TB: tf is one (doc_id, term) shuffle
+    with partial aggregation; df is a second small aggregate keyed on
+    term; the corpus count broadcasts as one row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    exploded = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks"))).alias("i"),
+        )
+        .select("doc_id", F.expr("element_at(toks, i)").alias("term"))
+    )
+    tf = exploded.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_ct"))
+    n_docs = docs.agg((F.count(F.lit(1)) + 1).alias("n_plus_1"))
+    scored = (
+        tf.join(dfq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * 1.0 * F.col("n_plus_1") / (F.col("df_ct") + 1),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df_ct", "score", "rnk")
+    )
+
+
+@query(
+    "repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, t,
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1]) AS bg
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT doc_id,
+           len(t)::BIGINT AS n_tokens,
+           1 - len(list_distinct(t)) * 1.0 / len(t) AS dup_token_ratio,
+           1 - len(list_distinct(bg)) * 1.0 / len(bg) AS dup_bigram_ratio,
+           (1 - len(list_distinct(bg)) * 1.0 / len(bg)) <= 0.05 AS keep
+    FROM g
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals per document (the Gopher-rules
+    family): duplicate-token and duplicate-bigram fractions, plus the
+    keep decision at dup_bigram_ratio <= 5%.
+
+    Entirely per-row array expressions — no explode, no shuffle: at
+    100 TB this is a pure map-side projection over the corpus scan.
+    Ratios are exact-integer rationals (unrounded — IEEE-identical
+    across engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    base = base.withColumn(
+        "bg",
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ),
+    )
+    dup_tok = 1 - F.size(F.array_distinct("t")) * 1.0 / F.size("t")
+    dup_bg = 1 - F.size(F.array_distinct("bg")) * 1.0 / F.size("bg")
+    return base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        dup_tok.alias("dup_token_ratio"),
+        dup_bg.alias("dup_bigram_ratio"),
+        (dup_bg <= 0.05).alias("keep"),
+    )

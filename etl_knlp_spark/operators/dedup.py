@@ -521,3 +521,76 @@ def simhash_neardup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@query(
+    "decontaminate_ngram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                                 i -> t[i] || ' ' || t[i + 1]))) AS gram
+      FROM toks WHERE len(t) >= 2
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id < 50
+    ), shared AS (
+      SELECT g.doc_id, COUNT(*)::BIGINT AS n_shared
+      FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id >= 50
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_shared, 0)::BIGINT AS n_shared,
+           COALESCE(s.n_shared, 0) >= 60 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+    LEFT JOIN shared s USING (doc_id)
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (SURVEY §2.12 dedup family): flag
+    training documents sharing too many distinct word-bigrams with a
+    held-out benchmark set (here: doc_id < 50 stands in for the eval
+    suite).
+
+    The benchmark gram set is tiny relative to the corpus → BROADCAST
+    join: at 100 TB the corpus never shuffles; each scan task probes
+    the broadcast gram set and only (doc_id, count) aggregates move.
+    Production decontamination uses longer windows (8-13 grams) and a
+    stop-gram drop; the mechanism — distinct-gram inverted probe,
+    per-doc overlap count, threshold — is identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - F.lit(1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr("xxhash64(element_at(toks, i), element_at(toks, i + 1))").alias("gh"),
+        )
+        .dropDuplicates(["doc_id", "gh"])
+    )
+    bench = grams.filter(F.col("doc_id") < 50).select("gh").distinct()
+    shared = (
+        grams.filter(F.col("doc_id") >= 50)
+        .join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    train = docs.filter(F.col("doc_id") >= 50).select("doc_id")
+    return (
+        train.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= 60).alias("contaminated"),
+        )
+    )

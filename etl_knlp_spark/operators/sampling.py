@@ -92,3 +92,38 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% sample of `documents` (bucket < 10)."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_by_hash(docs.select("doc_id", "lang"), "doc_id", 10)
+
+def sample_stratified(
+    df: DataFrame, key_col: str, strata_col: str, percents: dict[str, int],
+    default_pct: int = 100,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep-percent via
+    the same md5 bucketing as `sample_by_hash` — the corpus-rebalancing
+    primitive (downsample over-represented languages/sources before
+    training). Map-side only: the per-stratum rate is a CASE
+    expression, no join, no shuffle, stable under re-runs."""
+    pct = None
+    for name, p in percents.items():
+        cond = F.col(strata_col) == name
+        pct = F.when(cond, p) if pct is None else pct.when(cond, p)
+    pct = pct.otherwise(default_pct) if pct is not None else F.lit(default_pct)
+    return df.filter(hash_bucket(F.col(key_col)) < pct)
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT) % 100
+          < CASE lang WHEN 'en' THEN 50 ELSE 100 END
+    """,
+)
+def sample_stratified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus language mix: keep ~50% of `en` (the
+    over-represented stratum in testdata) and 100% of everything else,
+    deterministically by doc_id digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_stratified(
+        docs.select("doc_id", "lang"), "doc_id", "lang", {"en": 50}
+    )

