@@ -209,3 +209,44 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
     )
+
+
+@query(
+    "csv_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink→source roundtrip through real files (SURVEY §2.1 source
+    coverage): write `customer` as headered CSV, read it back with an
+    explicit schema, prove losslessness against the identity oracle
+    (doubles survive via shortest-roundtrip literals). At scale CSV is
+    the interchange format, not the storage format — no pushdown, no
+    column pruning — which is exactly why the roundtrip, not the
+    analytics, is the demo."""
+    import tempfile
+
+    c = load_table(spark, sf_dir, "customer")
+    path = tempfile.gettempdir() + "/etl_knlp_io_demo_csv"
+    c.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment STRING"
+    ).option("header", True).csv(path)
+
+
+@query(
+    "orc_roundtrip",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+           "o_orderdate, o_orderpriority FROM orders",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink→source roundtrip (the columnar alternative to parquet —
+    same predicate pushdown/column pruning story, different ecosystem).
+    Identity oracle over all six `orders` columns including the
+    timestamp proves bit-level losslessness."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.gettempdir() + "/etl_knlp_io_demo_orc"
+    o.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

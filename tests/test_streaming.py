@@ -106,3 +106,27 @@ def test_dedup_stream_drops_duplicate_ids(spark, events_json_dir):
     out = _run_stream(spark, dedup_stream(doubled, watermark="10 hours"), "dedup_out")
     n_unique = spark.read.schema(EVENTS_SCHEMA).json(events_json_dir).count()
     assert out.count() == n_unique
+
+
+def test_stream_static_join_equals_batch(spark, events_json_dir):
+    from etl_knlp_spark.streaming.stream import enrich_stream
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    stream_src = spark.readStream.schema(EVENTS_SCHEMA).json(events_json_dir)
+    streamed = _run_stream(
+        spark,
+        enrich_stream(stream_src.select("event_id", "event_type"), dim, "event_type"),
+        "enriched",
+    )
+    batch_src = spark.read.schema(EVENTS_SCHEMA).json(events_json_dir)
+    expected = {
+        (r["event_id"], r["category"])
+        for r in enrich_stream(
+            batch_src.select("event_id", "event_type"), dim, "event_type"
+        ).collect()
+    }
+    got = {(r["event_id"], r["category"]) for r in streamed.collect()}
+    assert got == expected and len(got) > 0
