@@ -74,8 +74,6 @@ def ngram_jaccard_pairs(
     computed over the retained (discriminative) gram space — a ratio
     of exact integers, so engine and oracle agree bit-for-bit.
     """
-    from pyspark.sql import Window
-
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     # index-explode then hash each bigram to a long: the inverted index
     # shuffles 8-byte keys, not gram strings, and the array expression
@@ -96,18 +94,22 @@ def ngram_jaccard_pairs(
         )
     )
     distinct_grams = exploded.dropDuplicates(["doc_id", "gh"])
-    # Document-frequency cap: one window count over the (lang, gh)
-    # posting list — the same shuffle key the self-join needs — then a
-    # broadcast of the single-row corpus count for the fractional cut.
+    # Document-frequency cap via HOT-GRAM ANTI JOIN: aggregate per-gram
+    # doc frequency (map-side partial aggregation — only distinct
+    # (lang, gh) keys shuffle, not postings), keep the grams OVER the
+    # cap, and anti-join them away. The hot set is tiny by construction
+    # (≤ total_postings / (frac·N) ≈ avg_grams_per_doc / frac grams can
+    # exceed the cap), so it always broadcasts — the posting list never
+    # shuffles for the cap, at any corpus size.
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    kept = (
-        distinct_grams.withColumn(
-            "df_ct", F.count(F.lit(1)).over(Window.partitionBy("lang", "gh"))
-        )
+    hot_grams = (
+        distinct_grams.groupBy("lang", "gh")
+        .agg(F.count(F.lit(1)).alias("df_ct"))
         .join(F.broadcast(n_docs))
-        .filter(F.col("df_ct") <= F.col("n_docs") * F.lit(max_df_frac))
-        .select("doc_id", "lang", "gh")
+        .filter(F.col("df_ct") > F.col("n_docs") * F.lit(max_df_frac))
+        .select("lang", "gh")
     )
+    kept = distinct_grams.join(F.broadcast(hot_grams), ["lang", "gh"], "left_anti")
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inv = kept.join(sizes, "doc_id")
     a, b = inv.alias("a"), inv.alias("b")
