@@ -118,3 +118,22 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION (distinct) — union-all + aggregate under the hood
     (SURVEY §2.7)."""
     return run_sql(spark, sf_dir, _UNION_DISTINCT_SQL)
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) t
+"""
+
+
+@query("lateral_join", oracle=_LATERAL_SQL)
+def lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL table subquery — per-nation top-2 customers.
+    The general form of per-group top-k when the inner query is more
+    than a window can express; Catalyst decorrelates it into a ranked
+    join rather than re-running the subquery per outer row."""
+    return run_sql(spark, sf_dir, _LATERAL_SQL)

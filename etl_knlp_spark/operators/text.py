@@ -326,3 +326,55 @@ def udf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", toks.alias("tokens")).select(
         "doc_id", "tokens", F.size("tokens").alias("n_tokens")
     )
+
+
+@query(
+    "udtf_chunk_text",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t), 20)) AS s FROM toks
+    )
+    SELECT doc_id,
+           ((s - 1) // 20)::INT            AS chunk_idx,
+           array_to_string(t[s:s+19], ' ') AS chunk,
+           len(t[s:s+19])::INT             AS n_tokens
+    FROM starts
+    """,
+)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage chunking via a real Python UDTF (SURVEY §2.11 UDTF row —
+    Spark 4 `@udtf` + LATERAL correlation): each document yields
+    ceil(n_tokens/20) fixed-size word chunks, the unit RAG indexing
+    and training-data packing operate on.
+
+    One input row expands to N output rows inside the engine — the
+    Python-side generalization of explode. The deterministic kernel
+    (strip/lower/\\s+ split, 20-token windows, space re-join) is
+    mirrored exactly by the DuckDB oracle's list slicing, so even this
+    Python-defined operator is hash-verified. For hot paths prefer the
+    Arrow-batched kernels (mapInPandas) — UDTFs are per-row; this one
+    demonstrates API parity, not the 100 TB chunking path (that's
+    `multimodal.sample_frames`-style mapInPandas)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx INT, chunk STRING, n_tokens INT")
+    class ChunkText:
+        def eval(self, text: str):
+            import re
+
+            if text is None:
+                return
+            toks = re.split(r"\s+", text.strip().lower())
+            for i in range(0, len(toks), 20):
+                c = toks[i : i + 20]
+                yield (i // 20, " ".join(c), len(c))
+
+    spark.udtf.register("chunk_text", ChunkText)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_chunk_src")
+    return spark.sql(
+        "SELECT d.doc_id, c.* FROM _chunk_src d, LATERAL chunk_text(d.text) c"
+    )
