@@ -202,21 +202,52 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
     return media.mapInPandas(frames, FRAME_SCHEMA)
 
 
-@query("multimodal_frames", oracle=None)  # row-expanding mapInPandas kernel
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS nb
+      FROM documents
+    ), f AS (
+      SELECT media_id, nb,
+             unnest(generate_series(0, LEAST(8, GREATEST(1, nb // 64)) - 1)) AS k
+      FROM m
+    )
+    SELECT media_id,
+           k::INT                            AS frame_idx,
+           LEAST(64, nb - k * 64)::BIGINT    AS n_bytes
+    FROM f
+    """,
+)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling pipeline: payload → N frame rows with typed
-    metadata (frame_idx, byte size). Rows-only driver check; tests pin
-    the 1→N accounting and determinism."""
+    metadata (frame_idx, byte size). The mapInPandas kernel's 1→N
+    accounting is deterministic byte arithmetic, so even this
+    Python-kernel operator is hash-verified: the oracle recomputes
+    frame counts and sizes from octet lengths alone."""
     docs = load_table(spark, sf_dir, "documents")
     media = documents_as_media(docs)
     return sample_frames(media).select("media_id", "frame_idx", "n_bytes")
 
 
-@query("multimodal_features", oracle=None)  # mapInPandas kernel — not SQL-expressible
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text/plain' AS media_type,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           8::INT AS feature_dim
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal feature pipeline on synthesized payloads:
     binary column → mapInPandas feature extraction → typed
-    array<double> feature column."""
+    array<double> feature column. The oracle verifies the pipeline
+    contract (row-per-payload, metadata passthrough, fixed feature
+    dimensionality); the feature VALUES are kernel-specific (real
+    decode where codec libs exist, byte-histogram fake otherwise) and
+    are pinned by tests instead."""
     docs = load_table(spark, sf_dir, "documents")
     media = documents_as_media(docs)
     feats = extract_features(media)
