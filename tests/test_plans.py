@@ -63,6 +63,20 @@ def test_window_rownum_uses_group_limit(plans):
     assert "WindowGroupLimit" in p  # rank filter pushed below the shuffle
 
 
+def test_ngram_df_cap_is_broadcast_anti_join(plans):
+    """The document-frequency cap must stay a BROADCAST LeftAnti
+    against the (tiny) hot-gram set — if it regresses to a shuffled
+    join or a window over postings, the cap itself becomes a full
+    posting-list shuffle at 100 TB."""
+    p = plans("dedup_ngram_jaccard")
+    assert "LeftAnti" in p
+    import re
+
+    # the LeftAnti's build side is a BroadcastExchange keyed on (lang, gh)
+    m = re.search(r"BroadcastHashJoin \[lang[^\]]*gh[^\]]*\], \[lang[^\]]*gh[^\]]*\], LeftAnti", p)
+    assert m, p[:2000]
+
+
 def test_salted_join_shuffles_on_salted_key(spark):
     """The 100× skew story: the probe side's exchange must partition on
     (key, _salt) — a hot key then lands on `buckets` reducers instead
