@@ -69,10 +69,29 @@ def _previously_evidenced() -> set[str]:
     return seen
 
 
+# Queries first registered in round 2 — they queue for driver evidence
+# BEHIND the round-1 queries the round-1 verdict flagged as unevidenced,
+# so the known gap closes before new surface starts consuming the budget.
+_ADDED_ROUND_2 = frozenset(
+    {
+        "tfidf_topterms", "repetition_filter", "sample_stratified",
+        "decontaminate_ngram", "csv_roundtrip", "orc_roundtrip",
+        "lateral_join", "udtf_chunk_text",
+    }
+)
+
+
 def _sweep_order() -> list[str]:
     seen = _previously_evidenced()
     # sorted() is stable: within each group, registration order is kept.
-    return sorted(_REGISTRY, key=lambda n: n in seen)
+    # Groups: 0 = unevidenced round-1 queries, 1 = unevidenced newer
+    # queries, 2 = queries that already have a driver CORRECTNESS row.
+    def rank(n: str) -> int:
+        if n in seen:
+            return 2
+        return 1 if n in _ADDED_ROUND_2 else 0
+
+    return sorted(_REGISTRY, key=rank)
 
 
 def all_queries() -> dict[str, QueryFn]:
