@@ -213,3 +213,29 @@ def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources")
     )
+
+
+@query(
+    "regr_agg",
+    oracle="""
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity)::BIGINT        AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4)      AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4)  AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)         AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates per group (SURVEY §2.4 statistical
+    family): OLS slope/intercept/R² of price on quantity — one partial-
+    aggregable pass (sums of x, y, xy, x², y²), no iterative fitting.
+    Rounded like the other moment statistics (shuffled float sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )

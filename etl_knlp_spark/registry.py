@@ -76,7 +76,7 @@ _ADDED_ROUND_2 = frozenset(
     {
         "tfidf_topterms", "repetition_filter", "sample_stratified",
         "decontaminate_ngram", "csv_roundtrip", "orc_roundtrip",
-        "lateral_join", "udtf_chunk_text",
+        "lateral_join", "udtf_chunk_text", "regr_agg",
     }
 )
 
