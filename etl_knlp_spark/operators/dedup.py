@@ -73,6 +73,14 @@ def ngram_jaccard_pairs(
     the classic inverted-index blow-up at 100 TB. Jaccard is then
     computed over the retained (discriminative) gram space — a ratio
     of exact integers, so engine and oracle agree bit-for-bit.
+
+    ``max_df_frac`` is the exactness/cost knob: 1.0 computes TRUE
+    bigram Jaccard but restores the quadratic hot-gram fan-out; lower
+    values measure Jaccard over rarer (more discriminative) grams
+    only, which can merge docs that differ solely in dropped stop-word
+    grams and can miss pairs whose overlap was entirely hot grams.
+    `ngram_jaccard_oracle(threshold, max_df_frac)` yields the matching
+    DuckDB oracle for any setting (tests pin a second cap value).
     """
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     # index-explode then hash each bigram to a long: the inverted index
@@ -134,9 +142,13 @@ def ngram_jaccard_pairs(
     return shared.filter(jac >= threshold).select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
+def ngram_jaccard_oracle(threshold: float = 0.05, max_df_frac: float = 0.25) -> str:
+    """DuckDB oracle for `ngram_jaccard_pairs`, templated on the same
+    knobs so any (threshold, cap) setting can be cross-checked — the
+    registry registers it at the defaults; tests exercise a second cap
+    value through the same template (one source of truth for the
+    mirrored semantics)."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
@@ -152,7 +164,7 @@ def ngram_jaccard_pairs(
       FROM (SELECT doc_id, lang, gram,
                    COUNT(*) OVER (PARTITION BY lang, gram) AS df_ct
             FROM inv)
-      WHERE df_ct <= (SELECT COUNT(*) * 0.25 FROM documents)
+      WHERE df_ct <= (SELECT COUNT(*) * {max_df_frac} FROM documents)
     ), sized AS (
       SELECT doc_id, lang, gram,
              COUNT(*) OVER (PARTITION BY doc_id) AS n
@@ -167,13 +179,16 @@ def ngram_jaccard_pairs(
     SELECT doc_a, doc_b,
            n_shared * 1.0 / (n_a + n_b - n_shared) AS jaccard
     FROM shared
-    WHERE n_shared * 1.0 / (n_a + n_b - n_shared) >= 0.05
-    """,
-)
+    WHERE n_shared * 1.0 / (n_a + n_b - n_shared) >= {threshold}
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=ngram_jaccard_oracle())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry for `ngram_jaccard_pairs` on the documents table,
     document-frequency cap at 25% of the corpus (mirrored in the
-    DuckDB oracle's COUNT(*) OVER posting-list window)."""
+    DuckDB oracle's COUNT(*) OVER posting-list window; see
+    `ngram_jaccard_oracle` for the shared template)."""
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -182,6 +197,7 @@ def embedding_neardup_pairs(
     e: DataFrame,
     threshold: float = 0.35,
     max_block: int | None = 4096,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with BOUNDED label blocking
     (SURVEY §2.12).
@@ -215,12 +231,29 @@ def embedding_neardup_pairs(
     if max_block is None:
         max_seen, max_block = 0, 0  # statically bounded: exact path only
     else:
-        block_sizes = e.groupBy("label").agg(F.count(F.lit(1)).alias("block_n"))
-        # Plan selection via ONE bounded driver sync (a single long — the
+        block_sizes = e.groupBy("label").agg(
+            F.count(F.lit(1)).alias("block_n"),
+            F.max(F.size("emb")).alias("dim_n"),
+        )
+        # Plan selection via ONE bounded driver sync (two longs — the
         # same pattern as the IVF centroid sync): when no block exceeds
         # the cap, the compiled plan is exactly the plain blocked join,
         # with no routing join and no empty LSH sub-plan dragging stages.
-        max_seen = block_sizes.agg(F.max("block_n")).first()[0] or 0
+        # The embedding dimensionality rides along in the same agg so
+        # the LSH route below can size its hyperplanes to the data
+        # (hardcoding 64 silently ignored dims >= 64 for wider inputs)
+        # at zero extra jobs.
+        max_seen, seen_dim = block_sizes.agg(
+            F.max("block_n"), F.max("dim_n")
+        ).first()
+        max_seen = max_seen or 0
+        if dim is None:
+            dim = seen_dim
+        elif seen_dim is not None and seen_dim > dim:
+            raise ValueError(
+                f"embeddings have {seen_dim} dims but dim={dim} was passed; "
+                "LSH signatures would silently ignore the overflow dims"
+            )
     if max_seen <= max_block:
         small = e
     else:
@@ -257,7 +290,7 @@ def embedding_neardup_pairs(
     # ≈ 1-(1-p^8)^4 → >0.97 at cos ≥ 0.98; weak pairs may be missed.
     big = e.filter(F.col("block_n") > max_block)
     sigs = rhp_signatures(
-        spark, big.select("vec_id", F.col("emb").alias("embedding")), _hyperplanes(64, 32)
+        spark, big.select("vec_id", F.col("emb").alias("embedding")), _hyperplanes(dim, 32)
     )
     banded = (
         big.join(sigs, "vec_id")

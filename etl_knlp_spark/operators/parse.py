@@ -226,8 +226,13 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     c = load_table(spark, sf_dir, "customer")
-    path = tempfile.gettempdir() + "/etl_knlp_io_demo_csv"
-    c.write.mode("overwrite").option("header", True).csv(path)
+    # Unique dir per invocation: a fixed predictable path races with a
+    # concurrent sweep's overwrite (and could collide with another
+    # user's /tmp entry); mkdtemp is created 0700 and owned by us. The
+    # returned DataFrame reads the path lazily, so it must outlive this
+    # call — never cleaned up here by design.
+    path = tempfile.mkdtemp(prefix="etl_knlp_io_csv_") + "/data"
+    c.write.option("header", True).csv(path)
     return spark.read.schema(
         "c_custkey BIGINT, c_name STRING, c_nationkey INT, "
         "c_acctbal DOUBLE, c_mktsegment STRING"
@@ -247,6 +252,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     o = load_table(spark, sf_dir, "orders")
-    path = tempfile.gettempdir() + "/etl_knlp_io_demo_orc"
-    o.write.mode("overwrite").orc(path)
+    # Unique per invocation — see csv_roundtrip's race note.
+    path = tempfile.mkdtemp(prefix="etl_knlp_io_orc_") + "/data"
+    o.write.orc(path)
     return spark.read.orc(path)

@@ -320,11 +320,20 @@ def udf_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("udf_tokenize", oracle=None)
 def udf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer pandas UDF: doc_id → token array + count."""
+    """Tokenizer pandas UDF: doc_id → serialized token stream + count.
+
+    The kernel (`tokenize_udf`) returns array<string> for library
+    callers; the registered query projects `concat_ws(' ', tokens)`
+    instead of the raw array because the driver's rows-only
+    canonicalizer sorts pandas object columns and numpy arrays are
+    unhashable — registry queries must only emit scalar top-level
+    columns (enforced by tests/test_entry.py)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize_udf()(F.col("text"))
     return docs.select("doc_id", toks.alias("tokens")).select(
-        "doc_id", "tokens", F.size("tokens").alias("n_tokens")
+        "doc_id",
+        F.concat_ws(" ", "tokens").alias("tokens_ws"),
+        F.size("tokens").alias("n_tokens"),
     )
 
 
@@ -367,7 +376,12 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             if text is None:
                 return
-            toks = re.split(r"\s+", text.strip().lower())
+            # ASCII whitespace class pinned explicitly: python \s (and
+            # str.strip) are unicode-aware (NBSP, \x85, \x1c-\x1f) while
+            # the DuckDB oracle's RE2 \s and Spark's Java-regex split are
+            # ASCII-only — unicode whitespace in a doc would otherwise
+            # make engine and oracle chunk differently.
+            toks = re.split(r"[ \t\n\x0b\f\r]+", text.strip(" \t\n\x0b\f\r").lower())
             for i in range(0, len(toks), 20):
                 c = toks[i : i + 20]
                 yield (i // 20, " ".join(c), len(c))

@@ -48,50 +48,78 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# The driver's per-round correctness sweep has a finite budget (round 1
-# recorded rows for exactly the flagship + the first 49 registry entries).
-# Order the registry so queries without a prior-round CORRECTNESS row come
-# first; across rounds every query then accumulates driver-side evidence.
-def _previously_evidenced() -> set[str]:
-    """Names present in any prior-round CORRECTNESS_r*.json at the repo root."""
+# The driver's per-round correctness sweep has a finite budget (each round
+# records rows for exactly the flagship + the first 49 registry entries).
+# Order the registry so the queries most in need of driver-side evidence
+# come first. "Evidence" is deliberately strict (round-2 advisor finding):
+# only a hash_match==true row counts for an oracled query, and only a
+# non-ERR rows-only row counts for an oracle-less one — an ERR row or a
+# rows-only row for a query that HAS an oracle is not evidence. Evidence
+# recorded before a query's semantics/oracle changed is invalidated via
+# _STALE_SINCE.
+
+# name -> first round whose CORRECTNESS rows are still valid. Rows from
+# earlier rounds predate a semantics/oracle change and don't count.
+# Maintained by hand alongside any change to a query's output or oracle.
+_STALE_SINCE: dict[str, int] = {
+    # round 2 added the document-frequency cap — the round-1 hash (4188
+    # uncapped pairs) no longer describes the current query.
+    "dedup_ngram_jaccard": 3,
+    # round 3 serialized the token array (tokens -> tokens_ws).
+    "udf_tokenize": 3,
+}
+
+
+def _evidence_rounds() -> dict[str, list[tuple[int, dict]]]:
+    """name -> [(round, entry), ...] across all CORRECTNESS_r*.json files."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    out: dict[str, list[tuple[int, dict]]] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                seen.update(json.load(f))
+                data = json.load(f)
         except (OSError, ValueError):
             continue
-    return seen
-
-
-# Queries first registered in round 2 — they queue for driver evidence
-# BEHIND the round-1 queries the round-1 verdict flagged as unevidenced,
-# so the known gap closes before new surface starts consuming the budget.
-_ADDED_ROUND_2 = frozenset(
-    {
-        "tfidf_topterms", "repetition_filter", "sample_stratified",
-        "decontaminate_ngram", "csv_roundtrip", "orc_roundtrip",
-        "lateral_join", "udtf_chunk_text", "regr_agg",
-    }
-)
+        for name, entry in data.items():
+            if isinstance(entry, dict):
+                out.setdefault(name, []).append((rnd, entry))
+    return out
 
 
 def _sweep_order() -> list[str]:
-    seen = _previously_evidenced()
-    # sorted() is stable: within each group, registration order is kept.
-    # Groups: 0 = unevidenced round-1 queries, 1 = unevidenced newer
-    # queries, 2 = queries that already have a driver CORRECTNESS row.
-    def rank(n: str) -> int:
-        if n in seen:
-            return 2
-        return 1 if n in _ADDED_ROUND_2 else 0
+    evidence = _evidence_rounds()
 
-    return sorted(_REGISTRY, key=rank)
+    def key(n: str) -> tuple[int, int]:
+        min_round = _STALE_SINCE.get(n, 0)
+        rows = [(r, e) for r, e in evidence.get(n, []) if r >= min_round]
+        has_oracle = _REGISTRY[n].oracle is not None
+        valid = [
+            r
+            for r, e in rows
+            if (
+                e.get("hash_match") is True
+                if has_oracle
+                else e.get("err") == "no_oracle" and e.get("spark_rows") is not None
+            )
+        ]
+        if valid:
+            # Evidenced: re-verify stalest first so cumulative coverage
+            # stays fresh across rounds.
+            return (2, max(valid))
+        # Ran but never validly evidenced (ERR row, or rows-only row for
+        # a query that has since gained an oracle) before never-ran: a
+        # recorded failure is the more urgent signal.
+        return (0, 0) if rows else (1, 0)
+
+    # sorted() is stable: ties keep registration order.
+    return sorted(_REGISTRY, key=key)
 
 
 def all_queries() -> dict[str, QueryFn]:

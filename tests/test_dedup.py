@@ -74,6 +74,51 @@ def test_ngram_df_cap_drops_hot_grams(spark):
     assert got[(100, 101)] == pytest.approx(0.5)
 
 
+def test_ngram_cap_knob_matches_oracle_at_second_value(spark, sf_dir):
+    """The DF-cap fraction is a user knob: at a second cap value (60%)
+    the engine must still agree with the DuckDB oracle built from the
+    same template — proving the cap is mirrored, not coincidental."""
+    import duckdb
+
+    from etl_knlp_spark.operators.dedup import ngram_jaccard_oracle
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.05, max_df_frac=0.6).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {
+        (a, b): j
+        for a, b, j in con.execute(
+            ngram_jaccard_oracle(threshold=0.05, max_df_frac=0.6)
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=0)  # IEEE-identical ratios
+
+
+def test_ngram_cap_knob_changes_kept_gram_space(spark):
+    """Knob sensitivity: a bigram at 50% document frequency is kept by
+    a 60% cap but dropped by the 25% default, so the two settings pair
+    different documents (on sf0.001 no gram lands between the caps, so
+    this needs a constructed corpus)."""
+    rows = [(i, "shared gram plus filler" + str(i), "en") for i in range(4)]
+    rows += [(10 + i, f"unique{i} text body here", "en") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # "shared gram"/"gram plus" have DF 4/8 = 50%
+    loose = ngram_jaccard_pairs(docs, threshold=0.05, max_df_frac=0.6)
+    tight = ngram_jaccard_pairs(docs, threshold=0.05, max_df_frac=0.25)
+    loose_pairs = {(r["doc_a"], r["doc_b"]) for r in loose.collect()}
+    tight_pairs = {(r["doc_a"], r["doc_b"]) for r in tight.collect()}
+    assert {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)} <= loose_pairs
+    assert tight_pairs == set()  # the only shared grams were hot
+
+
 def test_embedding_block_cap_routes_through_lsh(spark):
     """A label block larger than max_block takes the LSH route: the
     all-pairs join never sees it, yet near-identical vectors are still

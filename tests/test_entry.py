@@ -1,0 +1,49 @@
+"""Driver-contract guards for the query registry (__spark_entry__.py).
+
+The driver canonicalizes every query result with pandas
+``sort_values`` over all columns before hashing; a top-level
+array/struct/map column arrives as numpy.ndarray / dict objects, which
+are unhashable and kill the sort (the round-2 ``udf_tokenize`` ERR).
+These tests pin the contract: every registered query — oracled or
+rows-only — returns only atomic top-level columns, and every
+rows-only query survives the driver's exact canonicalization step.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from etl_knlp_spark import registry
+
+_COMPLEX = (T.ArrayType, T.StructType, T.MapType)
+
+
+def _rows_only_names() -> list[str]:
+    registry._load_all()
+    return [n for n, q in registry._REGISTRY.items() if q.oracle is None]
+
+
+def test_no_naked_complex_columns(spark, sf_dir):
+    """No registered query may emit array/struct/map top-level columns."""
+    bad: list[str] = []
+    for name, fn in registry.all_queries().items():
+        schema = fn(spark, sf_dir).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, _COMPLEX):
+                bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not bad, f"driver canonicalizer cannot sort these columns: {bad}"
+
+
+@pytest.mark.parametrize("name", _rows_only_names())
+def test_rows_only_canonicalizes_like_driver(spark, sf_dir, name):
+    """Each rows-only query's output must survive the driver's pandas
+    sort_values canonicalization (the step that ERR'd in round 2)."""
+    fn = registry._REGISTRY[name].fn
+    pdf = fn(spark, sf_dir).toPandas()
+    # The driver sorts by every column; unhashable cells raise TypeError.
+    canon = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+    assert len(canon) == len(pdf)
