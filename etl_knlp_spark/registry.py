@@ -147,6 +147,7 @@ def _load_all() -> None:
     # Imports are for their registration side effects.
     from .operators import (  # noqa: F401
         analysis,
+        cogroup,
         dedup,
         events,
         graph,
@@ -162,7 +163,8 @@ def _load_all() -> None:
         text,
     )
     from .functions import scalar, skew, sql_surface  # noqa: F401
+    from .sources import layout  # noqa: F401
     from .plans import dimension, tpch  # noqa: F401
-    from .streaming import windows  # noqa: F401
+    from .streaming import stateful, windows  # noqa: F401
 
     _LOADED = True

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..registry import query
+
 
 def write_partitioned(
     df: DataFrame,
@@ -62,3 +64,49 @@ def bucketed_join(
     left = spark.table(left_table)
     right = spark.table(right_table)
     return left.join(right, left[left_key] == right[right_key], "inner")
+
+
+@query(
+    "layout_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)                          AS n_items,
+           CAST(SUM(l_quantity) AS BIGINT)   AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle-free co-located join, hash-verified end to end:
+    bucket lineitem and orders on the join key at write time, join the
+    bucketed tables (zero Exchange before the join — pinned in
+    tests/test_layout_graph.py), and aggregate. The result must equal
+    the plain join — bucketing is pure physical layout, invisible to
+    semantics. Table names are uniqued per invocation (the returned
+    plan reads the bucketed tables lazily, so they can't be dropped
+    here; like the roundtrip tempdirs, uniqueness beats a
+    concurrent-sweep race on a shared name)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    tag = uuid.uuid4().hex[:12]
+    li_t, ord_t = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        li_t, "l_orderkey", n_buckets=8, sort_col="l_orderkey",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ord_t, "o_orderkey", n_buckets=8, sort_col="o_orderkey",
+    )
+    return (
+        bucketed_join(spark, li_t, ord_t, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+    )

@@ -19,9 +19,11 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import query
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -49,8 +51,10 @@ def _update_user_totals(
         n += len(pdf)
         total += float(pdf["value"].sum())
     state.update((n, total))
+    # raw totals out — presentation rounding is the consumer's call
+    # (stream_stateful_totals rounds once, engine-side, for its oracle)
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
     )
 
 
@@ -67,4 +71,67 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)              AS n_events,
+           ROUND(SUM(value), 2)  AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator, hash-verified END TO END: run
+    `running_user_totals` as a REAL micro-batch stream (parquet file
+    source → applyInPandasWithState → memory sink, availableNow
+    trigger), then reduce the update-mode emissions to each user's
+    final state. The final running totals must equal the plain batch
+    aggregate — which IS SQL — so even the state-store path gets a
+    DuckDB oracle instead of a rows-only check.
+
+    Only (user_id, value) enter the stream: schema projection keeps
+    the TIMESTAMP(NANOS) ts column out of the streaming parquet reader
+    entirely (same concern as catalog.load_table). The memory-sink
+    table name is uniqued per invocation so concurrent sweeps don't
+    collide; update-mode memory sink APPENDS each batch's emissions,
+    so "final state" = the row with the greatest n_events per user
+    (running counts are strictly increasing)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # The streaming file source wants a directory; events.parquet is a
+    # single file, so stream the table directory with a glob filter.
+    src = (
+        spark.readStream.schema("user_id BIGINT, value DOUBLE")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sink = f"stateful_totals_{uuid.uuid4().hex[:12]}"
+    q = (
+        running_user_totals(src)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="etl_knlp_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(sink)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+        )
     )
