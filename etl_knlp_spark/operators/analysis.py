@@ -308,3 +308,86 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_bg.alias("dup_bigram_ratio"),
         (dup_bg <= 0.05).alias("keep"),
     )
+
+
+# Winnowing parameters: k-word shingles, window of w consecutive hashes.
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+
+@query(
+    "winnow_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - {_WINNOW_K - 1})) AS i
+      FROM toks WHERE len(t) >= {_WINNOW_K}
+    ), g AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i:i + {_WINNOW_K - 1}], ' ')) AS h
+      FROM idx
+    ), m AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS mh
+      FROM g
+    ), sel AS (SELECT DISTINCT doc_id, mh FROM m)
+    SELECT doc_id,
+           COUNT(*)                              AS n_fingerprints,
+           md5(string_agg(mh, '|' ORDER BY mh))  AS fp_digest
+    FROM sel GROUP BY doc_id
+    """,
+)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    {k}-word shingle, slide a window of {w} consecutive hashes, select
+    each window's minimum — the selected set is a position-robust
+    fingerprint whose density is guaranteed (≈ 2/(w+1) of grams) no
+    matter how text shifts. This is the standard local-similarity
+    fingerprint where `fingerprint`'s whole-document digest is the
+    global one.
+
+    Cross-engine determinism: md5 hex is bit-identical in both
+    engines, window ORDER BY the gram index has no ties, and min over
+    lowercase-hex strings is plain byte comparison. Leading partial
+    windows (index < w-1) are included — min over the prefix — the
+    same rows both engines window over. The per-doc fingerprint SET is
+    reduced to a sorted-concat digest so the output stays one scalar
+    row per doc (registry no-array contract).
+
+    Scale: explode is over an index sequence (never the text array —
+    Generate-inlining rule), the window partitions by doc_id (no
+    global sort), and the final digest is a map-side-combinable
+    groupBy. Shuffle volume is one 32-byte hash per selected gram.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")).filter(
+        F.size("t") >= _WINNOW_K
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t") - F.lit(_WINNOW_K - 1))
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("i"), _WINNOW_K))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_WINNOW_W - 1), 0)
+    )
+    sel = grams.select("doc_id", F.min("h").over(w).alias("mh")).distinct()
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_set("mh")))).alias(
+            "fp_digest"
+        ),
+    )

@@ -1,0 +1,76 @@
+"""Sequence packing for training-data pipelines (SURVEY.md §2.12
+extension): greedily pack documents into fixed-token-budget training
+sequences — the step between a cleaned corpus and a dataloader, where
+short documents are concatenated up to the context length so no
+sequence slot is wasted.
+
+Greedy first-fit-in-order packing is inherently sequential per group
+(the bin a document lands in depends on the running remainder — a
+stateful scan SQL windows can't express because the accumulator
+resets), so this is a legitimate `applyInPandas` kernel, not a
+UDF-where-SQL-would-do. The registry entry is rows-only by design;
+tests pin the packing invariants instead (budget respected, order
+preserved, every doc packed exactly once).
+
+100 TB notes: one shuffle, keyed by the pack group (lang here — in a
+real pipeline, (lang, shard) to bound group size). Each kernel call
+sees one group's (doc_id, n_tokens) pairs — two longs per doc, NOT
+the text — so even a billion-doc group is a few GB of Arrow batch.
+Token counts are computed engine-side (codegen split) before the
+kernel; the text column never reaches Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+
+DEFAULT_BUDGET = 256
+
+
+def _pack_group(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
+    """Greedy in-order packer for one group: walk docs in doc_id order,
+    open a new sequence whenever adding the next doc would exceed the
+    budget. A single doc larger than the budget gets its own sequence
+    (truncation is the dataloader's call, not the packer's)."""
+    pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    seq_ids, seq_id, used = [], 0, 0
+    for n in pdf["n_tokens"]:
+        if used > 0 and used + n > budget:
+            seq_id += 1
+            used = 0
+        used += int(n)
+        seq_ids.append(seq_id)
+    out = pdf[["doc_id", "lang", "n_tokens"]].copy()
+    out["seq_id"] = seq_ids
+    return out
+
+
+def pack_sequences(docs: DataFrame, budget: int = DEFAULT_BUDGET) -> DataFrame:
+    """Pack each language's documents (doc_id order) into sequences of
+    at most ``budget`` whitespace tokens. Output: one row per doc with
+    its (lang, seq_id) assignment and token count."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    slim = docs.select(
+        "doc_id", "lang", F.size(toks).cast("long").alias("n_tokens")
+    )
+    return (
+        slim.groupBy("lang")
+        .applyInPandas(
+            lambda pdf: _pack_group(pdf, budget),
+            schema="doc_id long, lang string, n_tokens long, seq_id long",
+        )
+    )
+
+
+@query("pack_sequences", oracle=None)  # stateful running-reset scan — not SQL
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: pack `documents` per language at the default
+    budget. Rows-only (the seq_id accumulator resets on overflow —
+    no window formulation); invariants pinned in tests/test_packing.py.
+    """
+    return pack_sequences(load_table(spark, sf_dir, "documents"))

@@ -154,6 +154,7 @@ def _load_all() -> None:
         ivf,
         multimodal,
         mutate,
+        packing,
         parse,
         quality,
         relational,
