@@ -120,6 +120,51 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _UNION_DISTINCT_SQL)
 
 
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM orders
+),
+spine(month_start, hi) AS (
+  SELECT lo, hi FROM bounds
+  UNION ALL
+  SELECT CAST(month_start + INTERVAL '1' MONTH AS DATE), hi
+  FROM spine WHERE month_start < hi
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT s.month_start,
+       COALESCE(m.n_orders, 0) AS n_orders,
+       COALESCE(m.revenue, 0.0) AS revenue
+FROM (SELECT month_start FROM spine) s
+LEFT JOIN monthly m ON m.month_start = s.month_start
+"""
+
+
+@query("recursive_cte", oracle=_RECURSIVE_CTE_SQL)
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 `WITH RECURSIVE`): build a gap-free
+    monthly date spine between the orders table's min and max months,
+    then left-join per-month order counts so empty months surface as
+    zero rows — the canonical time-series densification every
+    reporting stack needs and plain GROUP BY cannot produce.
+
+    Portability notes: Spark 4.1 only supports UNION ALL recursion, so
+    termination rides on the monotone `month_start < hi` predicate
+    with `hi` CARRIED THROUGH the recursion (a scalar subquery in the
+    recursive term is not portable); iteration count = calendar months
+    in the data (~80), far under Spark's 100-level recursion default.
+    The spine is driver-scheduled tiny frames — the heavy side
+    (monthly aggregate) is one ordinary shuffle, scale-safe.
+    """
+    return run_sql(spark, sf_dir, _RECURSIVE_CTE_SQL)
+
+
 _LATERAL_SQL = """
 SELECT n.n_name, t.c_custkey, t.c_acctbal
 FROM nation n, LATERAL (

@@ -670,3 +670,201 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_shared", F.lit(0)) >= 60).alias("contaminated"),
         )
     )
+
+
+# ---- Bloom-filter decontamination ----------------------------------------
+
+# 2^17 bits = 2048 longs = 16 KB; k=4 hash probes per gram. For the
+# ~10k-gram benchmark sets here the per-gram false-positive rate is
+# ~0.5%; both knobs are function parameters for larger eval suites.
+_BLOOM_M = 1 << 17
+_BLOOM_K = 4
+
+
+def bloom_gram_filter(
+    spark: SparkSession,
+    bench_grams: DataFrame,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+):
+    """Build a Bloom filter over ``bench_grams.gh`` (long gram hashes)
+    and return (bits_column, contains_fn).
+
+    Construction is a DataFrame aggregate: each gram fans out to its
+    ``k`` probe positions (``pmod(xxhash64(gh, j), m)``), positions
+    group by 64-bit word, and ``bit_or`` folds them into ≤ m/64 longs.
+    ONE bounded driver collect (m/64 rows — 16 KB at the default, the
+    same bounded-sync pattern as the IVF centroid pull) turns that into
+    a plan-literal array.
+
+    ``contains_fn(gram_hash_col)`` is then a PURE MAP-SIDE codegen
+    expression — k unrolled bit probes against the literal array, no
+    higher-order lambdas, no join, no shuffle. That is the 100 TB
+    story: exact decontamination broadcasts the full distinct-gram set
+    (gigabytes for production 8-13-gram suites); the bloom probe ships
+    16 KB inside the plan no matter how many grams the benchmark has,
+    and the corpus side stays embarrassingly parallel. No false
+    negatives by construction; false positives are bounded by (m, k).
+    """
+    words = (
+        bench_grams.select("gh")
+        .distinct()
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {k - 1}), "
+                    f"j -> pmod(xxhash64(gh, CAST(j AS INT)), {m_bits}L))"
+                )
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[r["word"]] = r["bits"]
+    bits_lit = F.lit(arr)
+
+    def contains(gh_col: str):
+        checks = []
+        for j in range(k):
+            pos = f"pmod(xxhash64({gh_col}, {j}), {m_bits}L)"
+            checks.append(
+                f"(element_at(__bloom_bits, CAST({pos} DIV 64 AS INT) + 1)"
+                f" & shiftleft(1L, CAST({pos} % 64 AS INT))) <> 0L"
+            )
+        return F.expr(" AND ".join(checks))
+
+    return bits_lit, contains
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    bench_pred,
+    threshold: int = 60,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Per-document decontamination flags via a Bloom filter of the
+    benchmark's distinct word-bigrams (same gram definition as
+    `decontaminate_ngram`). Returns one row per train doc with BOTH the
+    bloom verdict and the exact broadcast-join verdict, so callers (and
+    the registry contract) can audit the approximation:
+
+      (doc_id, n_shared_exact, contaminated_exact,
+       n_shared_bloom, contaminated_bloom)
+
+    Invariants: n_shared_bloom >= n_shared_exact (no false negatives),
+    and the gap is false positives only.
+    """
+    spark = docs.sparkSession
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - F.lit(1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr("xxhash64(element_at(toks, i), element_at(toks, i + 1))").alias("gh"),
+        )
+        .dropDuplicates(["doc_id", "gh"])
+    )
+    bench = grams.filter(bench_pred(F.col("doc_id"))).select("gh").distinct()
+    train_grams = grams.filter(~bench_pred(F.col("doc_id")))
+
+    bits_lit, contains = bloom_gram_filter(spark, bench, m_bits, k)
+    probed = (
+        train_grams.withColumn("__bloom_bits", bits_lit)
+        .withColumn("hit_bloom", contains("gh"))
+        .drop("__bloom_bits")
+    )
+    exact_hits = train_grams.join(F.broadcast(bench), "gh").select(
+        "doc_id", F.lit(True).alias("hit_exact")
+    )
+    per_doc = (
+        probed.join(
+            exact_hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared_exact")),
+            "doc_id",
+            "left",
+        )
+        .groupBy("doc_id", "n_shared_exact")
+        .agg(F.sum(F.col("hit_bloom").cast("long")).alias("n_shared_bloom"))
+    )
+    train = docs.filter(~bench_pred(F.col("doc_id"))).select("doc_id")
+    n_ex = F.coalesce("n_shared_exact", F.lit(0))
+    n_bl = F.coalesce("n_shared_bloom", F.lit(0))
+    return train.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        n_ex.alias("n_shared_exact"),
+        (n_ex >= threshold).alias("contaminated_exact"),
+        n_bl.alias("n_shared_bloom"),
+        (n_bl >= threshold).alias("contaminated_bloom"),
+    )
+
+
+@query(
+    "decontaminate_bloom",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                                 i -> t[i] || ' ' || t[i + 1]))) AS gram
+      FROM toks WHERE len(t) >= 2
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id < 50
+    ), shared AS (
+      SELECT g.doc_id, COUNT(*)::BIGINT AS n_shared
+      FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id >= 50
+      GROUP BY 1
+    ), flags AS (
+      SELECT d.doc_id, COALESCE(s.n_shared, 0) >= 60 AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+      LEFT JOIN shared s USING (doc_id)
+    )
+    SELECT COUNT(*)::BIGINT                                   AS n_train,
+           COALESCE(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END), 0)::BIGINT
+                                                              AS n_flagged_exact,
+           TRUE                                               AS no_false_negatives,
+           TRUE                                               AS fp_rate_ok
+    FROM flags
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination contract row (assertion-style
+    oracle, like `approx_distinct`): the engine reports its EXACT
+    flagged count plus two booleans the bloom path must satisfy — no
+    false negatives (every exactly-contaminated doc is bloom-flagged)
+    and a false-positive budget (bloom flags at most 1% of train docs
+    beyond the exact count). The DuckDB oracle computes the exact count
+    in SQL and pins both booleans TRUE, so the hash matches iff the
+    engine's exact path agrees with SQL AND the bloom's guarantees
+    hold on this corpus. The bloom membership test itself is
+    engine-specific bit arithmetic — not SQL-portable — which is
+    exactly why the contract is shaped this way.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    flags = bloom_decontaminate(docs, lambda c: c < 50)
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.col("contaminated_exact").cast("long")).alias("n_flagged_exact"),
+        F.bool_and(
+            ~F.col("contaminated_exact") | F.col("contaminated_bloom")
+        ).alias("no_false_negatives"),
+        (
+            F.sum((F.col("contaminated_bloom") & ~F.col("contaminated_exact")).cast("long"))
+            <= F.count(F.lit(1)) * 0.01
+        ).alias("fp_rate_ok"),
+    )

@@ -177,3 +177,58 @@ def test_dedup_simhash_query_shape(spark, sf_dir):
     out = dedup_simhash(spark, sf_dir)
     assert out.columns == ["doc_id", "simhash"]
     assert out.count() == load_table(spark, sf_dir, "documents").count()
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Docs that share a copied block with the benchmark are flagged by
+    BOTH paths; the bloom path can never miss a doc the exact path
+    flags (a set bit stays set)."""
+    from etl_knlp_spark.operators.dedup import bloom_decontaminate
+
+    bench_text = " ".join(f"benchword{i}" for i in range(80))
+    rows = [(i, bench_text, "en") for i in range(3)]  # benchmark docs
+    # contaminated: carries the full benchmark token stream (79 shared
+    # bigrams — over the copied-block threshold used below)
+    rows += [(100, bench_text + " extra tail tokens here", "en")]
+    # clean: disjoint vocabulary
+    rows += [(101, " ".join(f"clean{i} word{i}" for i in range(60)), "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(docs, lambda c: c < 50, threshold=60).collect()
+    }
+    assert out[100]["contaminated_exact"] and out[100]["contaminated_bloom"]
+    assert not out[101]["contaminated_exact"]
+    assert not out[101]["contaminated_bloom"]
+    for r in out.values():  # superset invariant, every doc
+        assert r["n_shared_bloom"] >= r["n_shared_exact"]
+
+
+def test_bloom_gram_filter_bits_deterministic(spark):
+    """Same gram set -> same literal bit array (the filter must be
+    reproducible across sessions for the oracle contract to hold)."""
+    from etl_knlp_spark.operators.dedup import bloom_gram_filter
+
+    grams = spark.range(200).select((F.col("id") * 7919).alias("gh"))
+    a, _ = bloom_gram_filter(spark, grams)
+    b, _ = bloom_gram_filter(spark, grams)
+    assert str(a) == str(b)
+
+
+def test_bloom_fp_rate_within_budget(spark):
+    """Probing 5k grams NOT in a 1k-gram filter: measured per-gram
+    false-positive rate stays under 10x the analytic bound (~0.1% at
+    these parameters)."""
+    from etl_knlp_spark.operators.dedup import bloom_gram_filter
+
+    bench = spark.range(1000).select((F.col("id") * 2654435761).alias("gh"))
+    bits, contains = bloom_gram_filter(spark, bench)
+    probe = spark.range(1_000_000, 1_005_000).select(
+        (F.col("id") * 2654435761).alias("gh")
+    )
+    hits = (
+        probe.withColumn("__bloom_bits", bits)
+        .filter(contains("gh"))
+        .count()
+    )
+    assert hits / 5000 < 0.01

@@ -35,3 +35,19 @@ def test_salted_join_left_outer(spark):
 def test_run_sql_over_views(spark, sf_dir):
     n = run_sql(spark, sf_dir, "SELECT COUNT(*) AS n FROM lineitem").first()["n"]
     assert n > 0
+
+
+def test_recursive_cte_spine_is_gap_free(spark, sf_dir):
+    """The recursive month spine is contiguous: every month between
+    min and max appears exactly once, months with no orders included
+    (count 0) — the densification a plain GROUP BY cannot produce."""
+    from etl_knlp_spark.functions.sql_surface import recursive_cte
+
+    rows = recursive_cte(spark, sf_dir).collect()
+    months = sorted(r["month_start"] for r in rows)
+    assert len(months) == len(set(months))  # exactly once
+    for a, b in zip(months, months[1:]):
+        nxt = (a.year, a.month % 12 + 1) if a.month < 12 else (a.year + 1, 1)
+        assert (b.year, b.month) == nxt  # no gaps
+    assert all(r["n_orders"] >= 0 for r in rows)
+    assert sum(r["n_orders"] for r in rows) > 0
