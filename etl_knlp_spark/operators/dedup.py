@@ -868,3 +868,96 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.count(F.lit(1)) * 0.01
         ).alias("fp_rate_ok"),
     )
+
+
+# ---- Segment-level (CCNet-style) dedup ------------------------------------
+
+_SEG_TOKENS = 50
+
+
+@query(
+    "dedup_segments",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), seg AS (
+      SELECT doc_id, i,
+             array_to_string(t[(i*{_SEG_TOKENS}+1):(i*{_SEG_TOKENS}+{_SEG_TOKENS})], ' ') AS seg
+      FROM toks,
+           unnest(generate_series(0, CAST(ceil(len(t)/{_SEG_TOKENS}.0) AS INT) - 1)) AS u(i)
+      WHERE len(t) >= 1
+    ), hot AS (
+      SELECT md5(seg) AS h FROM seg GROUP BY md5(seg)
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), marked AS (
+      SELECT s.doc_id, s.i, s.seg,
+             (h.h IS NOT NULL) AS boiler
+      FROM seg s LEFT JOIN hot h ON md5(s.seg) = h.h
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(COALESCE(SUM(CASE WHEN boiler THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_boilerplate,
+           md5(COALESCE(string_agg(seg, ' ' ORDER BY i) FILTER (WHERE NOT boiler), ''))
+             AS clean_digest
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style segment-level dedup: chunk each document into
+    fixed {n}-token segments, hash each segment, and drop EVERY
+    instance of any segment that appears in ≥ 2 distinct documents —
+    the standard boilerplate-removal pass (headers, license blocks,
+    navigation chrome repeat across pages; prose doesn't). Whole-doc
+    dedup misses these because the surrounding text differs.
+
+    Output is one row per doc: segment counts plus the md5 of the
+    re-joined retained text, so the oracle verifies the actual
+    reconstruction, not just the counts.
+
+    Scale: segments shuffle ONCE on their hash for the distinct-doc
+    count (partial-aggregated map-side); the hot-hash set joins back
+    by hash (AQE broadcasts it when small, as it is in practice —
+    boilerplate is a tiny fraction of distinct segments). Per-doc
+    reassembly groups on doc_id — the one unavoidable shuffle of the
+    segment text. No driver state, no UDFs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 1)
+    n_seg = F.ceil(F.size("t") / float(_SEG_TOKENS)).cast("int")
+    segs = base.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_seg - F.lit(1))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.concat_ws(
+            " ", F.slice("t", F.col("i") * _SEG_TOKENS + 1, _SEG_TOKENS)
+        ).alias("seg"),
+    )
+    segs = segs.withColumn("h", F.md5("seg"))
+    hot = (
+        segs.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(True).alias("boiler"))
+    )
+    marked = segs.join(hot, "h", "left").withColumn(
+        "boiler", F.coalesce("boiler", F.lit(False))
+    )
+    kept_struct = F.when(~F.col("boiler"), F.struct("i", "seg"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("boiler").cast("long")).alias("n_boilerplate"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)), lambda x: x["seg"]
+                ),
+            )
+        ).alias("clean_digest"),
+    )

@@ -137,3 +137,70 @@ def inter_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_s").alias("max_gap_s"),
         F.avg("gap_s").alias("avg_gap_s"),
     )
+
+
+@query(
+    "sessionize_batch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR date_diff('second',
+                                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                 ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT)                     AS session_id,
+           CAST(COUNT(*) AS BIGINT)                       AS n_events,
+           MIN(ts)                                        AS session_start,
+           MAX(ts)                                        AS session_end,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (30-min inactivity boundary):
+    mark session starts with a lag window, number sessions with a
+    running sum, aggregate per session. The batch twin of the
+    streaming `stream_session_window` — same semantics, replayable
+    over history.
+
+    Determinism: the running sum needs a TOTAL order, so both engines
+    window on (ts, event_id) — ties on ts alone would mis-assign
+    boundary events nondeterministically. Scale: two windows + one
+    groupBy, all partitioned by user_id — a single shuffle of the
+    event stream, no driver state.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0).alias("new_sess"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_s"),
+    )

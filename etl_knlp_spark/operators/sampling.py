@@ -127,3 +127,65 @@ def sample_stratified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified(
         docs.select("doc_id", "lang"), "doc_id", "lang", {"en": 50}
     )
+
+
+def uniform_by_hash(key: Column) -> Column:
+    """Deterministic uniform in [0, 1): first 8 md5 hex digits of the
+    key as a 32-bit int over 2^32. Exact dyadic rational — engines
+    computing the same digest get the same double, bit for bit. The
+    per-row coin for weighted sampling (`rand()` is neither stable
+    under re-runs nor cross-engine checkable)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+
+
+def sample_importance(df: DataFrame, key_col: str, weight: Column) -> DataFrame:
+    """Importance sampling: keep each row with probability equal to its
+    weight in [0, 1] — the quality-weighted downsampling step between
+    scoring and training (high-quality docs survive, low-quality docs
+    thin out proportionally). Map-side filter, no shuffle; re-runs and
+    engine ports keep the SAME rows because the coin is the key digest.
+    """
+    return df.filter(uniform_by_hash(F.col(key_col)) < weight)
+
+
+@query(
+    "sample_importance",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             LEAST(n_chars / 500.0, 1.0) * 0.5
+               + LEAST(len(list_filter(toks, x -> x IN ('the', 'a'))) * 5.0
+                       / len(toks), 1.0) * 0.5 AS quality
+      FROM t
+    )
+    SELECT doc_id, quality
+    FROM scored
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0 < quality
+    """,
+)
+def sample_importance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sample of `documents`: the keep
+    probability is the `quality_score` heuristic (same expression —
+    length + stopword-density mix in [0, 1]), the coin is the doc_id
+    digest. Both sides are exact IEEE arithmetic on identical inputs,
+    so even the float comparison is engine-portable and the kept set
+    hash-verifies."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    quality = (
+        F.least(F.col("n_chars") / 500.0, F.lit(1.0)) * 0.5
+        + F.least(n_stop * 5.0 / n_tok, F.lit(1.0)) * 0.5
+    )
+    return sample_importance(
+        docs.select("doc_id", quality.alias("quality")), "doc_id", F.col("quality")
+    )

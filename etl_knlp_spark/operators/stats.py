@@ -239,3 +239,40 @@ def regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
     )
+
+
+@query(
+    "approx_percentile_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT)                        AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)   AS exact_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4)  AS exact_p99,
+           TRUE AS p50_within_1pct,
+           TRUE AS p99_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles contract (assertion-style oracle, like
+    `approx_distinct`): `approx_percentile` with accuracy 10000 is the
+    constant-memory quantile path at 100 TB — exact percentile must
+    buffer each group's full value multiset, the sketch holds ~10k
+    centroids per group no matter the row count and merges
+    associatively map-side. Sketch internals are engine-specific, so
+    the contract row carries the EXACT percentiles (hash-compared
+    against DuckDB's quantile_cont) plus booleans pinning the sketch
+    to within 1% relative error of exact, which the oracle fixes TRUE.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_p50 = F.expr("percentile(l_extendedprice, 0.5)")
+    exact_p99 = F.expr("percentile(l_extendedprice, 0.99)")
+    apx_p50 = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+    apx_p99 = F.expr("approx_percentile(l_extendedprice, 0.99, 10000)")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact_p50, 4).alias("exact_p50"),
+        F.round(exact_p99, 4).alias("exact_p99"),
+        (F.abs(apx_p50 - exact_p50) / exact_p50 <= 0.01).alias("p50_within_1pct"),
+        (F.abs(apx_p99 - exact_p99) / exact_p99 <= 0.01).alias("p99_within_1pct"),
+    )

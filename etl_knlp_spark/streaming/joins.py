@@ -1,0 +1,109 @@
+"""Stream-stream joins (SURVEY.md §2.10 extension — the reference has
+no streaming at all; this is the north-star operator Structured
+Streaming is uniquely good at).
+
+`view_purchase_attribution` joins two live event streams — views and
+purchases — on user within a 1-hour attribution window. Both sides
+carry watermarks, so the join state store evicts rows once the other
+side can no longer produce a match: the state bound is
+(watermark delay + join window) of traffic per side, NOT the full
+stream history. That bound is what makes a stream-stream join runnable
+forever at 100 TB/day; without the time-range condition + watermarks,
+state grows without limit and the job dies by memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over events.parquet. ts is parquet
+    TIMESTAMP(NANOS) (catalog.load_table has the full story): read as
+    long via the legacy conf, integer-divide to µs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING, ts BIGINT"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def view_purchase_attribution(
+    views: DataFrame, purchases: DataFrame, window: str = "1 hour"
+) -> DataFrame:
+    """Inner stream-stream join: each purchase matched to every view by
+    the same user in the preceding ``window``. Inputs must be streaming
+    DataFrames with (user_id, event_id, ts); watermarks are applied
+    here so state eviction is part of the operator, not the caller's
+    problem."""
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", "2 hours")
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", "2 hours")
+    return v.join(
+        p,
+        F.expr(
+            f"""user_id = p_user_id
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + INTERVAL {window}"""
+        ),
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '1 hour'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, hash-verified END TO END: run
+    `view_purchase_attribution` as a REAL micro-batch job (two parquet
+    file-source streams → watermarked interval join → memory sink,
+    availableNow trigger). On bounded input the matched set equals the
+    batch SQL join — which IS expressible — so the streaming join path
+    gets a DuckDB oracle rather than a rows-only check. The oracle
+    compares timestamps at µs precision on both sides (same truncation
+    as the engine's ns→µs cast) so the window boundary can't straddle
+    sub-µs residue.
+    """
+    import tempfile
+    import uuid
+
+    src_v = _event_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    src_p = _event_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    sink = f"stream_join_{uuid.uuid4().hex[:12]}"
+    q = (
+        view_purchase_attribution(src_v, src_p)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="etl_knlp_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

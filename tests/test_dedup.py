@@ -232,3 +232,35 @@ def test_bloom_fp_rate_within_budget(spark):
         .count()
     )
     assert hits / 5000 < 0.01
+
+
+def test_dedup_segments_drops_shared_block(spark):
+    """A 50-token block copied into two documents is flagged as
+    boilerplate in BOTH; the clean digest equals the md5 of each doc's
+    text with the block removed."""
+    import hashlib
+
+    from etl_knlp_spark.operators.dedup import dedup_segments
+    from etl_knlp_spark.catalog import load_table  # noqa: F401 (convention)
+
+    block = " ".join(f"boiler{i}" for i in range(50))
+    a_tail = " ".join(f"uniquea{i}" for i in range(50))
+    b_tail = " ".join(f"uniqueb{i}" for i in range(50))
+    rows = [
+        (1, block + " " + a_tail, "en"),
+        (2, block + " " + b_tail, "en"),
+        (3, " ".join(f"solo{i}" for i in range(70)), "en"),
+    ]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="segtest_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in dedup_segments(spark, d).collect()}
+    assert out[1]["n_boilerplate"] == 1 and out[2]["n_boilerplate"] == 1
+    assert out[3]["n_boilerplate"] == 0
+    assert out[1]["clean_digest"] == hashlib.md5(a_tail.encode()).hexdigest()
+    assert out[2]["clean_digest"] == hashlib.md5(b_tail.encode()).hexdigest()
+    # untouched doc reconstructs to its full (segment-joined) text
+    assert out[3]["n_segments"] == 2

@@ -43,3 +43,18 @@ def test_split_percent_validation(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="sum to 100"):
         split_by_hash(docs, "doc_id", {"train": 50, "test": 40})
+
+
+def test_sample_importance_weight_extremes(spark):
+    """Weight 1 keeps every row, weight 0 keeps none, and the kept set
+    is identical across runs (digest coin, not rand())."""
+    from etl_knlp_spark.operators.sampling import sample_importance
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    assert sample_importance(df, "doc_id", F.lit(1.0)).count() == 500
+    assert sample_importance(df, "doc_id", F.lit(0.0)).count() == 0
+    half = F.lit(0.5)
+    a = {r["doc_id"] for r in sample_importance(df, "doc_id", half).collect()}
+    b = {r["doc_id"] for r in sample_importance(df, "doc_id", half).collect()}
+    assert a == b
+    assert 150 < len(a) < 350  # ~binomial(500, 0.5)

@@ -130,3 +130,54 @@ def test_stream_static_join_equals_batch(spark, events_json_dir):
     }
     got = {(r["event_id"], r["category"]) for r in streamed.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_stream_stream_join_attribution_window(spark, sf_dir):
+    """The real micro-batch stream-stream join: every emitted pair
+    respects the attribution window, and the matched set equals the
+    batch interval join on the same bounded input."""
+    from etl_knlp_spark.streaming.joins import stream_stream_join
+
+    got = stream_stream_join(spark, sf_dir).collect()
+    assert len(got) > 0
+    for r in got:
+        delta = (r["purchase_ts"] - r["view_ts"]).total_seconds()
+        assert 0 <= delta <= 3600
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = v.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    assert {(r["view_id"], r["purchase_id"]) for r in got} == {
+        (r["view_id"], r["purchase_id"]) for r in batch.collect()
+    }
+
+
+def test_sessionize_batch_gap_invariants(spark, sf_dir):
+    """No session spans a >30-min internal gap, and consecutive
+    sessions of one user are separated by >30 min (else they'd be one
+    session)."""
+    from etl_knlp_spark.operators.events import sessionize_batch
+
+    rows = sessionize_batch(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+        assert r["duration_s"] >= 0
+        assert r["n_events"] >= 1
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r["session_start"])
+        for a, b in zip(sess, sess[1:]):
+            gap = (b["session_start"] - a["session_end"]).total_seconds()
+            assert gap > 1800
