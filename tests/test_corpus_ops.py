@@ -112,3 +112,16 @@ def test_decontaminate_flags_benchmark_copy(spark, sf_dir):
     # the maximal contamination signal (the absolute threshold in the
     # registry query is calibrated for the sf0.01+ doc lengths)
     assert n == n_own and n > 0
+
+
+def test_vocab_zipf_invariants(spark, sf_dir):
+    """Ranks are contiguous from 1, counts non-increasing, cumulative
+    share monotone and ≤ 1."""
+    from etl_knlp_spark.operators.analysis import vocab_zipf
+
+    rows = sorted(vocab_zipf(spark, sf_dir).collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a["ct"] >= b["ct"] for a, b in zip(rows, rows[1:]))
+    shares = [r["cum_share"] for r in rows]
+    assert all(a < b for a, b in zip(shares, shares[1:]))
+    assert shares[-1] <= 1.0 + 1e-12

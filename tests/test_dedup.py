@@ -264,3 +264,45 @@ def test_dedup_segments_drops_shared_block(spark):
     assert out[2]["clean_digest"] == hashlib.md5(b_tail.encode()).hexdigest()
     # untouched doc reconstructs to its full (segment-joined) text
     assert out[3]["n_segments"] == 2
+
+
+def test_jaccard_prefix_equals_unfiltered_exact(spark, sf_dir):
+    """Prefix filtering is lossless: at the same threshold, the
+    candidate-pruned join returns exactly the pairs of the naive
+    inverted-index join with no DF cap."""
+    from etl_knlp_spark.operators.dedup import (
+        dedup_jaccard_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_jaccard_prefix(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df_frac=1.0).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_jaccard_prefix_finds_planted_pair(spark):
+    """A planted 80%-overlap pair survives prefix pruning even when a
+    hot gram (present in EVERY doc) would have dominated the naive
+    index."""
+    import tempfile
+
+    from etl_knlp_spark.operators.dedup import dedup_jaccard_prefix
+
+    shared = " ".join(f"w{i}" for i in range(40))
+    rows = [(1, "hot pad " + shared, "en"), (2, "hot pad " + shared + " tail9 tail8", "en")]
+    rows += [(i, "hot pad " + " ".join(f"u{i}x{j}" for j in range(30)), "en") for i in range(3, 40)]
+    d = tempfile.mkdtemp(prefix="pftest_")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    out = {(r["doc_a"], r["doc_b"]) for r in dedup_jaccard_prefix(spark, d).collect()}
+    assert (1, 2) in out
+    # unrelated docs share only the hot 'hot pad' grams -> far below 0.5
+    assert all(p == (1, 2) for p in out)

@@ -71,3 +71,24 @@ def test_lsh_results_are_true_neighbors(spark, sf_dir, brute_topk):
     assert recall_hits > 0
     corpus = {r["vec_id"] for r in load_table(spark, sf_dir, "embeddings").collect()}
     assert {r["vec_id"] for r in got} <= corpus
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """Dequantized codes reconstruct every dimension within scale/2,
+    codes stay in [-127, 127], and a zero vector quantizes safely."""
+    from etl_knlp_spark.operators.similarity import quantize_symmetric_int8
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [1e-6, 2e-6, -1e-6, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_symmetric_int8(df).collect()}
+    for vid, r in out.items():
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        for c, x in zip(r["codes"], r["embedding"]):
+            assert abs(c * r["scale"] - x) <= r["scale"] / 2 + 1e-12
+    assert out[3]["scale"] == 0.0 and out[3]["codes"] == [0, 0, 0, 0]
+    # full-scale dimension maps to ±127 exactly
+    assert min(out[1]["codes"]) == -127

@@ -181,3 +181,28 @@ def test_sessionize_batch_gap_invariants(spark, sf_dir):
         for a, b in zip(sess, sess[1:]):
             gap = (b["session_start"] - a["session_end"]).total_seconds()
             assert gap > 1800
+
+
+def test_stream_stream_outer_join_emits_proven_no_match(spark, sf_dir):
+    """Null-purchase rows appear exactly for views the watermark proved
+    unmatched (below the bounded-input cutoff); matched rows respect
+    the attribution window."""
+    from etl_knlp_spark.streaming.joins import stream_stream_outer_join
+
+    rows = stream_stream_outer_join(spark, sf_dir).collect()
+    matched = [r for r in rows if r["purchase_id"] is not None]
+    unmatched = [r for r in rows if r["purchase_id"] is None]
+    assert matched and unmatched
+    for r in matched:
+        assert 0 <= (r["purchase_ts"] - r["view_ts"]).total_seconds() <= 3600
+    # an unmatched view emits only after the watermark proves no match
+    # can arrive: its view_ts sits ≥ 3h behind the newest event in the
+    # whole stream (watermark delay 2h + join window 1h)
+    horizon = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    for r in unmatched:
+        assert r["purchase_ts"] is None
+        assert (horizon - r["view_ts"]).total_seconds() > 3 * 3600
+    # a matched view never also emits a null row
+    assert {r["view_id"] for r in unmatched}.isdisjoint(
+        {r["view_id"] for r in matched}
+    )

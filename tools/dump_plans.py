@@ -76,6 +76,35 @@ SHOWCASE = {
         "expressions — a single scan-project, zero exchanges: the "
         "cheapest possible shape for a full-corpus quality pass."
     ),
+    "dedup_jaccard_prefix": (
+        "Prefix-filtered EXACT Jaccard (AllPairs/PPJoin): only the "
+        "rarest (1−t)·n grams per doc enter the self-join (df-ascending "
+        "canonical order), so hot grams generate zero candidates — the "
+        "inverted-index O((p·N)²) blow-up never happens, with no "
+        "approximation. Verification is one sorted-array intersect per "
+        "surviving candidate. Every join keys on 8-byte gram hashes / "
+        "doc ids; nothing corpus-sized broadcasts."
+    ),
+    "embedding_quantize": (
+        "int8 quantization as a single scan-project of codegen'd "
+        "higher-order expressions — zero exchanges, no UDF. The "
+        "payload this produces is what LSH-band / IVF-probe joins "
+        "shuffle instead of float32: 4× less network at 100 TB."
+    ),
+    "layout_zorder": (
+        "Morton-code clustering: the bit-interleave cascade is pure "
+        "integer codegen on the scan, then one partial-aggregated "
+        "groupBy over coarse z-buckets. Written z-ordered "
+        "(write_zordered), every parquet file is narrow in BOTH filter "
+        "dimensions — min/max file skipping works on either axis."
+    ),
+    "vocab_zipf": (
+        "Global top-100 tokens WITHOUT a global sort: counts "
+        "partial-aggregate map-side, TakeOrderedAndProject ships each "
+        "partition's local top-100, and the rank/cumsum window runs on "
+        "100 rows. The full vocabulary never converges on one "
+        "partition."
+    ),
 }
 
 
