@@ -228,3 +228,452 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
     )
+
+
+@query(
+    "q4_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority check): correlated EXISTS over
+    the fact table → per-priority counts. The schema here has no
+    l_commitdate/l_receiptdate, so "late" is shipdate > orderdate + 60
+    days — same correlated-predicate shape. Spark plans the EXISTS as
+    a left-semi hash join on o_orderkey with the date comparison as a
+    residual condition; the orders date filter pushes to the scan, so
+    the probe side is one year of orders, not the table. Counts are
+    exact integers — no rounding needed."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q7_nation_trade",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l.l_shipdate)::BIGINT AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bidirectional two-nation
+    trade flow by ship year. The same dim table (nation) joins twice
+    under different roles — supplier side and customer side — and the
+    disjunctive nation-pair predicate can only be evaluated after
+    both are attached. Both nation joins broadcast (25 rows); the
+    only real shuffle at scale is lineitem⋈orders. The date range
+    pushes to the lineitem scan."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.round(_revenue(), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q12_late_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(COUNT(*) FILTER (o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                AS BIGINT) AS high_line_count,
+           CAST(COUNT(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode / priority split): join with a
+    non-equi residual (shipped >30 days after ordering), then
+    conditional counts split one pass into high/low priority — the
+    CASE-inside-aggregate idiom that avoids scanning twice. The
+    schema has no l_shipmode, so l_linestatus plays the grouping
+    role. Counts are exact."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with the filter in the JOIN CONDITION (not WHERE — moving it
+    would silently drop zero-order customers), then a second
+    aggregation over the first's result. Two chained shuffles by
+    design; the first groups on the join key so AQE coalesces it into
+    the join exchange. Counts exact."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy(F.col("c_count").cast("bigint").alias("c_count"))
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+    WITH sums AS (
+      SELECT
+        ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                  THEN l.l_extendedprice * (1 - l.l_discount) END), 2)
+          AS promo_revenue,
+        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+          AS total_revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    )
+    SELECT promo_revenue, total_revenue,
+           ROUND(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+    FROM sums
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): conditional-sum ratio over
+    one month of shipments. Determinism: the ratio divides the two
+    ROUNDED sums (round-then-divide, in both engines) — dividing raw
+    shuffled double sums would differ in the last ulp across engines
+    and the final rounding could flip. The month filter pushes to the
+    lineitem scan; part broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sums = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)), 2).alias(
+                "promo_revenue"
+            ),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+    return sums.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_pct"),
+    )
+
+
+@query(
+    "q17_small_quantity",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT)        AS cnt_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN per_part a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size < 10
+      AND CAST(l.l_quantity AS BIGINT) * 5 * a.cnt_qty < a.sum_qty
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the classic
+    correlated aggregate — lineitems below 20% of their part's average
+    quantity. Determinism: `q < 0.2 * AVG(q)` is rewritten to the
+    integer inequality `5*q*cnt < sum` (quantities are integral, so
+    the sums are exact in both engines and no float boundary exists).
+    The per-part aggregate partial-aggregates map-side and joins back
+    on l_partkey; the brand/size filter prunes the part side before
+    the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10)
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("a_partkey"))
+        .filter(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("cnt_qty")
+            < F.col("sum_qty")
+        )
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_filter",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three
+    brand/size/quantity conjunctions OR'd together across two tables.
+    The optimizer test: Catalyst factors the single-table parts of
+    the disjunction and pushes `p_size BETWEEN 1 AND 15` (the union
+    of the size ranges) and the quantity hull to the scans, instead
+    of evaluating the whole predicate post-join. Part broadcasts;
+    sums round at 2."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & q.between(1, 11)
+        | (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & q.between(10, 20)
+        | (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & q.between(20, 30)
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .filter(cond)
+        .agg(
+            F.round(_revenue(), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    hardest subquery shape in the suite — the fact table referenced
+    three times, once positively (EXISTS: multi-supplier order) and
+    once negatively (NOT EXISTS: no OTHER supplier was also late),
+    both correlated on the outer row's orderkey AND suppkey, with the
+    NOT EXISTS also correlated through the orders row's date. Spark
+    plans these as a left-semi and a left-anti hash join on
+    l_orderkey with the suppkey/date conditions as residuals — three
+    scans of lineitem, no nested loops. "Late" = shipped >60 days
+    after ordering (schema has no receiptdate/commitdate)."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    late1 = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .filter(
+            F.col("l1.l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+    )
+    multi = late1.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    only_late = multi.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_anti",
+    )
+    return (
+        only_late.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q22_idle_balances",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * pos.n_pos > pos.sum_cents
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-customer opportunity): a scalar
+    aggregate subquery (average positive balance) gates the outer
+    scan, combined with NOT EXISTS (customers with no urgent orders —
+    every sf0.01 customer has SOME order, so the classic "no orders"
+    filter would be empty). Determinism: `bal > AVG(bal)` is
+    rewritten exactly — balances are 2-decimal, so compare integer
+    cents: `cents * n > sum_cents`; the group sums are also summed
+    as cents then divided once, bit-identical across engines. The
+    scalar subquery broadcasts (one row); the anti-join is the only
+    shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(cents).alias("sum_cents"), F.count(F.lit(1)).alias("n_pos")
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(cents * F.col("n_pos") > F.col("sum_cents"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents) / 100.0).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

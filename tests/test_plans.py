@@ -130,3 +130,35 @@ def test_salting_flattens_partition_distribution(spark):
     )
     assert plain_max >= 9_000  # the hot key concentrates on one reducer
     assert salted_max <= plain_max / 4  # salting spreads it ≥4× thinner
+
+
+def test_q4_exists_plans_as_semi_join(plans):
+    # correlated EXISTS must become one semi hash join pass, never a
+    # nested-loop or an aggregate-then-join rewrite
+    assert "LeftSemi" in plans("q4_priority_check")
+
+
+def test_q21_triple_reference_plans_as_semi_plus_anti(plans):
+    p = plans("q21_waiting_suppliers")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    # top-k, not a global sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q17_correlated_avg_partial_aggregates(plans):
+    p = plans("q17_small_quantity")
+    # the per-part aggregate combines map-side before its exchange
+    assert p.count("HashAggregate") >= 2
+    # brand/size-filtered part side broadcasts
+    assert "BroadcastHashJoin" in p
+
+
+def test_q19_disjunction_prunes_part_scan(plans):
+    p = plans("q19_disjunctive_filter")
+    # Catalyst factors the disjunction: the part scan must carry SOME
+    # pushed predicate (the brand/size hull), not scan the whole table
+    assert "PushedFilters: [" in p
+    assert "p_brand" in p.split("part.parquet")[0].split("PushedFilters")[-1] or (
+        "In(p_brand" in p or "Or(EqualTo(p_brand" in p
+    )
