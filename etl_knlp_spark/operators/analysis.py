@@ -452,3 +452,54 @@ def vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+@query(
+    "inverted_index",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT)               AS total_tf,
+           array_to_string(list_sort(list(DISTINCT doc_id))[1:20], ',')
+             AS posting_head
+    FROM t
+    GROUP BY token
+    HAVING COUNT(DISTINCT doc_id) >= 5
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → (document frequency, total term
+    frequency, head of the sorted posting list). The core of search
+    over a corpus, and the shape every dedup/decontamination pass
+    reuses (posting lists ARE the n-gram→doc map). One explode + one
+    groupBy: Spark partial-aggregates the counts map-side; the
+    posting head is collect_set bounded to 20 ids AFTER sorting, so
+    no group materializes an unbounded list in the result (at 100 TB
+    you'd write full postings as grouped parquet instead — the
+    aggregation shape is identical). The df >= 5 floor keeps the
+    long-tail hapax tokens out of the result; serialized as a
+    comma-joined string because registry outputs must be scalar
+    columns (driver canonicalizer contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_tf"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.array_sort(F.collect_set("doc_id")), 1, 20),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("posting_head"),
+        )
+        .filter(F.col("n_docs") >= 5)
+    )

@@ -256,3 +256,43 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="etl_knlp_io_orc_") + "/data"
     o.write.orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (mergeSchema): two parquet batches written
+    at different times with different schemas — the second batch added
+    an `o_orderpriority` column — read back as ONE table, with the
+    missing column NULL-filled for old files. This is how a long-lived
+    100 TB dataset actually grows columns: no rewrite of historical
+    files, the reader reconciles per-file footers (mergeSchema pays a
+    footer-read per file at planning; a table-format catalog amortizes
+    it). The oracle reconstructs the same union shape from the source
+    table."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="etl_knlp_io_evo_") + "/data"
+    # batch 1: the original 3-column schema (even keys)
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.parquet(path + "/batch=1")
+    # batch 2: schema grew a column (odd keys)
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).write.parquet(path + "/batch=2")
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(path)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )

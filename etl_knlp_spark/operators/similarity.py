@@ -246,3 +246,64 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("codes").cast("int").alias("code_max"),
         (dequant_err <= F.col("scale") * 0.5000001).alias("err_ok"),
     )
+
+
+@query(
+    "fuzzy_join_names",
+    oracle="""
+    SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+           a.p_name AS name1, b.p_name AS name2,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+)
+def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string self-join (entity resolution): part names within
+    edit distance 1 of each other. The scale shape: NEVER evaluate
+    levenshtein all-pairs — a cheap equi-joinable blocking key (here
+    (brand, head noun)) turns the O(n²) comparison into a shuffle-hash
+    join on the block key with the edit-distance test as a residual
+    inside each block. Block granularity is the recall/cost knob:
+    pair count grows quadratically in block size, so a production run
+    adds key components (or length bands) until the largest block is
+    bounded; pairs disagreeing on the block key are unseen by
+    construction. The blocking is mirrored exactly in the oracle. Both engines
+    implement classic unweighted Levenshtein, so the distance — and
+    the pair set — is integer-exact. Ref parity: the reference has no
+    fuzzy matching; this is the dedup-adjacent surface a training-data
+    pipeline needs for near-identical titles/names."""
+    p = load_table(spark, sf_dir, "part")
+    block = F.element_at(F.split(F.col("p_name"), " "), 2)
+    a = p.select(
+        F.col("p_partkey").alias("k1"),
+        F.col("p_name").alias("name1"),
+        F.col("p_brand").alias("brand1"),
+        block.alias("block1"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("k2"),
+        F.col("p_name").alias("name2"),
+        F.col("p_brand").alias("brand2"),
+        block.alias("block2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("block1") == F.col("block2"))
+            & (F.col("brand1") == F.col("brand2"))
+            & (F.col("k1") < F.col("k2")),
+        )
+        .filter(F.levenshtein("name1", "name2") <= 1)
+        .select(
+            "k1",
+            "k2",
+            "name1",
+            "name2",
+            F.levenshtein("name1", "name2").cast("bigint").alias("edit_dist"),
+        )
+    )

@@ -160,6 +160,7 @@ def _load_all() -> None:
         relational,
         sampling,
         similarity,
+        sketches,
         stats,
         text,
     )

@@ -1,0 +1,72 @@
+"""Count-min sketch, fuzzy join, and inverted index contracts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_knlp_spark.operators.sketches import _EPS, cms_estimate
+from etl_knlp_spark.registry import all_queries
+
+
+def test_cms_never_undercounts_and_respects_bound(spark):
+    rows = [("alpha",)] * 50 + [("beta",)] * 20 + [("gamma",)] * 3 + [("delta",)] * 1
+    toks = spark.createDataFrame(rows, ["token"])
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ct"))
+    est = cms_estimate(toks, exact.select("token"), "token")
+    joined = {
+        r["token"]: (r["ct"], r["cms_est"])
+        for r in exact.join(est, "token").collect()
+    }
+    n = len(rows)
+    assert set(joined) == {"alpha", "beta", "gamma", "delta"}
+    for ct, e in joined.values():
+        assert e >= ct  # CMS theorem: counters only over-count
+        assert e <= ct + _EPS * n + 1  # bound holds w.h.p. (deterministic here)
+
+
+def test_fuzzy_join_matches_bruteforce(spark, sf_dir):
+    got = {
+        (r["k1"], r["k2"])
+        for r in all_queries()["fuzzy_join_names"](spark, sf_dir).collect()
+    }
+
+    import itertools
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_partkey", "p_name", "p_brand")
+        .collect()
+    )
+    want = set()
+    for a, b in itertools.combinations(
+        sorted(parts, key=lambda r: r["p_partkey"]), 2
+    ):
+        same_block = (
+            a["p_brand"] == b["p_brand"]
+            and a["p_name"].split(" ")[1] == b["p_name"].split(" ")[1]
+        )
+        if same_block and lev(a["p_name"], b["p_name"]) <= 1:
+            want.add((a["p_partkey"], b["p_partkey"]))
+    assert got == want
+
+
+def test_inverted_index_bounded_postings(spark, sf_dir):
+    rows = all_queries()["inverted_index"](spark, sf_dir).collect()
+    assert rows  # common tokens exist at every SF
+    for r in rows:
+        ids = [int(x) for x in r["posting_head"].split(",")]
+        assert len(ids) <= 20
+        assert ids == sorted(ids)
+        assert len(ids) == min(r["n_docs"], 20)
+        assert r["total_tf"] >= r["n_docs"] >= 5
