@@ -1,10 +1,13 @@
 """TPC-H-style showcase analytics (adapted to the driver's star schema).
 
 The reference's only query is a 3-table left join (dag-knlp.py:65-80);
-these three classics prove the engine on the harder shapes an analytics
-user actually runs — selective multi-way joins, grouped revenue
-aggregation, and deterministic top-k — with Catalyst choosing join
-order/strategy and AQE re-planning at runtime.
+this module proves the engine on every harder shape an analytics user
+actually runs — ALL 22 TPC-H query shapes are adapted to this schema
+(q1-q22; partsupp-dependent ones substitute lineitem as the
+part↔supplier bridge and p_retailprice-derived cost), with Catalyst
+choosing join order/strategy and AQE re-planning at runtime. Each
+docstring names the shape's scale-critical plan property; the load-
+bearing ones are pinned in tests/test_plans.py.
 
 Determinism note: revenue is a shuffled double sum, so ordering ranks
 on the ROUNDED value with a unique key tiebreak on both engine and
@@ -13,7 +16,7 @@ oracle (unrounded fp sums differ in the last ulp across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -676,4 +679,418 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents) / 100.0).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT)                          AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                           AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                                    AS sum_charge,
+           ROUND(CAST(SUM(l_quantity) AS BIGINT) * 1.0 / COUNT(*), 6)   AS avg_qty,
+           ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*), 6)      AS avg_price,
+           ROUND(ROUND(SUM(l_discount), 4) / COUNT(*), 6)          AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): THE canonical scan-heavy
+    aggregate — one pass over ~all of lineitem, eight aggregates, a
+    4-group output. The plan to demand: predicate pushed to the scan,
+    whole-stage-codegen'd partial HashAggregate doing ~all the work
+    map-side, a 4-row exchange, final aggregate. Determinism: every
+    AVG is round-then-divide (exact integer sum for qty, 2/4-dp
+    rounded sums for price/discount divided by the exact count) —
+    dividing raw shuffled double sums would flip the 6th decimal
+    across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum("l_quantity").cast("bigint") * 1.0 / cnt, 6).alias("avg_qty"),
+            F.round(F.round(F.sum("l_extendedprice"), 2) / cnt, 6).alias("avg_price"),
+            F.round(F.round(F.sum("l_discount"), 4) / cnt, 6).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+           c.unit_cost
+    FROM part p
+    JOIN cost c     ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+      AND c.unit_cost = (
+        SELECT MIN(c2.unit_cost) FROM cost c2
+        WHERE c2.l_partkey = p.p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying
+    part, the supplier(s) achieving its minimum unit cost — the
+    correlated-MIN subquery pattern. The schema has no partsupp, so
+    observed unit cost (extendedprice/quantity, aggregated per
+    part+supplier from lineitem) plays ps_supplycost. Determinism:
+    the floats are never summed — MIN over per-row divisions of
+    identical doubles is bit-identical in both engines, so the
+    equality against the correlated minimum selects the same rows.
+    Spark expresses the correlation as a window MIN over the
+    per-part+supplier aggregate — one shuffle, no self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        p.join(best, p.p_partkey == best.l_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate)::BIGINT AS o_year,
+             ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN l.l_extendedprice * (1 - l.l_discount) END), 2)
+               AS nation_volume,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS total_volume
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    )
+    SELECT o_year,
+           ROUND(COALESCE(nation_volume, 0) / total_volume, 6) AS mkt_share
+    FROM vol ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's share of
+    regional order volume per year — an 8-table join where nation
+    attaches TWICE (customer's nation restricts the market to a
+    region; supplier's nation is the share numerator), then a
+    conditional-sum ratio. All dims broadcast; lineitem⋈orders is the
+    only at-scale shuffle. Ratio divides the two ROUNDED sums (the
+    repo's cross-engine determinism rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    cn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(r, F.col("cn_region") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)), 2
+            ).alias("nation_volume"),
+            F.round(F.sum(rev), 2).alias("total_volume"),
+        )
+    )
+    return vol.select(
+        "o_year",
+        F.round(
+            F.coalesce(F.col("nation_volume"), F.lit(0.0)) / F.col("total_volume"), 6
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           EXTRACT(YEAR FROM o.o_orderdate)::BIGINT AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier
+    nation per year over a name-matched part subset. The schema has
+    no partsupp, so cost is modeled as 60% of retail price — the
+    join/aggregate shape (LIKE-filtered part ⋈ fact, dims decorating,
+    two-key group) is what matters. The LIKE pushes to the part scan
+    as a string-contains filter; part then broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@query(
+    "q11_revenue_concentration",
+    oracle="""
+    WITH cents AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT) AS rev_c
+      FROM lineitem
+    ), total AS (
+      SELECT SUM(rev_c) AS total_c,
+             COUNT(DISTINCT l_partkey) AS n_parts
+      FROM cents
+    )
+    SELECT c.l_partkey AS p_partkey,
+           SUM(c.rev_c) / 10000.0 AS part_value
+    FROM cents c, total
+    GROUP BY c.l_partkey, total.total_c, total.n_parts
+    HAVING SUM(c.rev_c) * total.n_parts * 2 > 3 * total.total_c
+    ORDER BY p_partkey
+    """,
+)
+def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): groups whose value exceeds a
+    threshold derived from the GLOBAL total — the
+    scalar-subquery-in-HAVING pattern. The cut is scale-free (parts
+    earning >1.5× the mean part revenue) so the result is non-trivial
+    at every SF, and the compare is exact integer arithmetic
+    (revenue scaled to 10^-4 units, summed as BIGINT,
+    `sum·n_parts > 2·total`) because a float group-sum sitting
+    exactly on the boundary would flip between engines. The global total is one broadcast row; the group
+    aggregate partial-aggregates map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    cents = li.select(F.col("l_partkey"), rev_c.alias("rev_c"))
+    total = cents.agg(
+        F.sum("rev_c").alias("total_c"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return (
+        cents.groupBy("l_partkey")
+        .agg(F.sum("rev_c").alias("part_c"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("part_c") * F.col("n_parts") * 2 > 3 * F.col("total_c"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("part_c") / 10000.0).alias("part_value"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the view-then-self-reference shape —
+    a derived per-supplier revenue relation used twice, once as the
+    join input and once reduced to its MAX for the filter. Spark
+    reuses one DataFrame for both roles (and the MAX is a one-row
+    broadcast, not a rescan, under AQE subquery reuse). Equality on
+    the double is safe because both sides compare the SAME
+    round-to-2 values computed by each engine consistently."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(_revenue(), 2).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_part_types",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part profile): COUNT
+    DISTINCT suppliers per (brand, type, size) with a NOT IN
+    blacklist subquery (negative-balance suppliers standing in for
+    the complaints LIKE). The schema has no partsupp, so lineitem is
+    the part↔supplier bridge. NOT IN over a non-nullable key column
+    plans as a broadcast anti-join, NOT the null-paranoid
+    nested-loop — the blacklist is tiny. COUNT DISTINCT expands to a
+    two-level aggregate (distinct-expand then count) with map-side
+    partials at both levels."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(l.l_quantity) > 50)
+    ORDER BY s.s_name
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess volume): doubly-nested
+    IN — suppliers who moved >50 units of some 'small%' part in a
+    year. Both INs become semi joins: part's prefix LIKE pushes to
+    its scan (StringStartsWith reaches PushedFilters) and
+    broadcast-semi-filters lineitem BEFORE the per-(supplier, part)
+    aggregate; the HAVING output is a tiny key set that semi-filters
+    supplier. Quantity sums are integral — the HAVING threshold is
+    exact."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    small = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    movers = (
+        li.join(F.broadcast(small), li.l_partkey == small.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     )

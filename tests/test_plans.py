@@ -162,3 +162,23 @@ def test_q19_disjunction_prunes_part_scan(plans):
     assert "p_brand" in p.split("part.parquet")[0].split("PushedFilters")[-1] or (
         "In(p_brand" in p or "Or(EqualTo(p_brand" in p
     )
+
+
+def test_q1_aggregates_mapside_before_tiny_exchange(plans):
+    p = plans("q1_pricing_summary")
+    # partial + final HashAggregate: ~all work happens before the
+    # 4-group exchange
+    assert p.count("HashAggregate") >= 2
+    assert "PushedFilters" in p
+
+
+def test_q20_prefix_like_pushes_to_part_scan(plans):
+    p = plans("q20_excess_suppliers")
+    assert "StringStartsWith(p_name,small)" in p
+    assert "LeftSemi" in p
+
+
+def test_q16_blacklist_plans_as_broadcast_anti(plans):
+    p = plans("q16_supplier_part_types")
+    assert "LeftAnti" in p
+    assert "Broadcast" in p
