@@ -69,6 +69,22 @@ _STALE_SINCE: dict[str, int] = {
     "udf_tokenize": 3,
 }
 
+# Names that must reach the driver's next sweep ahead of everything
+# else. The never-evidenced pool has outgrown the per-round budget
+# (flagship + 49), so within it, queries that have WAITED — flagged
+# missing by a previous round's verdict — outrank queries registered
+# this round (which can take the following round's slots). Prune
+# entries once their green row lands.
+_SWEEP_PRIORITY: set[str] = {
+    # round-2 verdict "What's missing" list (never driver-evidenced)
+    "stream_dedup_watermark", "tfidf_topterms", "repetition_filter",
+    "decontaminate_ngram", "csv_roundtrip", "orc_roundtrip",
+    "sample_stratified", "regr_agg", "udtf_chunk_text", "lateral_join",
+    # round-2 defect + stale/changed-oracle re-checks
+    "udf_tokenize", "dedup_ngram_jaccard", "approx_distinct",
+    "multimodal_frames", "multimodal_features",
+}
+
 
 def _evidence_rounds() -> dict[str, list[tuple[int, dict]]]:
     """name -> [(round, entry), ...] across all CORRECTNESS_r*.json files."""
@@ -112,11 +128,13 @@ def _sweep_order() -> list[str]:
         if valid:
             # Evidenced: re-verify stalest first so cumulative coverage
             # stays fresh across rounds.
-            return (2, max(valid))
+            return (3, max(valid))
+        if n in _SWEEP_PRIORITY:
+            return (0, 0)
         # Ran but never validly evidenced (ERR row, or rows-only row for
         # a query that has since gained an oracle) before never-ran: a
         # recorded failure is the more urgent signal.
-        return (0, 0) if rows else (1, 0)
+        return (1, 0) if rows else (2, 0)
 
     # sorted() is stable: ties keep registration order.
     return sorted(_REGISTRY, key=key)
