@@ -105,6 +105,33 @@ SHOWCASE = {
         "100 rows. The full vocabulary never converges on one "
         "partition."
     ),
+    "q1_pricing_summary": (
+        "TPC-H Q1, the canonical scan-heavy aggregate: the shipdate "
+        "predicate reaches PushedFilters, all eight aggregates compute "
+        "in the partial HashAggregate inside WholeStageCodegen, and "
+        "the exchange carries 4 groups × partitions — at 100 TB the "
+        "network moves kilobytes."
+    ),
+    "q21_waiting_suppliers": (
+        "The fact table referenced three times (outer + EXISTS + NOT "
+        "EXISTS) planned as one pass each: left-semi and left-anti "
+        "hash joins on l_orderkey with suppkey/date residuals — no "
+        "nested-loop anywhere, and the final top-20 is "
+        "TakeOrderedAndProject, not a global sort."
+    ),
+    "cms_heavy_hitters": (
+        "Count-min sketch built by the aggregation itself: each "
+        "partition's partial HashAggregate over (row, bucket) IS the "
+        "partial sketch, the final aggregate IS the elementwise merge "
+        "— ≤ d·w rows cross the wire regardless of corpus size, and "
+        "estimation joins broadcast cells."
+    ),
+    "fuzzy_join_names": (
+        "Blocked entity resolution: the (brand, noun) equi-block is "
+        "the join key, so Levenshtein runs only inside blocks as a "
+        "join residual — the plan is a hash join, never a cartesian "
+        "BroadcastNestedLoopJoin."
+    ),
 }
 
 
