@@ -699,3 +699,63 @@ def window_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_spend"),
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT o.o_orderkey,
+           n.n_nationkey AS band_id,
+           o.o_totalprice
+    FROM orders o
+    JOIN nation n
+      ON o.o_totalprice >= n.n_nationkey * 20000
+     AND o.o_totalprice <  n.n_nationkey * 20000 + 30000
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi conjunct) made shuffle-joinable by
+    binning — the companion to `join_range`, which relies on its equi
+    key. Without one, Spark's only direct plan is a broadcast
+    nested-loop (O(rows × bands): every row tests every band). The
+    scale rewrite: quantize the range dimension into fixed-width bins,
+    explode each band into the bins it overlaps (an interval of width
+    w covers ≤ ⌈w/bin⌉+1 bins — here 2 rows per band), hash-join
+    points to bands on the bin id, and re-check the exact range as a
+    residual. Cost: a ~2× blowup of the TINY side buys an equi key
+    for the huge side — the standard interval-join strategy
+    (Spark lacks a native one; DuckDB's IEJoin computes the oracle
+    directly). Bands are derived from `nation` (band n spans
+    [20000·n, 20000·n + 30000) — deliberately overlapping, so points
+    can match 2 bands and the bin residual is actually exercised).
+    All band arithmetic is integer; the residual compares an exact
+    int bound against the double price, identically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    width = 20000
+    bands = n.select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey").cast("long") * width).alias("lo"),
+        (F.col("n_nationkey").cast("long") * width + 30000).alias("hi"),
+    )
+    binned_bands = bands.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                (F.col("lo") / width).cast("long"),
+                ((F.col("hi") - 1) / width).cast("long"),
+            )
+        ),
+    )
+    pts = o.select("o_orderkey", "o_totalprice").withColumn(
+        "bin", F.floor(F.col("o_totalprice") / width)
+    )
+    return (
+        pts.join(
+            F.broadcast(binned_bands),
+            (pts.bin == binned_bands.bin)
+            & (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .select("o_orderkey", "band_id", "o_totalprice")
+    )

@@ -128,3 +128,45 @@ def test_write_zordered_files_prune_both_dims(spark, sf_dir, tmp_path):
     # possible on that axis at this SF; the day axis must prune.
     assert g["c"] < 256
     assert statistics.median(r["day_span"] for r in per_file) <= g["d"] / 2
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from etl_knlp_spark.operators.graph import pagerank
+
+    # 5-node graph with a dangling node (4) and a 2-cycle
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, 0.85, 12).collect()}
+
+    n = 5
+    M = np.zeros((n, n))
+    out = {}
+    for s, d in edges:
+        out[s] = out.get(s, 0) + 1
+    for s, d in edges:
+        M[d, s] = 1.0 / out[s]
+    r = np.full(n, 1.0 / n)
+    dangling = [i for i in range(n) if i not in out]
+    for _ in range(12):
+        dm = sum(r[i] for i in dangling)
+        r = (1 - 0.85) / n + 0.85 * (M @ r + dm / n)
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+
+
+def test_pagerank_query_contract(spark, sf_dir):
+    from etl_knlp_spark.registry import all_queries
+
+    rows = all_queries()["pagerank_links"](spark, sf_dir).collect()
+    total = sum(r["rank_6dp"] for r in rows)
+    assert abs(total - 1.0) < 1e-3  # 6dp rounding tolerance across nodes
+    supp = [r for r in rows if r["is_supplier"]]
+    cust = [r for r in rows if not r["is_supplier"]]
+    assert supp and cust
+    # suppliers only RECEIVE mass: their mean rank must exceed customers'
+    assert (sum(r["rank_6dp"] for r in supp) / len(supp)) > (
+        sum(r["rank_6dp"] for r in cust) / len(cust)
+    )

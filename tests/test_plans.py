@@ -182,3 +182,9 @@ def test_q16_blacklist_plans_as_broadcast_anti(plans):
     p = plans("q16_supplier_part_types")
     assert "LeftAnti" in p
     assert "Broadcast" in p
+
+
+def test_pure_range_join_binned_is_hash_not_nested_loop(plans):
+    p = plans("join_range_binned")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
