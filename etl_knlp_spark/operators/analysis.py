@@ -503,3 +503,55 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 5)
     )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ), wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM w WHERE len(word) >= 2 GROUP BY word
+    ), pairs AS (
+      SELECT substr(word, s, 2) AS pair, c
+      FROM wc, unnest(generate_series(1, len(word) - 1)) AS t(s)
+    )
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 100
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner loop at corpus scale: count adjacent
+    character-pair frequencies weighted by word frequency (the
+    statistic whose argmax becomes the next merge rule). The scale
+    trick is the two-level aggregate: first reduce the corpus to its
+    VOCABULARY (word → count — vocab is millions, corpus is
+    trillions), then explode only distinct words into their ≤len-1
+    pairs. Exploding the corpus directly would generate a pair row
+    per character of input; this generates one per character of
+    vocabulary — typically 4-6 orders of magnitude less. Position
+    explode is an index sequence (cheap ints), never a
+    pre-materialized substring array (the Generate-inlining trap,
+    BASELINE.md round-1). Top-100 by (count, pair) is
+    TakeOrdered-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    pairs = vocab.select(
+        "c",
+        F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("s"),
+        F.col("word").substr(F.col("s"), F.lit(2)).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(100)
+    )

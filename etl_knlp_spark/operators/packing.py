@@ -23,7 +23,7 @@ kernel; the text column never reaches Python.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -74,3 +74,43 @@ def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     no window formulation); invariants pinned in tests/test_packing.py.
     """
     return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "length_bucket_batches",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
+      FROM documents
+    ), bucketed AS (
+      SELECT doc_id, n_tokens, n_tokens // 32 AS bucket FROM toks
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 16
+                AS BIGINT) AS batch_id
+    FROM bucketed
+    """,
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment: docs grouped into width-32
+    token-length buckets, then numbered into fixed-size (16) training
+    batches within each bucket — the standard padding-waste
+    minimization for sequence training (batchmates differ by <32
+    tokens, so pad-to-longest wastes <32/seq instead of
+    pad-to-global-max). The window partitions by bucket: each bucket
+    sorts independently, no global sort. Deterministic: batch order
+    is doc_id order within bucket (swap in a hash of doc_id for an
+    order-decorrelated but still reproducible shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("bigint")
+    bucketed = docs.select(
+        "doc_id", n_tok.alias("n_tokens"), (n_tok / 32).cast("bigint").alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    return bucketed.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        ((F.row_number().over(w) - 1) / 16).cast("bigint").alias("batch_id"),
+    )

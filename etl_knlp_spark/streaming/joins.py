@@ -183,3 +183,73 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("m")
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', e.ts) AS TIMESTAMP) AS window_start,
+           c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           ROUND(SUM(e.value), 2)    AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join, the most common production streaming shape:
+    a live event stream broadcast-enriched with a slowly-changing
+    dimension (customer segment), then windowed-aggregated per
+    segment. Runs as a REAL micro-batch job (file-source stream →
+    stateless broadcast join → 1-hour tumbling aggregate → memory
+    sink, availableNow). The join is stateless — the static side is
+    re-broadcast per micro-batch, so dimension updates are picked up
+    at batch boundaries and NO join state accumulates; only the
+    window aggregate holds state. Complete output mode on bounded
+    input converges to exactly the batch GROUP BY, which is the
+    DuckDB oracle. Value sums round at 2 (shuffled doubles)."""
+    import tempfile
+    import uuid
+
+    from ..catalog import load_table
+
+    # like _event_stream, plus the value column this aggregate needs
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, event_type STRING, ts BIGINT, "
+            "value DOUBLE"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    agg = (
+        events.join(F.broadcast(cust), events.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = f"stream_enrich_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="etl_knlp_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
