@@ -134,3 +134,57 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "hll_distinct_by_source",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+           TRUE AS hll_ok
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT '__ALL__' AS source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+           TRUE AS hll_ok
+    FROM documents
+    """,
+)
+def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-counting with Spark 4's native HyperLogLog
+    sketches: one `hll_sketch_agg` pass builds a per-source sketch,
+    and the GLOBAL estimate comes from `hll_union_agg` over those
+    sketches — never a second scan. That union-of-partials is the
+    100 TB property: per-partition/per-day sketches are a few KB
+    each, persist beside the data, and any rollup (per source, per
+    month, whole corpus) is a sketch merge instead of a re-scan —
+    COUNT(DISTINCT) over raw data re-shuffles every id every time.
+    The oracle pins the contract (estimate within 5% of exact at
+    default lgConfigK=12, whose theoretical RSE is ~1.6%); estimates
+    themselves are engine-specific, the same assertion-oracle pattern
+    as approx_distinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.countDistinct("doc_id").alias("exact_distinct"),
+    )
+    src_rows = per_src.select(
+        "source",
+        "exact_distinct",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * 0.05
+        ).alias("hll_ok"),
+    )
+    merged = per_src.agg(
+        F.hll_union_agg("sk").alias("u"),
+        F.sum("exact_distinct").alias("exact_distinct"),  # doc_id unique per source
+    ).select(
+        F.lit("__ALL__").alias("source"),
+        "exact_distinct",
+        (
+            F.abs(F.hll_sketch_estimate("u") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * 0.05
+        ).alias("hll_ok"),
+    )
+    return src_rows.unionByName(merged)

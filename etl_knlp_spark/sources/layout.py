@@ -221,3 +221,88 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day").cast("bigint").alias("max_day"),
         )
     )
+
+
+def write_version(df: DataFrame, path: str, version: int) -> None:
+    """Append one immutable snapshot increment under ``v=<version>``.
+    Versions are never rewritten — time travel is a READ-side choice."""
+    df.write.mode("errorifexists").parquet(f"{path}/v={version}")
+
+
+def read_as_of(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Read the table as of ``version``: the union of all increments
+    with v <= version. This is poor-man's snapshot isolation on plain
+    parquet — the same mechanics a table format's metadata layer
+    performs (its manifests select files; here the directory-partition
+    filter does). The filter is a PartitionFilter: non-selected
+    versions are pruned at planning, never opened."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .filter(F.col("v") <= version)
+        .drop("v")
+    )
+
+
+@query(
+    "time_travel_read",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over append-only version increments: v=1 holds
+    pre-1998 orders, v=2 appends the rest; reading "as of v1" returns
+    exactly the first snapshot (the oracle), while "latest" sees both
+    (asserted in test_layout_graph). At 100 TB this is how reproducible
+    training runs pin their input: data keeps arriving as new version
+    directories, every run records the version it read, and re-reading
+    that version is byte-stable because increments are immutable —
+    compaction/GC happens by writing NEW versions, never editing old
+    ones."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix="etl_knlp_tt_") + "/orders"
+    cut = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    write_version(o.filter(cut).drop("o_orderdate"), path, 1)
+    write_version(o.filter(~cut).drop("o_orderdate"), path, 2)
+    return read_as_of(spark, path, 1)
+
+
+@query(
+    "compact_small_files",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented table (64 tiny part-files —
+    the classic streaming-ingest residue) rewritten into few
+    right-sized files, contents bit-identical (the identity oracle).
+    At 100 TB small files are a *planning* tax — every query pays
+    per-file open/footer costs and the driver holds per-file metadata —
+    so compaction runs as maintenance after ingest. repartition (a
+    round-robin shuffle) rather than coalesce: coalesce would chain
+    upstream parallelism to the target file count; the file-count
+    drop (64 → ≤4) is asserted in test_layout_graph."""
+    import tempfile
+
+    from ..catalog import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    base = tempfile.mkdtemp(prefix="etl_knlp_compact_")
+    frag = f"{base}/fragmented"
+    compacted = f"{base}/compacted"
+    c.repartition(64).write.parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.parquet(compacted)
+    return spark.read.parquet(compacted)
