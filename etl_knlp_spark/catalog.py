@@ -67,22 +67,64 @@ def _tune_session(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Declarative parquet scan → pushdown-friendly.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as a long (legacy nanosAsLong) and convert
-    with integer division to microseconds (double division would lose
-    precision above 2^53 ns). Truncation matches DuckDB's ns→µs cast,
-    keeping oracle comparisons exact.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some driver
+    testdata generations and TIMESTAMP(MICROS) in others, so normalize
+    adaptively by the type Spark actually read:
+
+    - LongType (legacy nanosAsLong read of TIMESTAMP(NANOS)): integer-
+      divide ns→µs (double division would lose precision above 2^53 ns;
+      truncation matches DuckDB's ns→µs cast, keeping oracles exact).
+    - TimestampNTZType (TIMESTAMP(MICROS), isAdjustedToUTC=false): cast
+      to session-local TIMESTAMP; the session timezone is pinned to UTC
+      in _tune_session so the wall-clock values are preserved and match
+      DuckDB's TIMESTAMP semantics.
+    - TimestampType: already what we want.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     _tune_session(spark)
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file source over the events table with the same
+    adaptive ``ts`` normalization as :func:`load_table`.
+
+    The streaming reader needs an explicit schema; take it from a cheap
+    batch footer read so the source matches whatever physical type the
+    driver generated (TIMESTAMP(NANOS)-as-long vs TIMESTAMP(MICROS)).
+    events.parquet is a single file inside the sf directory, so stream
+    the directory with a glob filter.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    _tune_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    src = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_type = batch_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -53,6 +53,67 @@ def salted_join(
     )
 
 
+def salted_agg(
+    df: DataFrame, key_cols: list[str], aggs: dict[str, F.Column], buckets: int = 16
+) -> DataFrame:
+    """Two-phase aggregation with salted keys for when ONE group key
+    dominates (a hot language, a bot user): phase 1 aggregates on
+    (key, salt) so the hot key's rows spread over ``buckets``
+    reducers; phase 2 combines the per-salt partials. Only works for
+    algebraic aggregates (sum/count/min/max — anything with a
+    partial-merge form). Spark's own partial aggregation usually makes
+    this redundant, but when the map-side partial is defeated (high
+    distinct-key count per partition evicts the hash map, or the agg
+    sits above a join), pre-salting restores bounded reducer work.
+
+    ``aggs`` maps output name → phase-1 aggregate column; each must
+    survive a SUM in phase 2 (i.e. sums/counts). The caller re-derives
+    non-summable results (avg = sum/count) afterward.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[F.sum(n).alias(n) for n in aggs]
+    )
+
+
+@query(
+    "agg_skew_salted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT)        AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation demo on lineitem's 3-value
+    l_returnflag (an extreme hot-key distribution: every row lands on
+    one of 3 reducers in the naive plan). Must produce EXACTLY the
+    plain GROUP BY's result — the oracle is the unsalted SQL — proving
+    the salt is a pure physical rebalance. sum cast to double on both
+    sides (decimal vs double engine defaults)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": F.sum(F.col("l_quantity").cast("double")),
+            "n_rows": F.count(F.lit(1)),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
 @query(
     "join_skew_salted",
     oracle="""

@@ -204,3 +204,70 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
         ).alias("duration_s"),
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH pairs AS (
+      SELECT p.event_id AS purchase_id,
+             p.user_id,
+             p.ts       AS purchase_ts,
+             v.event_id AS view_id,
+             v.ts       AS view_ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM events p
+      JOIN events v
+        ON v.user_id = p.user_id
+       AND v.event_type = 'view'
+       AND v.ts <= p.ts
+       AND v.ts >= p.ts - INTERVAL '3 days'
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT purchase_id, user_id, purchase_ts, view_id, view_ts
+    FROM pairs WHERE rn = 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the most
+    recent view by the same user within a 3-day lookback. The
+    candidate join is an equi-join on user_id with a bounded time
+    predicate, then a per-purchase top-1 window (ties broken on
+    view_id so both engines pick the same row).
+
+    Scale: the join shuffles on user_id only — per-user event sets
+    are bounded in practice, and the 3-day predicate prunes the
+    candidate fan-out before the window. The rn=1 filter enables
+    WindowGroupLimit so each partition keeps a 1-row heap per
+    purchase rather than materializing all candidates. Purchases
+    with no prior view drop out (inner join) — the unattributed set
+    is the anti-join complement."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    cand = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 3 DAYS")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("view_ts").desc(), F.col("view_id").desc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
+    )

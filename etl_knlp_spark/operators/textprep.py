@@ -1,0 +1,182 @@
+"""Text-preparation operators for pre-training corpora (SURVEY.md
+§2.12 extension): HTML/boilerplate stripping, unicode-robust text
+normalization, URL/domain analysis, and deterministic shard export
+ordering. The reference's preprocessing is per-line pandas string
+munging (dag-knlp.py:85-188); here every pass is a whole-stage-codegen
+column expression — no Python in the hot path, so a 100 TB corpus
+cleans at scan speed.
+
+Regex subsets are chosen to behave identically under Java regex
+(Spark) and RE2 (DuckDB) so every pass hash-verifies cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
+from .sampling import hash_bucket
+
+# Portable between Java regex and RE2: no backrefs, no lookaround.
+_TAG_RE = "<[^>]+>"
+_WS_RE = "[ \\t\\r\\n]+"
+_URL_DOMAIN_RE = "https://([a-z0-9.-]+)/"
+
+
+def strip_markup(text_col: F.Column) -> F.Column:
+    """Remove markup tags and collapse the whitespace they leave
+    behind. One fused projection — Catalyst folds the three
+    regexp_replace calls into a single codegen stage, so the pass
+    costs one scan regardless of corpus size."""
+    no_tags = F.regexp_replace(text_col, _TAG_RE, " ")
+    return F.trim(F.regexp_replace(no_tags, _WS_RE, " "))
+
+
+@query(
+    "html_strip",
+    oracle=f"""
+    WITH markup AS (
+      SELECT doc_id,
+             '<html><body><p class="c">' || substr(text, 1, 60)
+               || '</p><br/><div>' || lang || '</div></body></html>' AS raw_html
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(raw_html, '{_TAG_RE}', ' ', 'g'),
+             '{_WS_RE}', ' ', 'g')) AS clean_text
+    FROM markup
+    """,
+)
+def html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal — the first pass of every web-crawl
+    pipeline. Deterministic markup is injected around each document
+    (the testdata is plain text) so the strip path is actually
+    exercised, then tags are removed and whitespace is collapsed.
+    Map-side only: at 100 TB this runs at parquet scan speed with
+    zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    markup = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><p class="c">'),
+            F.substring("text", 1, 60),
+            F.lit("</p><br/><div>"),
+            F.col("lang"),
+            F.lit("</div></body></html>"),
+        ).alias("raw_html"),
+    )
+    return markup.select(
+        "doc_id", strip_markup(F.col("raw_html")).alias("clean_text")
+    )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization before dedup/fingerprinting:
+    lowercase, strip every non-alphanumeric to space, collapse runs.
+    Near-dup detectors (MinHash/SimHash in dedup.py) call this shape
+    of normalization first so that punctuation and casing differences
+    don't defeat signature matching. Pure codegen projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select("doc_id", norm.alias("norm_text"))
+
+
+@query(
+    "url_domain_counts",
+    oracle=f"""
+    WITH pages AS (
+      SELECT doc_id,
+             'see https://site' || CAST(doc_id % 20 AS VARCHAR)
+               || '.example.org/p/' || CAST(doc_id AS VARCHAR) || ' ' || text
+               AS text
+      FROM documents
+    )
+    SELECT regexp_extract(text, '{_URL_DOMAIN_RE}', 1) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pages
+    WHERE regexp_extract(text, '{_URL_DOMAIN_RE}', 1) <> ''
+    GROUP BY 1
+    """,
+)
+def url_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document counts — the crawl-curation histogram that
+    drives domain blocklists and per-domain caps. Deterministic source
+    URLs are injected (testdata has none), the domain is pulled with
+    one regexp_extract, and the count is a partial-aggregated groupBy
+    on a low-cardinality key: at 100 TB the map-side combine reduces
+    each partition to |domains| rows before the only shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("see https://site"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    domain = F.regexp_extract("text", _URL_DOMAIN_RE, 1)
+    return (
+        pages.select(domain.alias("domain"))
+        .filter(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "shuffle_shard",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT) % 8
+               AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS sort_key
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sort_key) AS pos
+    FROM keyed
+    """,
+)
+def shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training shuffle + shard assignment: every
+    document gets a stable shard in [0, 8) and a stable position
+    within its shard, both derived from the doc_id digest — the
+    "globally shuffled, reproducibly ordered" layout training jobs
+    read. Unlike ORDER BY rand(), re-runs and engine ports produce
+    byte-identical shard files. At 100 TB the same recipe is
+    ``repartition(n, digest)`` + ``sortWithinPartitions(digest)`` —
+    one shuffle, no global sort; the row_number here exists to make
+    the within-shard order oracle-visible."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), 8).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("sort_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("sort_key")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )

@@ -174,6 +174,7 @@ def _load_all() -> None:
         mutate,
         packing,
         parse,
+        pq,
         quality,
         relational,
         sampling,
@@ -181,6 +182,7 @@ def _load_all() -> None:
         sketches,
         stats,
         text,
+        textprep,
     )
     from .functions import scalar, skew, sql_surface  # noqa: F401
     from .sources import layout  # noqa: F401

@@ -21,18 +21,11 @@ from ..registry import query
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming source over events.parquet. ts is parquet
-    TIMESTAMP(NANOS) (catalog.load_table has the full story): read as
-    long via the legacy conf, integer-divide to µs."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(
-            "event_id BIGINT, user_id BIGINT, event_type STRING, ts BIGINT"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    """Streaming source over events.parquet with catalog-adaptive ts
+    normalization (catalog.load_events_stream has the full story)."""
+    from ..catalog import load_events_stream
+
+    return load_events_stream(spark, sf_dir)
 
 
 def view_purchase_attribution(
@@ -214,17 +207,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import load_table
 
-    # like _event_stream, plus the value column this aggregate needs
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = (
-        spark.readStream.schema(
-            "event_id BIGINT, user_id BIGINT, event_type STRING, ts BIGINT, "
-            "value DOUBLE"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    events = _event_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("segment")
     )

@@ -164,3 +164,65 @@ def dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+@query(
+    "stream_topk_trending",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, event_type) AS rk
+      FROM counts
+    ) WHERE rk <= 3
+    """,
+)
+def topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items pattern: per 1-hour window, the top-3 event
+    types by count — run as a REAL micro-batch streaming job
+    (file-source stream → windowed count in complete mode → memory
+    sink), with the per-window rank applied to the converged sink
+    table. Splitting rank out of the streaming graph is the
+    production shape: windowed counts are an incrementally-updatable
+    streaming aggregate, while top-k is a cheap batch pass over the
+    (bounded: windows × types) sink — keeping rank out of the
+    streaming state store. Deterministic tiebreak on event_type."""
+    import tempfile
+    import uuid
+
+    from ..catalog import load_events_stream
+
+    counts = (
+        load_events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    sink = f"topk_trending_{uuid.uuid4().hex[:12]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="etl_knlp_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        spark.table(sink)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n_events", "rk")
+    )

@@ -1,0 +1,96 @@
+"""Product quantization: codebook shape/determinism, code coverage,
+ADC + re-rank recall against the exact brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_knlp_spark.catalog import load_table
+from etl_knlp_spark.functions.vector import as_double, l2_norm
+from etl_knlp_spark.operators.pq import (
+    _M,
+    pq_encode,
+    pq_train,
+    similarity_pq,
+)
+
+
+@pytest.fixture(scope="module")
+def trained(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    vectors = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    codebook = pq_train(spark, vectors, max_iter=2)
+    codes = pq_encode(vectors, codebook)
+    return vectors, codebook, codes
+
+
+def test_codebook_covers_all_subspaces(trained):
+    _, codebook, _ = trained
+    rows = codebook.collect()
+    subs = {r["sub"] for r in rows}
+    assert subs == set(range(_M))
+    # each subspace keeps its ksub codes, each centroid dim = d/m = 8
+    per_sub: dict[int, int] = {}
+    for r in rows:
+        per_sub[r["sub"]] = per_sub.get(r["sub"], 0) + 1
+        assert len(r["centroid"]) == 8
+    assert all(n == 16 for n in per_sub.values())
+
+
+def test_codes_complete_and_in_range(spark, sf_dir, trained):
+    _, _, codes = trained
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert codes.count() == n * _M  # one code per (vector, subspace)
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") >= 16)).count()
+    assert bad == 0
+    assert codes.filter(F.col("approx_nrm") <= 0).count() == 0
+
+
+def test_training_is_deterministic(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    vectors = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    c1 = pq_train(spark, vectors, max_iter=1).collect()
+    c2 = pq_train(spark, vectors, max_iter=1).collect()
+    m1 = {(r["sub"], r["code"]): tuple(r["centroid"]) for r in c1}
+    m2 = {(r["sub"], r["code"]): tuple(r["centroid"]) for r in c2}
+    assert m1 == m2
+
+
+def test_pq_rerank_scores_exact_with_recall(spark, sf_dir):
+    got = similarity_pq(spark, sf_dir).collect()
+    assert len(got) > 0
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    # re-ranked scores are exact cosines (ADC shortlists, never distorts
+    # the final scores)
+    for r in got[:20]:
+        q, v = vecs[r["query_id"]], vecs[r["vec_id"]]
+        expected = float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        assert abs(r["cos_sim"] - round(expected, 6)) < 1e-9
+    # recall@10 vs exact brute force: ADC over 8×16 codebooks with a
+    # 40-deep shortlist should recover a solid fraction of true
+    # neighbors even on near-random data
+    recalls = []
+    for qid in range(5):
+        scores = sorted(
+            (
+                (
+                    float(
+                        np.dot(vecs[qid], v)
+                        / (np.linalg.norm(vecs[qid]) * np.linalg.norm(v))
+                    ),
+                    i,
+                )
+                for i, v in vecs.items()
+                if i != qid
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        true10 = {i for _, i in scores[:10]}
+        pq10 = {r["vec_id"] for r in got if r["query_id"] == qid}
+        recalls.append(len(true10 & pq10) / 10)
+    assert sum(recalls) / len(recalls) >= 0.3, recalls

@@ -1,0 +1,108 @@
+"""Tests for text-prep operators (textprep.py), the salted
+aggregation (skew.py), shard export, and last-touch attribution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_knlp_spark.functions.skew import salted_agg
+from etl_knlp_spark.operators.textprep import (
+    html_strip,
+    shuffle_shard,
+    strip_markup,
+    text_normalize,
+    url_domain_counts,
+)
+
+
+def test_strip_markup_removes_tags_and_collapses_ws(spark):
+    df = spark.createDataFrame(
+        [
+            ("<p>hello <b>world</b></p>",),
+            ("no tags at   all",),
+            ("<div\nclass='x'>multi\nline</div>",),
+            ("<br/><br/>",),
+        ],
+        ["t"],
+    )
+    out = [r[0] for r in df.select(strip_markup(F.col("t"))).collect()]
+    assert out == ["hello world", "no tags at all", "multi line", ""]
+
+
+def test_html_strip_has_no_tags_left(spark, sf_dir):
+    res = html_strip(spark, sf_dir)
+    assert res.filter(F.col("clean_text").rlike("<[^>]+>")).count() == 0
+    assert res.filter(F.col("clean_text").rlike("  ")).count() == 0
+
+
+def test_text_normalize_charset(spark, sf_dir):
+    res = text_normalize(spark, sf_dir)
+    # only lowercase alnum + single spaces survive
+    assert res.filter(F.col("norm_text").rlike("[^a-z0-9 ]")).count() == 0
+    assert res.filter(F.col("norm_text").rlike("  ")).count() == 0
+
+
+def test_url_domain_counts_complete(spark, sf_dir):
+    res = url_domain_counts(spark, sf_dir)
+    rows = {r["domain"]: r["n_docs"] for r in res.collect()}
+    # doc_id % 20 → exactly 20 injected domains covering every doc
+    assert len(rows) == 20
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(rows.values()) == n_docs
+
+
+def test_shuffle_shard_deterministic_and_dense(spark, sf_dir):
+    a = shuffle_shard(spark, sf_dir).collect()
+    b = shuffle_shard(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # positions within each shard are dense 1..n
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    assert 0 <= min(by_shard) and max(by_shard) < 8
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(500)] + [("cold", 1.0), ("cold", 2.0)],
+        ["k", "v"],
+    )
+    salted = salted_agg(
+        df, ["k"], {"s": F.sum("v"), "n": F.count(F.lit(1))}, buckets=4
+    )
+    plain = df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_attribution_last_touch_picks_latest_view(spark, sf_dir, monkeypatch):
+    import datetime as dt
+
+    from etl_knlp_spark.operators import events as ev
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def fake_load(spark_, sf_dir_, name):
+        assert name == "events"
+        rows = [
+            # user 1: two views before purchase → latest (id 12) wins
+            (11, base - dt.timedelta(hours=5), 1, "view", 0.0, "{}"),
+            (12, base - dt.timedelta(hours=1), 1, "view", 0.0, "{}"),
+            (13, base, 1, "purchase", 9.9, "{}"),
+            # user 2: only view is outside the 3-day lookback → no row
+            (21, base - dt.timedelta(days=4), 2, "view", 0.0, "{}"),
+            (22, base, 2, "purchase", 5.0, "{}"),
+            # user 3: view after the purchase → no row
+            (31, base + dt.timedelta(hours=1), 3, "view", 0.0, "{}"),
+            (32, base, 3, "purchase", 1.0, "{}"),
+        ]
+        return spark_.createDataFrame(
+            rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+
+    monkeypatch.setattr(ev, "load_table", fake_load)
+    out = ev.attribution_last_touch(spark, sf_dir).collect()
+    assert len(out) == 1
+    assert out[0]["purchase_id"] == 13 and out[0]["view_id"] == 12
