@@ -276,3 +276,60 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(apx_p50 - exact_p50) / exact_p50 <= 0.01).alias("p50_within_1pct"),
         (F.abs(apx_p99 - exact_p99) / exact_p99 <= 0.01).alias("p99_within_1pct"),
     )
+
+
+@query(
+    "mad_outlier",
+    oracle="""
+    WITH med AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS med_chars
+      FROM documents GROUP BY source
+    ), dev AS (
+      SELECT d.doc_id, d.source, d.n_chars, m.med_chars,
+             abs(d.n_chars - m.med_chars) AS adev
+      FROM documents d JOIN med m USING (source)
+    ), mad AS (
+      SELECT source, quantile_cont(adev, 0.5) AS mad_chars
+      FROM dev GROUP BY source
+    )
+    SELECT dev.doc_id, dev.source, CAST(dev.n_chars AS BIGINT) AS n_chars,
+           ROUND((dev.n_chars - dev.med_chars) / (1.4826 * mad.mad_chars), 6)
+             AS robust_z
+    FROM dev JOIN mad USING (source)
+    WHERE abs((dev.n_chars - dev.med_chars) / (1.4826 * mad.mad_chars)) > 1.5
+    """,
+)
+def mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per source: median + MAD (median
+    absolute deviation, scaled by the 1.4826 normal-consistency
+    constant) instead of mean + stddev — the length-anomaly filter
+    that survives the very outliers it hunts (a handful of giant docs
+    shift a mean but not a median). Two exact-median aggregates per
+    source (bounded group count) and a broadcast join of the tiny
+    per-source stats back onto the corpus: the corpus itself never
+    shuffles. Exact `percentile` keeps both engines bit-comparable
+    (interpolated medians), with round(6) absorbing division residue.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med_chars")
+    )
+    dev = docs.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med_chars"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_chars")
+    )
+    z = (F.col("n_chars") - F.col("med_chars")) / (1.4826 * F.col("mad_chars"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .filter(F.abs(z) > 1.5)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round(z, 6).alias("robust_z"),
+        )
+    )

@@ -306,3 +306,47 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.repartition(64).write.parquet(frag)
     spark.read.parquet(frag).repartition(4).write.parquet(compacted)
     return spark.read.parquet(compacted)
+
+
+@query(
+    "layout_partition_prune",
+    oracle="""
+    SELECT CAST(ts AS DATE)         AS event_date,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY 1, 2
+    """,
+)
+def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned write + pruned read, hash-verified end to end:
+    events land partitioned by event_date (the canonical fact-table
+    layout), and a 3-day range query reads back ONLY those partition
+    directories — the scan's PartitionFilters prune at the directory
+    listing, before any file opens (pinned in tests). At 100 TB this
+    is the difference between scanning 30 files and 10,000: time-range
+    queries cost proportional to the range, not the table. The result
+    must equal the plain filtered aggregate over the unpartitioned
+    table — partitioning is pure physical layout."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    path = tempfile.mkdtemp(prefix="etl_knlp_part_")
+    write_partitioned(
+        e.select("event_id", "event_type", "event_date"), path, ["event_date"]
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(
+            F.col("event_date").between(F.lit("2024-01-10"), F.lit("2024-01-12"))
+        )
+        .groupBy("event_date", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -188,3 +188,30 @@ def test_pure_range_join_binned_is_hash_not_nested_loop(plans):
     p = plans("join_range_binned")
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_partition_prune_reads_only_matching_dirs(plans):
+    p = plans("layout_partition_prune")
+    # the date range must prune at the directory level, not as a data
+    # filter inside file scans
+    assert "PartitionFilters" in p
+    assert "event_date" in p
+
+
+def test_salted_agg_two_phase(spark):
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.functions.skew import salted_agg
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    plan = (
+        salted_agg(df, ["k"], {"s": F.sum("v")}, buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two logical aggregations (salted partial, final) — each itself
+    # partial+final = 4 HashAggregates before AQE collapses any
+    assert plan.count("HashAggregate") >= 3
