@@ -132,6 +132,43 @@ SHOWCASE = {
         "join residual — the plan is a hash join, never a cartesian "
         "BroadcastNestedLoopJoin."
     ),
+    "html_strip": (
+        "Boilerplate removal as one fused scan-project: three "
+        "regexp_replace passes collapse into a single WholeStageCodegen "
+        "stage with zero exchanges — the cheapest shape for a pass "
+        "that must touch every byte of a 100 TB crawl."
+    ),
+    "agg_skew_salted": (
+        "Two-phase salted aggregation: the (key, salt) partial spreads "
+        "a hot key over 16 reducers, the final combine sees ≤ "
+        "keys × 16 rows. The plan shows both HashAggregate pairs — "
+        "proof the hot key's row volume never converges on one task."
+    ),
+    "attribution_last_touch": (
+        "Last-touch attribution: one shuffle on user_id for the "
+        "candidate join (time predicate as residual), then the rn=1 "
+        "filter compiles to WindowGroupLimit — per-partition 1-row "
+        "heaps per purchase, so the window never materializes the full "
+        "candidate fan-out."
+    ),
+    "mad_outlier": (
+        "Robust outliers with the corpus never shuffling: both median "
+        "aggregates reduce to per-source scalars, which re-join onto "
+        "the scan as BROADCAST hash joins — the documents table "
+        "streams through map-side twice, no exchange of corpus rows."
+    ),
+    "layout_partition_prune": (
+        "Date-partitioned layout: the range predicate lands in "
+        "PartitionFilters — pruning happens at directory listing, "
+        "non-matching partitions never open a file. At 100 TB a 3-day "
+        "query reads 3 directories, not the table."
+    ),
+    "shuffle_shard": (
+        "Deterministic training-shard layout: digest computation is "
+        "map-side, the only exchange is the shard hash partition, and "
+        "within-shard ordering is a local sort per shard — no global "
+        "sort, no rand() nondeterminism."
+    ),
 }
 
 
