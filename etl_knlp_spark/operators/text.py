@@ -266,17 +266,56 @@ def _geomean_batch(v: pd.Series) -> float:
     return float(np.exp(np.log(vals).mean()))
 
 
-@query("udaf_geomean", oracle=None)  # GROUPED_AGG pandas UDF — engine-side only
+@query(
+    "udaf_geomean",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+           ROUND(exp(avg(ln(n_chars))), 4)                   AS geomean_chars,
+           TRUE                                              AS udaf_matches
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY lang
+    """,
+)
 def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregating pandas UDF (SURVEY §2.11's UDAF surface): per-lang
     geometric mean of document length via a GROUPED_AGG kernel. The
     whole group's column arrives as one Arrow batch; use only when the
     aggregate has no algebraic partial form (geomean does via
-    sum-of-logs — kept here as the canonical UDAF plumbing demo)."""
-    docs = load_table(spark, sf_dir, "documents")
-    geomean = pandas_udf(_geomean_batch, T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
-    return docs.groupBy("lang").agg(
-        F.round(geomean(F.col("n_chars")), 4).alias("geomean_chars")
+    sum-of-logs — kept here as the canonical UDAF plumbing demo).
+
+    Assertion-contract oracle (same pattern as
+    `approx_percentile_sketch`): the hash-compared geomean value comes
+    from the SQL-expressible exp(avg(ln)) identity, and `udaf_matches`
+    pins the pandas-UDAF result to within 1e-9 relative of it — so the
+    driver hash-verifies the UDAF path instead of recording rows-only.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    geomean_udaf = pandas_udf(
+        _geomean_batch, T.DoubleType(), F.PandasUDFType.GROUPED_AGG
+    )
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT) — run the two
+    # aggregations separately and join on the bounded lang key.
+    udaf_side = docs.groupBy("lang").agg(
+        geomean_udaf(F.col("n_chars")).alias("udaf_val")
+    )
+    sql_side = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.exp(F.avg(F.log(F.col("n_chars")))).alias("sql_val"),
+    )
+    return (
+        sql_side.join(F.broadcast(udaf_side), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            F.round("sql_val", 4).alias("geomean_chars"),
+            (
+                F.abs(F.col("udaf_val") - F.col("sql_val"))
+                <= F.col("sql_val") * 1e-9
+            ).alias("udaf_matches"),
+        )
     )
 
 

@@ -67,6 +67,9 @@ _STALE_SINCE: dict[str, int] = {
     "dedup_ngram_jaccard": 3,
     # round 3 serialized the token array (tokens -> tokens_ws).
     "udf_tokenize": 3,
+    # round 4 upgraded the rows-only check to an assertion-contract
+    # oracle (n_docs + exact exp(avg(ln)) + udaf_matches boolean).
+    "udaf_geomean": 4,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

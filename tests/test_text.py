@@ -66,3 +66,14 @@ def test_fingerprint_invariant_to_whitespace(spark, sf_dir):
     )
     for r in refp.collect():
         assert base[r["doc_id"]] == r["fp"]
+
+
+def test_udaf_geomean_matches_sql_identity(spark, sf_dir):
+    """The GROUPED_AGG pandas kernel must agree with exp(avg(ln)) to
+    1e-9 relative on every group (the `udaf_matches` contract the
+    driver hash-verifies)."""
+    from etl_knlp_spark.operators.text import udaf_geomean
+
+    rows = udaf_geomean(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["udaf_matches"] for r in rows)
