@@ -97,7 +97,12 @@ def pq_train(
     iteration regardless of m). Returns (sub, code, centroid
     array<double>). Init is seeded/deterministic: subvectors of the
     ksub lowest vec_ids."""
-    subs = _subvectors(vectors, m)
+    # Each Lloyd iteration triggers a full job over the subvector table;
+    # persist it so iterations re-read cached Arrow batches instead of
+    # re-scanning + re-slicing the corpus (at real scale this is the
+    # standard "cache the training sample" step — codebooks train on a
+    # bounded sample, never the full 100 TB corpus).
+    subs = _subvectors(vectors, m).persist()
     init = (
         subs.filter(
             F.col("vec_id").isin(
@@ -134,6 +139,7 @@ def pq_train(
             [(r["sub"], r["code"], r["centroid"]) for r in new_rows],
             "sub INT, code INT, centroid ARRAY<DOUBLE>",
         )
+    subs.unpersist()
     return codebook
 
 

@@ -350,3 +350,102 @@ def layout_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_date", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "scan_agg_pushdown",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)     AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+           MIN(l_shipdate)              AS first_ship,
+           MAX(l_shipdate)              AS last_ship
+    FROM lineitem
+    """,
+)
+def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX/COUNT answered from parquet footer statistics: with
+    `spark.sql.parquet.aggregatePushdown` on and the v2 parquet
+    reader, the whole-table aggregate compiles to a metadata read per
+    row group — zero data pages decompress (the plan shows
+    PushedAggregation on the BatchScan; pinned in tests). At 100 TB
+    this is the difference between a full scan and reading a few KB
+    of footers per file.
+
+    Conf mechanics: aggregate pushdown only exists in the DataSourceV2
+    path, and the v1-vs-v2 choice binds when ``spark.read`` resolves
+    the source — so the v1 exclusion list is narrowed only around the
+    read call and restored immediately (verified: the returned plan
+    keeps the v2 BatchScan + PushedAggregation, while every other read
+    in the session stays on the default v1 path). Results are
+    identical either way (the oracle is the plain aggregate)."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import table_path
+
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    prev_v1 = spark.conf.get(
+        "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,parquet,text"
+    )
+    v2_list = ",".join(s for s in prev_v1.split(",") if s != "parquet")
+    spark.conf.set("spark.sql.sources.useV1SourceList", v2_list)
+    try:
+        li = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "layout_dpp_join",
+    oracle="""
+    WITH dates AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS event_date
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+    )
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (SELECT CAST(ts AS DATE) AS event_date, event_type FROM events) e
+    JOIN dates d USING (event_date)
+    GROUP BY e.event_type
+    """,
+)
+def layout_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the date-partitioned
+    events layout, the dim side is a small filtered date set, and the
+    join key is the PARTITION column — Catalyst injects the dim's key
+    set as a runtime partition filter (dynamicpruning expression in
+    the plan, pinned in tests), so the fact scan reads only the
+    partitions the dim actually selects, decided at run time. This is
+    the star-schema scan pattern at 100 TB: the static planner can't
+    know which dates survive the dim filter; DPP prunes anyway."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    path = tempfile.mkdtemp(prefix="etl_knlp_dpp_")
+    write_partitioned(
+        e.select("event_id", "event_type", "event_date"), path, ["event_date"]
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        e.select("event_date")
+        .distinct()
+        .filter(F.col("event_date").between(F.lit("2024-01-05"), F.lit("2024-01-07")))
+    )
+    return (
+        fact.join(dim, "event_date")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

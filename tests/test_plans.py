@@ -215,3 +215,14 @@ def test_salted_agg_two_phase(spark):
     # two logical aggregations (salted partial, final) — each itself
     # partial+final = 4 HashAggregates before AQE collapses any
     assert plan.count("HashAggregate") >= 3
+
+
+def test_agg_pushdown_reads_footer_stats(plans):
+    p = plans("scan_agg_pushdown")
+    assert "PushedAggregation" in p
+    assert "BatchScan" in p
+
+
+def test_dpp_join_prunes_at_runtime(plans):
+    p = plans("layout_dpp_join")
+    assert "dynamicpruning" in p.lower()
