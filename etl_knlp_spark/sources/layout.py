@@ -449,3 +449,58 @@ def layout_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "runtime_bloom_join",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (InjectRuntimeFilter): the
+    selective dim-side predicate builds a bloom_filter_agg over its
+    join keys, which is pushed into the FACT side's scan as a
+    might_contain pre-filter — fact rows that cannot match die before
+    the shuffle. This is the shuffle-join analog of DPP: at 100 TB a
+    1% -selective dim filter cuts the fact shuffle ~100× with no
+    layout requirement. The plan (bloom_filter_agg + might_contain)
+    is pinned in tests.
+
+    Conf mechanics: broadcast must be off for this demo (a broadcast
+    join needs no bloom filter and suppresses the rule), but leaking
+    autoBroadcastJoinThreshold=-1 to the session would wreck every
+    later query's plan — so the physical plan is FORCED here while
+    the confs are set (QueryExecution caches it) and the threshold is
+    restored before returning. Only the benign size-bar knob
+    (applicationSideScanSizeThreshold) stays lowered — testdata is
+    far below the 10 GB production default."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+        # force physical planning NOW so the cached plan carries the
+        # injected bloom filter even after the conf restore below
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+    return out

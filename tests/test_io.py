@@ -71,3 +71,42 @@ def test_events_nanos_timestamp_loads(spark, sf_dir):
     r = e.orderBy("event_id").first()
     assert r["ts"].year == 2024
     assert e.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_events_ts_adaptive_across_generations(spark, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) in some
+    testdata generations and TIMESTAMP(MICROS) in others; load_table
+    must normalize BOTH to a proper timestamp column (the round-3
+    breakage was a hardcoded ns->us conversion meeting a micros
+    file)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 15, 12, 0, 0)
+    rows = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["view", "purchase"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+    for unit in ("ns", "us"):
+        d = tmp_path / f"gen_{unit}"
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], pa.int64()),
+                "ts": pa.array([base, base], pa.timestamp(unit)),
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "event_type": pa.array(rows["event_type"]),
+                "value": pa.array(rows["value"], pa.float64()),
+                "props": pa.array(rows["props"]),
+            }
+        )
+        pq.write_table(tbl, d / "events.parquet", version="2.6")
+        e = load_table(spark, str(d), "events")
+        assert e.schema["ts"].dataType.simpleString() == "timestamp", unit
+        got = e.orderBy("event_id").first()["ts"]
+        assert got == base, (unit, got)

@@ -226,3 +226,13 @@ def test_agg_pushdown_reads_footer_stats(plans):
 def test_dpp_join_prunes_at_runtime(plans):
     p = plans("layout_dpp_join")
     assert "dynamicpruning" in p.lower()
+
+
+def test_runtime_bloom_filter_injected(plans):
+    p = plans("runtime_bloom_join")
+    assert "bloom_filter_agg" in p
+    assert "might_contain" in p
+    # and the conf that forced the shuffle join was restored
+    from etl_knlp_spark.session import get_spark
+
+    assert get_spark().conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
