@@ -169,6 +169,26 @@ SHOWCASE = {
         "within-shard ordering is a local sort per shard — no global "
         "sort, no rand() nondeterminism."
     ),
+    "scan_agg_pushdown": (
+        "Whole-table MIN/MAX/COUNT answered from parquet footer "
+        "statistics: the v2 BatchScan carries PushedAggregation, so "
+        "zero data pages decompress — at 100 TB the query reads a few "
+        "KB of metadata per file instead of the table."
+    ),
+    "layout_dpp_join": (
+        "Dynamic partition pruning: the dim side's filtered date set "
+        "is injected into the fact scan as a runtime partition filter "
+        "(SubqueryAdaptiveBroadcast dynamicpruning) — the fact table "
+        "reads only the partitions the dim actually selects, decided "
+        "at run time."
+    ),
+    "runtime_bloom_join": (
+        "Runtime Bloom-filter join pruning: the selective dim builds "
+        "bloom_filter_agg over its join keys; might_contain pre-"
+        "filters the fact side BEFORE the shuffle. The shuffle-join "
+        "analog of DPP — no layout requirement, ~dim-selectivity "
+        "reduction of fact shuffle volume."
+    ),
 }
 
 
