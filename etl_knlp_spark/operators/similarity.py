@@ -91,7 +91,15 @@ def rhp_signatures(spark: SparkSession, vectors: DataFrame, planes: list[list[fl
     Formulated as posexplode → broadcast join with the long-form plane
     matrix → codegen'd sum aggregates (interpreted per-plane array
     folds were ~3× slower — same Generate/HOF pitfall as the dedup
-    signatures). Shuffle volume: vectors × n_planes partial sums.
+    signatures).
+
+    Shuffle ordering (round-4, same finding as the dedup signature
+    builds): pre-partitioning the exploded (vec_id, d, v) stream by
+    vec_id makes BOTH chained aggregates partition-local (hash
+    partitioning on vec_id satisfies the clustering requirement of
+    (vec_id, j) and of vec_id), so one exchange of the thin component
+    stream replaces two exchanges of per-partition partial rows —
+    ~17% faster at sf0.1 (interleaved min-of-5 A/B), identical output.
 
     Input must have (vec_id, embedding array<double>); output is
     (vec_id, sig long).
@@ -103,6 +111,7 @@ def rhp_signatures(spark: SparkSession, vectors: DataFrame, planes: list[list[fl
     planes_df = spark.createDataFrame(plane_rows, "j INT, d INT, w DOUBLE")
     comp = (
         vectors.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .repartition("vec_id")
         .join(F.broadcast(planes_df), "d")
         .groupBy("vec_id", "j")
         .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
