@@ -759,3 +759,85 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "band_id", "o_totalprice")
     )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+           c.c_custkey  AS custkey,
+           s.s_suppkey  AS suppkey
+    FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey < 200) c
+    FULL OUTER JOIN
+         (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_suppkey < 100) s
+      ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join with key coalescing — the join shape for
+    reconciling two partial sources where either side may be missing
+    (the merge step of every incremental-ingest reconciliation).
+    Unmatched rows from BOTH sides survive with nulls on the other
+    side; the output key coalesces across them. Scale note: full
+    outer cannot broadcast either side (both sides' unmatched rows
+    must surface), so it always plans as a shuffle join on the key —
+    which is why the sides here are pre-filtered subsets, the
+    production pattern for bounded reconciliation windows."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_nationkey"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 100)
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("s_nationkey"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "custkey",
+        "suppkey",
+    )
+
+
+@query(
+    "except_all_rows",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def except_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference): each key survives
+    max(left_count − right_count, 0) times — the other half of the
+    EXCEPT pair (`except_rows` is the distinct form). The multiset
+    semantics matter for reconciliation counts: 5 customers minus 2
+    suppliers in a nation leaves 3 rows, not 0/1."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)
+
+
+@query(
+    "intersect_all_rows",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def intersect_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection): each key appears
+    min(left_count, right_count) times."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)

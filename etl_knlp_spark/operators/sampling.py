@@ -189,3 +189,38 @@ def sample_importance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_importance(
         docs.select("doc_id", quality.alias("quality")), "doc_id", F.col("quality")
     )
+
+
+@query(
+    "sample_reservoir",
+    oracle="""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per stratum (distributed reservoir
+    sampling): exactly k=20 docs per language, chosen as the k
+    smallest digest values — the deterministic, engine-portable
+    formulation of 'k random rows per group'. Unlike rate-based
+    `sample_stratified`, the output size is exact regardless of
+    stratum size. Scale shape: the rk≤20 filter enables
+    WindowGroupLimit, so each partition forwards at most k rows per
+    stratum to the shuffle — the classic distributed-reservoir merge
+    without any driver state."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang", "rk")
+    )
