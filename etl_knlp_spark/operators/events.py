@@ -271,3 +271,73 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
     )
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id,
+             date_trunc('hour', ts)    AS hour,
+             CAST(COUNT(*) AS BIGINT)  AS n_events,
+             ROUND(SUM(value), 2)      AS total
+      FROM events WHERE user_id < 50
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(hour) AS mn, MAX(hour) AS mx
+      FROM hourly GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS hour
+      FROM bounds
+    )
+    SELECT s.user_id,
+           s.hour,
+           COALESCE(h.n_events, 0) AS n_events,
+           last_value(h.total IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+    FROM spine s LEFT JOIN hourly h
+      ON s.user_id = h.user_id AND s.hour = h.hour
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly per-user aggregates on a
+    DENSE hourly spine (every hour between each user's first and last
+    event exists, zero-count hours included) with forward-filled
+    totals — the resample + ffill step that precedes any windowed
+    model feature. The spine is generated distributively
+    (sequence + explode per user, no driver loop), the join is
+    per-user hash, and the forward fill is one
+    last(ignorenulls) window — a single shuffle on user_id end to
+    end at any scale. Users capped (< 50) to bound the demo's spine."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("total", ignorenulls=True).over(w).alias("filled_total"),
+    )
