@@ -230,3 +230,44 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(emb, -1).cast("double").alias("last_val"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
     )
+
+
+@query(
+    "map_ops",
+    oracle="""
+    SELECT event_id,
+           2                                              AS n_keys,
+           CAST(json_extract(props, '$.k') AS BIGINT)     AS k_val,
+           CAST(json_extract(props, '$.k') AS BIGINT)
+             + user_id                                    AS sum_vals,
+           TRUE                                           AS has_uid,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled
+    FROM events
+    WHERE event_id < 2000
+    """,
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (the one Spark complex type the registry didn't
+    yet demonstrate): build a map<string,bigint> per event from the
+    JSON props plus a typed column, then exercise the map function
+    family — map_keys / element_at / map_values folding /
+    transform_values — reducing everything to scalar outputs (the
+    driver canonicalizer contract). The oracle mirrors the SEMANTIC
+    results from the same JSON, since map mechanics are engine-side.
+    All map expressions are codegen'd column ops, map-side only."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k_val = F.get_json_object("props", "$.k").cast("bigint")
+    m = F.create_map(
+        F.lit("k"), k_val, F.lit("uid"), F.col("user_id").cast("bigint")
+    )
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, F.lit("k")).alias("k_val"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("bigint"), lambda a, v: a + v
+        ).alias("sum_vals"),
+        F.array_contains(F.map_keys(m), "uid").alias("has_uid"),
+        F.element_at(doubled, F.lit("k")).alias("k_doubled"),
+    )
