@@ -254,3 +254,82 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "media_type", "n_bytes", F.size("feature").alias("feature_dim")
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("stride", T.IntegerType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target: int = 32) -> DataFrame:
+    """Resize/downsample over binary payloads via `mapInPandas` (the
+    image-thumbnail / audio-downsample plumbing shape — 1→1 like
+    feature extraction, but emitting a SMALLER binary payload plus
+    the resize accounting).
+
+    The real decoder-resampler (`decode_media`) is stubbed in this
+    environment; the deterministic stand-in keeps every stride-th
+    byte, stride = ceil(n/target), so the output payload has at most
+    ``target`` bytes. Schema, batch shape, and the size accounting
+    are real and oracle-checkable.
+    """
+    import math
+
+    def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = len(payload)
+                stride = max(1, math.ceil(n / target))
+                resized = bytes(payload[::stride])
+                rows.append((mid, n, stride, len(resized), resized))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "orig_bytes",
+                    "stride",
+                    "resized_bytes",
+                    "resized_payload",
+                ],
+            )
+            rows = []
+
+    return media.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS nb
+      FROM documents
+    )
+    SELECT media_id,
+           nb                                              AS orig_bytes,
+           GREATEST(1, CAST(ceil(nb / 32.0) AS INT))       AS stride,
+           CAST(ceil(nb / GREATEST(1.0, ceil(nb / 32.0))) AS BIGINT)
+                                                           AS resized_bytes
+    FROM m
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline: payload → ≤32-byte downsample with typed
+    accounting (original size, stride, resized size). The mapInPandas
+    kernel's stride arithmetic is deterministic, so the Python-kernel
+    operator hash-verifies: the oracle recomputes stride and resized
+    length from octet lengths alone (len(payload[::s]) = ceil(n/s)).
+    The resized payload itself stays out of the result set (binary
+    column; driver canonicalizer contract) — byte-level correctness
+    of the stride sampling is pytest-pinned on a literal fixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return resize_media(media).select(
+        "media_id", "orig_bytes", "stride", "resized_bytes"
+    )

@@ -89,3 +89,25 @@ def test_feature_extraction_schema_and_determinism(spark, sf_dir):
     # payloads never shuffle: plan is scan → project → mapInPandas only
     plan = f1._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_resize_media_stride_samples_bytes(spark):
+    from etl_knlp_spark.operators.multimodal import resize_media
+
+    payload = bytes(range(100))  # 100 bytes → stride ceil(100/32)=4
+    media = spark.createDataFrame(
+        [(1, payload, "application/octet-stream", 100)],
+        "media_id LONG, payload BINARY, media_type STRING, n_bytes LONG",
+    )
+    r = resize_media(media, target=32).first()
+    assert r["orig_bytes"] == 100
+    assert r["stride"] == 4
+    assert bytes(r["resized_payload"]) == payload[::4]
+    assert r["resized_bytes"] == len(payload[::4]) == 25
+    # already-small payloads pass through untouched (stride 1)
+    small = spark.createDataFrame(
+        [(2, b"tiny", "application/octet-stream", 4)],
+        "media_id LONG, payload BINARY, media_type STRING, n_bytes LONG",
+    )
+    r2 = resize_media(small, target=32).first()
+    assert r2["stride"] == 1 and bytes(r2["resized_payload"]) == b"tiny"
