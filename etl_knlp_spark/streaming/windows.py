@@ -226,3 +226,70 @@ def topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("window_start", "event_type", "n_events", "rk")
     )
+
+
+@query(
+    "rollup_hierarchical_time",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id,
+             date_trunc('hour', ts)   AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(value)               AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', h) AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users,
+           CAST(SUM(n_events) AS BIGINT)    AS n_events,
+           ROUND(SUM(sum_value), 2)         AS sum_value,
+           TRUE                             AS matches_direct
+    FROM hourly
+    GROUP BY 1
+    """,
+)
+def rollup_hierarchical_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup (the continuous-
+    aggregate pattern): the DAILY aggregate derives from the HOURLY
+    aggregate's partials, never re-scanning raw events — at 100 TB the
+    hourly materialization is the only pass over the fact table, and
+    every coarser granularity (day/week/month) reduces rows that are
+    already windows×keys small. Only algebraic aggregates compose this
+    way (sum-of-sums, count-of-counts); COUNT DISTINCT does NOT
+    (distinct users per day ≠ sum of hourly distincts), so
+    active_users re-aggregates the (user, hour) grain, which the
+    hourly table preserves — exactly why continuous aggregates keep
+    their grouping keys. `matches_direct` pins rollup-from-partials ==
+    direct-from-raw per day; the oracle fixes it TRUE."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+    daily_from_hourly = hourly.groupBy(
+        F.to_date(F.date_trunc("day", "h")).alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("active_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.round(F.sum("sum_value"), 2).alias("sum_value"),
+    )
+    daily_direct = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_n"),
+        F.round(F.sum("value"), 2).alias("d_sum"),
+    )
+    return (
+        daily_from_hourly.join(daily_direct, "day")
+        .select(
+            "day",
+            "active_users",
+            "n_events",
+            "sum_value",
+            (
+                (F.col("n_events") == F.col("d_n"))
+                & (F.abs(F.col("sum_value") - F.col("d_sum")) < 0.02)
+            ).alias("matches_direct"),
+        )
+    )
