@@ -188,3 +188,35 @@ def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hll_ok"),
     )
     return src_rows.unionByName(merged)
+
+
+@query(
+    "bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation (the Spark 3.5+
+    bitmap function family): user ids bucket into 32k-bit bitmaps
+    (bitmap_bucket_number / bitmap_bit_position), per-(group, bucket)
+    bitmaps OR-merge associatively, and the distinct count is the sum
+    of per-bucket popcounts. Unlike COUNT(DISTINCT) — whose exact form
+    must shuffle every distinct key to a single reducer per group —
+    bitmap partials are fixed-size (4 KB per bucket) and merge
+    map-side, so the exact count scales like an approximate sketch
+    while staying exact. The oracle is the plain COUNT(DISTINCT):
+    results must be identical, proving the bitmap path is exact."""
+    e = load_table(spark, sf_dir, "events")
+    per_bucket = e.groupBy(
+        "event_type",
+        F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("user_id"))).alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users")
+    )
