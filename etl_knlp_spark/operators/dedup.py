@@ -60,7 +60,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.05, max_df_frac: float = 0.25
+    docs: DataFrame,
+    threshold: float = 0.05,
+    max_df_frac: float = 0.25,
+    max_df_abs: int | None = None,
 ) -> DataFrame:
     """Word-bigram Jaccard near-dup pairs via inverted-index self-join
     (SURVEY §2.12 fuzzy dedup, exact variant).
@@ -81,6 +84,18 @@ def ngram_jaccard_pairs(
     grams and can miss pairs whose overlap was entirely hot grams.
     `ngram_jaccard_oracle(threshold, max_df_frac)` yields the matching
     DuckDB oracle for any setting (tests pin a second cap value).
+
+    ``max_df_abs`` adds an ABSOLUTE per-gram document-frequency bound
+    on top of the fraction. The fractional cap alone does not bound
+    cost as the corpus grows: at constant duplication density each
+    gram's df grows linearly with N, so the pair fan-out Σ df² grows
+    quadratically while every df stays far under frac·N — measured as
+    a 50× runtime blow-up on a 10× corpus with 10-way near-duplicates
+    (BASELINE.md round-4 scale probe). A production run sets
+    max_df_abs to the expected duplication ceiling (e.g. 100), which
+    bounds per-gram fan-out at max_df_abs² regardless of corpus size;
+    pairs whose entire overlap exceeds that df are the LSH paths' job
+    (minhash/simhash scale ~linearly in the same probe).
     """
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     # index-explode then hash each bigram to a long: the inverted index
@@ -110,11 +125,14 @@ def ngram_jaccard_pairs(
     # exceed the cap), so it always broadcasts — the posting list never
     # shuffles for the cap, at any corpus size.
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    over_cap = F.col("df_ct") > F.col("n_docs") * F.lit(max_df_frac)
+    if max_df_abs is not None:
+        over_cap = over_cap | (F.col("df_ct") > F.lit(max_df_abs))
     hot_grams = (
         distinct_grams.groupBy("lang", "gh")
         .agg(F.count(F.lit(1)).alias("df_ct"))
         .join(F.broadcast(n_docs))
-        .filter(F.col("df_ct") > F.col("n_docs") * F.lit(max_df_frac))
+        .filter(over_cap)
         .select("lang", "gh")
     )
     kept = distinct_grams.join(F.broadcast(hot_grams), ["lang", "gh"], "left_anti")
@@ -146,12 +164,19 @@ def ngram_jaccard_pairs(
     return shared.filter(jac >= threshold).select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
-def ngram_jaccard_oracle(threshold: float = 0.05, max_df_frac: float = 0.25) -> str:
+def ngram_jaccard_oracle(
+    threshold: float = 0.05,
+    max_df_frac: float = 0.25,
+    max_df_abs: int | None = None,
+) -> str:
     """DuckDB oracle for `ngram_jaccard_pairs`, templated on the same
     knobs so any (threshold, cap) setting can be cross-checked — the
     registry registers it at the defaults; tests exercise a second cap
     value through the same template (one source of truth for the
     mirrored semantics)."""
+    abs_clause = (
+        f" AND df_ct <= {max_df_abs}" if max_df_abs is not None else ""
+    )
     return f"""
     WITH toks AS (
       SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
@@ -168,7 +193,7 @@ def ngram_jaccard_oracle(threshold: float = 0.05, max_df_frac: float = 0.25) -> 
       FROM (SELECT doc_id, lang, gram,
                    COUNT(*) OVER (PARTITION BY lang, gram) AS df_ct
             FROM inv)
-      WHERE df_ct <= (SELECT COUNT(*) * {max_df_frac} FROM documents)
+      WHERE df_ct <= (SELECT COUNT(*) * {max_df_frac} FROM documents){abs_clause}
     ), sized AS (
       SELECT doc_id, lang, gram,
              COUNT(*) OVER (PARTITION BY doc_id) AS n

@@ -306,3 +306,60 @@ def test_jaccard_prefix_finds_planted_pair(spark):
     assert (1, 2) in out
     # unrelated docs share only the hot 'hot pad' grams -> far below 0.5
     assert all(p == (1, 2) for p in out)
+
+
+def test_ngram_abs_df_cap_matches_oracle(spark, sf_dir):
+    """The ABSOLUTE df cap (the corpus-growth-proof knob) mirrors in
+    the oracle template exactly like the fractional one."""
+    import duckdb
+
+    from etl_knlp_spark.catalog import load_table, table_path
+    from etl_knlp_spark.operators.dedup import (
+        ngram_jaccard_oracle,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.05, max_df_frac=1.0, max_df_abs=5
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{table_path(sf_dir, 'documents')}'"
+    )
+    want = sorted(
+        (int(a), int(b), round(j, 9))
+        for a, b, j in con.sql(
+            ngram_jaccard_oracle(threshold=0.05, max_df_frac=1.0, max_df_abs=5)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_ngram_abs_df_cap_bounds_fanout(spark):
+    """With 10-way duplicated content, an absolute cap below the
+    duplication factor drops every shared gram — pair enumeration
+    collapses instead of exploding quadratically (the 10x scale-probe
+    failure mode, BASELINE.md round 4)."""
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = [(i, f"alpha bravo charlie delta echo tag{i}") for i in range(10)]
+    rows = [
+        (i * 100 + c, t.replace(f"tag{i}", f"tag{i} copy{c}"), "en")
+        for i, t in base
+        for c in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.05, max_df_frac=1.0)
+    capped = ngram_jaccard_pairs(
+        docs, threshold=0.05, max_df_frac=1.0, max_df_abs=5
+    )
+    # every gram is shared by ≥10 docs → the absolute cap kills all
+    # candidates while the uncapped form enumerates the full fan-out
+    assert uncapped.count() > 1000
+    assert capped.count() == 0
