@@ -112,3 +112,73 @@ def scd2_apply(
         .unionByName(closed)
         .unionByName(chained.select(*current.columns))
     )
+
+
+def apply_aggregate_delta(
+    materialized: DataFrame, delta_aggregate: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Incremental view maintenance for algebraic aggregates: merge a
+    delta batch's partial aggregate into the materialized aggregate by
+    full-outer join on the group keys and coalesced summation — the
+    100 TB answer to "the nightly count table": apply the day's delta
+    (seconds) instead of recomputing the corpus (hours). Works for
+    any aggregate with a commutative merge (sum/count/min/max);
+    non-algebraic ones (distinct, median) keep their grain or use
+    sketches (see bitmap_distinct / hll / cms)."""
+    m = materialized.alias("m")
+    d = delta_aggregate.alias("d")
+    cond = None
+    for k in keys:
+        c = F.col(f"m.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else cond & c
+    value_cols = [c for c in materialized.columns if c not in keys]
+    return m.join(d, cond, "full_outer").select(
+        *[F.coalesce(f"m.{k}", f"d.{k}").alias(k) for k in keys],
+        *[
+            (
+                F.coalesce(F.col(f"m.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+            ).alias(c)
+            for c in value_cols
+        ],
+    )
+
+
+@query(
+    "ivm_aggregate",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           ROUND(SUM(value), 2)      AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, hash-verified end to end: the
+    per-type aggregate is materialized from the first 80% of events
+    (the standing view), the remaining 20% arrive as a delta batch
+    whose partial aggregate merges in via `apply_aggregate_delta` —
+    and the result must equal the full recompute (the oracle). The
+    delta pass touches only delta rows plus |groups| materialized
+    rows; at 100 TB that is the difference between an incremental
+    minute and a full-table day. Rounding happens ONLY after the
+    merge (partials carry full precision, like Spark's own partial
+    aggregates)."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = e.agg(F.expr("percentile(event_id, 0.8)").alias("c"))
+    base = e.join(F.broadcast(cutoff)).filter(F.col("event_id") <= F.col("c"))
+    delta = e.join(F.broadcast(cutoff)).filter(F.col("event_id") > F.col("c"))
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+
+    merged = apply_aggregate_delta(agg(base), agg(delta), ["event_type"])
+    return merged.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("total_value", 2).alias("total_value"),
+    )

@@ -60,3 +60,22 @@ def test_scd2_chains_multiple_changes_per_key(spark):
     assert rows[(1, "v1")] == (t0, t2)   # closed ONCE, at the earliest change
     assert rows[(1, "v2")] == (t2, t3)   # intra-batch version closed by the next
     assert rows[(1, "v3")] == (t3, None)  # latest stays open
+
+
+def test_apply_aggregate_delta_handles_new_and_absent_keys(spark):
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.operators.mutate import apply_aggregate_delta
+
+    mat = spark.createDataFrame(
+        [("a", 10, 100.0), ("b", 5, 50.0)], "k STRING, n LONG, s DOUBLE"
+    )
+    delta = spark.createDataFrame(
+        [("b", 2, 7.0), ("c", 1, 1.5)], "k STRING, n LONG, s DOUBLE"
+    )
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in apply_aggregate_delta(mat, delta, ["k"]).collect()
+    }
+    # untouched key passes through, overlapping key sums, new key appears
+    assert got == {"a": (10, 100.0), "b": (7, 57.0), "c": (1, 1.5)}
