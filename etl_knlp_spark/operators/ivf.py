@@ -159,3 +159,39 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ivf_search(assigned, centroids, queries)
+
+
+def ivf_write_partitioned(assigned: DataFrame, path: str) -> None:
+    """Persist the IVF-assigned corpus partitioned by cluster_id — the
+    storage layout the probe path depends on at scale: each query
+    reads only its nprobe cluster directories (PartitionFilters), so
+    probe I/O is nprobe/k of the corpus regardless of corpus size."""
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+
+@query("similarity_ivf_pruned", oracle=None)  # iterative build — rows-only
+def similarity_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF probe against cluster-PARTITIONED storage (the claim in
+    this module's docstring, demonstrated end to end): build the
+    index, write the corpus partitioned by cluster_id, compute each
+    query's probe set, and scan ONLY those partitions — the cluster_id
+    IN (...) filter prunes at directory listing (PartitionFilters;
+    pinned in tests). Results are identical to the in-memory probe
+    (`similarity_ivf`) by construction: tests compare the two."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_build(spark, e)
+    path = tempfile.mkdtemp(prefix="etl_knlp_ivf_")
+    ivf_write_partitioned(assigned, path)
+    queries = (
+        assigned.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("q_nrm", l2_norm(F.col("emb")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            "q_nrm",
+        )
+    )
+    stored = spark.read.parquet(path)
+    return ivf_search(stored, centroids, queries)

@@ -60,3 +60,17 @@ def test_ivf_results_are_true_cosines_with_recall(spark, sf_dir):
         ivf10 = {r["vec_id"] for r in got if r["query_id"] == qid}
         hits += len(true10 & ivf10)
     assert hits > 0
+
+
+def test_ivf_pruned_probe_matches_in_memory_and_prunes(spark, sf_dir):
+    """The cluster-partitioned probe must (a) return exactly the
+    in-memory probe's results and (b) reach the stored corpus through
+    partition pruning on cluster_id rather than a full scan."""
+    from etl_knlp_spark.operators.ivf import similarity_ivf, similarity_ivf_pruned
+
+    a = sorted(map(tuple, similarity_ivf(spark, sf_dir).collect()))
+    pruned = similarity_ivf_pruned(spark, sf_dir)
+    b = sorted(map(tuple, pruned.collect()))
+    assert a == b
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
