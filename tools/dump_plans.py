@@ -189,6 +189,12 @@ SHOWCASE = {
         "analog of DPP — no layout requirement, ~dim-selectivity "
         "reduction of fact shuffle volume."
     ),
+    "similarity_ivf_pruned": (
+        "IVF probe against cluster-partitioned storage: the probe "
+        "set reaches the stored corpus as a cluster_id partition "
+        "filter, so probe I/O is nprobe/k of the corpus regardless "
+        "of size — the vector-search shape of partition pruning."
+    ),
 }
 
 
