@@ -60,8 +60,8 @@ def salted_agg(
     dominates (a hot language, a bot user): phase 1 aggregates on
     (key, salt) so the hot key's rows spread over ``buckets``
     reducers; phase 2 combines the per-salt partials. Only works for
-    algebraic aggregates (sum/count/min/max — anything with a
-    partial-merge form). Spark's own partial aggregation usually makes
+    sum-mergeable aggregates (sums/counts — phase 2 SUMs the
+    partials). Spark's own partial aggregation usually makes
     this redundant, but when the map-side partial is defeated (high
     distinct-key count per partition evicts the hash map, or the agg
     sits above a join), pre-salting restores bounded reducer work.
@@ -69,8 +69,17 @@ def salted_agg(
     ``aggs`` maps output name → phase-1 aggregate column; each must
     survive a SUM in phase 2 (i.e. sums/counts). The caller re-derives
     non-summable results (avg = sum/count) afterward.
+
+    The salt must vary across ROWS of the same hot key, so it cannot
+    be a hash of the value columns (fully duplicated rows — the bot
+    user emitting identical events — would all land in one bucket and
+    the mitigation would silently do nothing; round-4 advisor
+    finding). Salting by input partition id is deterministic under
+    task retry (partition layout is fixed for the stage) and spreads
+    every key that spans partitions — which at 100 TB a hot key
+    always does.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    salt = F.pmod(F.spark_partition_id().cast("long"), F.lit(buckets))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")

@@ -296,7 +296,8 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((dev.n_chars - dev.med_chars) / (1.4826 * mad.mad_chars), 6)
              AS robust_z
     FROM dev JOIN mad USING (source)
-    WHERE abs((dev.n_chars - dev.med_chars) / (1.4826 * mad.mad_chars)) > 1.5
+    WHERE mad.mad_chars > 0
+      AND abs((dev.n_chars - dev.med_chars) / (1.4826 * mad.mad_chars)) > 1.5
     """,
 )
 def mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,6 +310,13 @@ def mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source stats back onto the corpus: the corpus itself never
     shuffles. Exact `percentile` keeps both engines bit-comparable
     (interpolated medians), with round(6) absorbing division residue.
+
+    A source whose MAD is 0 (>50% of its docs share one n_chars) is
+    excluded EXPLICITLY on both sides: Spark's non-ANSI Divide yields
+    NULL on /0 (rows silently dropped) while DuckDB's IEEE float
+    division yields ±inf (rows kept) — left implicit, the engines
+    diverge the moment the testdata generator emits such a source
+    (round-4 advisor finding).
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
@@ -325,6 +333,7 @@ def mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("n_chars") - F.col("med_chars")) / (1.4826 * F.col("mad_chars"))
     return (
         dev.join(F.broadcast(mad), "source")
+        .filter(F.col("mad_chars") > 0)
         .filter(F.abs(z) > 1.5)
         .select(
             "doc_id",

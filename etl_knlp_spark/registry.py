@@ -70,6 +70,9 @@ _STALE_SINCE: dict[str, int] = {
     # round 4 upgraded the rows-only check to an assertion-contract
     # oracle (n_docs + exact exp(avg(ln)) + udaf_matches boolean).
     "udaf_geomean": 4,
+    # round 5 added the explicit MAD>0 guard to both engines (round-4
+    # advisor finding) — the oracle string changed.
+    "mad_outlier": 5,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

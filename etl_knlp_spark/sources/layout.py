@@ -372,34 +372,43 @@ def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the difference between a full scan and reading a few KB
     of footers per file.
 
-    Conf mechanics: aggregate pushdown only exists in the DataSourceV2
-    path, and the v1-vs-v2 choice binds when ``spark.read`` resolves
-    the source — so the v1 exclusion list is narrowed only around the
-    read call and restored immediately (verified: the returned plan
-    keeps the v2 BatchScan + PushedAggregation, while every other read
-    in the session stays on the default v1 path). Results are
-    identical either way (the oracle is the plain aggregate)."""
+    Conf mechanics: the v1-vs-v2 choice binds when ``spark.read``
+    resolves the source, but ``aggregatePushdown`` is consulted later,
+    when the optimizer pushes operators into the ScanBuilder — so BOTH
+    confs are scoped to this function and the pushed-down physical
+    plan is compiled (``executedPlan`` is cached on the Dataset)
+    before they're restored. Every other read in the session stays on
+    the default v1 path with the session's own pushdown setting —
+    no conf leak (round-4 advisor finding). Results are identical
+    either way (the oracle is the plain aggregate)."""
     from pyspark.sql import functions as F
 
     from ..catalog import table_path
 
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    prev_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
     prev_v1 = spark.conf.get(
         "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,parquet,text"
     )
     v2_list = ",".join(s for s in prev_v1.split(",") if s != "parquet")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     spark.conf.set("spark.sql.sources.useV1SourceList", v2_list)
     try:
         li = spark.read.parquet(table_path(sf_dir, "lineitem"))
+        out = li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        # Force physical planning NOW, while the scoped confs are live:
+        # the pushdown fires during optimization, and executedPlan is a
+        # cached lazy val, so the later materialization reuses it.
+        out._jdf.queryExecution().executedPlan()
+        return out
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
-    return li.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("l_orderkey").alias("min_key"),
-        F.max("l_orderkey").alias("max_key"),
-        F.min("l_shipdate").alias("first_ship"),
-        F.max("l_shipdate").alias("last_ship"),
-    )
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
 
 
 @query(

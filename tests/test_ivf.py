@@ -74,3 +74,8 @@ def test_ivf_pruned_probe_matches_in_memory_and_prunes(spark, sf_dir):
     assert a == b
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster_id" in plan
+    # the mechanism, not just the line: a cluster_id-partitioned scan
+    # always prints a (possibly empty) PartitionFilters entry, so pin
+    # the dynamic-pruning expression itself (round-4 advisor finding;
+    # same contract test_dpp_join_prunes_at_runtime asserts).
+    assert "dynamicpruning" in plan.lower()
