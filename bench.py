@@ -70,18 +70,31 @@ def main() -> None:
 
     materialize(queries["q1_dimension_build"](spark, SF_DIR))  # warmup
 
-    # min of 3 runs per query: strips GC/compilation noise so the
-    # recorded number reflects the plan, not the JVM's mood (widened
-    # from 2 in round 3 — a same-code control rerun showed ±25%
-    # run-to-run drift on sub-2s queries under ambient host load)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            materialize(queries[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    # Load-robust timing (round-5 rework after a same-code control
+    # experiment showed ±25% ambient-host drift, and round 4 recorded
+    # a near-uniform ~1.5x multiplier across 26/29 queries):
+    #   - repetitions are INTERLEAVED round-robin across queries, so a
+    #     multi-second host-load spike degrades one rep of many
+    #     queries (min() discards it) instead of all reps of whichever
+    #     query it landed on;
+    #   - min-of-3 for every query, widened to min-of-5 for queries
+    #     whose best is still sub-1s after 3 passes — the cohort where
+    #     ±0.3s of scheduler noise is a 50% error and extra reps are
+    #     nearly free.
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        materialize(queries[name](spark, SF_DIR))
+        return time.perf_counter() - t0
+
+    best: dict[str, float] = {n: float("inf") for n in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            best[name] = min(best[name], run_once(name))
+    fast = [n for n in HEADLINE if best[n] < 1.0]
+    for _ in range(2):
+        for name in fast:
+            best[name] = min(best[name], run_once(name))
+    timings = {name: round(best[name], 3) for name in HEADLINE}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
