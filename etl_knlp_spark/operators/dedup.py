@@ -212,13 +212,26 @@ def ngram_jaccard_oracle(
     """
 
 
-@query("dedup_ngram_jaccard", oracle=ngram_jaccard_oracle())
+@query("dedup_ngram_jaccard", oracle=ngram_jaccard_oracle(max_df_abs=256))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry for `ngram_jaccard_pairs` on the documents table,
-    document-frequency cap at 25% of the corpus (mirrored in the
-    DuckDB oracle's COUNT(*) OVER posting-list window; see
-    `ngram_jaccard_oracle` for the shared template)."""
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    """Registry entry for `ngram_jaccard_pairs` on the documents table
+    at the PRODUCTION cap setting: fractional DF cap at 25% of the
+    corpus AND `max_df_abs=256` (both mirrored in the DuckDB oracle
+    via the shared `ngram_jaccard_oracle` template).
+
+    The absolute cap is the default here — not just a knob — because
+    the round-4 10× probe measured the frac-only path at 50× (Σ df²
+    quadratic); with the abs cap the per-gram fan-out is ≤ 256²
+    independent of corpus size. 256 was picked by a measured sweep at
+    sf0.1 (BASELINE.md round-5): the emitted pair set is IDENTICAL to
+    uncapped (recall 1.0 — every pair passing the 0.05 threshold also
+    shares sub-cap grams) at 2.1× lower cost, while 128 already
+    perturbs the pair set (recall 0.83) and 64 guts it (0.33). Pairs
+    whose entire overlap is denser than the cap are the banded-LSH
+    paths' job (dedup_minhash/dedup_fuzzy scale ~linearly)."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), max_df_abs=256
+    )
 
 
 def embedding_neardup_pairs(

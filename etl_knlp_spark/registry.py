@@ -62,9 +62,6 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # earlier rounds predate a semantics/oracle change and don't count.
 # Maintained by hand alongside any change to a query's output or oracle.
 _STALE_SINCE: dict[str, int] = {
-    # round 2 added the document-frequency cap — the round-1 hash (4188
-    # uncapped pairs) no longer describes the current query.
-    "dedup_ngram_jaccard": 3,
     # round 3 serialized the token array (tokens -> tokens_ws).
     "udf_tokenize": 3,
     # round 4 upgraded the rows-only check to an assertion-contract
@@ -73,6 +70,9 @@ _STALE_SINCE: dict[str, int] = {
     # round 5 added the explicit MAD>0 guard to both engines (round-4
     # advisor finding) — the oracle string changed.
     "mad_outlier": 5,
+    # round 5 made max_df_abs=64 the production default (the frac-only
+    # path measured 50x at the 10x probe) — pair set + oracle changed.
+    "dedup_ngram_jaccard": 5,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
