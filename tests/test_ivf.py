@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_knlp_spark.catalog import load_table
-from etl_knlp_spark.operators.ivf import ivf_build, similarity_ivf
+from etl_knlp_spark.operators.ivf import ivf_build, ivf_topk
 
 
 @pytest.fixture(scope="module")
@@ -36,7 +36,7 @@ def test_kmeans_is_deterministic(spark, sf_dir):
 
 
 def test_ivf_results_are_true_cosines_with_recall(spark, sf_dir):
-    got = similarity_ivf(spark, sf_dir).collect()
+    got = ivf_topk(spark, sf_dir).collect()
     assert len(got) > 0
     vecs = {
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
@@ -66,10 +66,10 @@ def test_ivf_pruned_probe_matches_in_memory_and_prunes(spark, sf_dir):
     """The cluster-partitioned probe must (a) return exactly the
     in-memory probe's results and (b) reach the stored corpus through
     partition pruning on cluster_id rather than a full scan."""
-    from etl_knlp_spark.operators.ivf import similarity_ivf, similarity_ivf_pruned
+    from etl_knlp_spark.operators.ivf import ivf_pruned_topk, ivf_topk
 
-    a = sorted(map(tuple, similarity_ivf(spark, sf_dir).collect()))
-    pruned = similarity_ivf_pruned(spark, sf_dir)
+    a = sorted(map(tuple, ivf_topk(spark, sf_dir).collect()))
+    pruned = ivf_pruned_topk(spark, sf_dir)
     b = sorted(map(tuple, pruned.collect()))
     assert a == b
     plan = pruned._jdf.queryExecution().executedPlan().toString()
@@ -79,3 +79,17 @@ def test_ivf_pruned_probe_matches_in_memory_and_prunes(spark, sf_dir):
     # the dynamic-pruning expression itself (round-4 advisor finding;
     # same contract test_dpp_join_prunes_at_runtime asserts).
     assert "dynamicpruning" in plan.lower()
+
+
+def test_ivf_contract_booleans_hold(spark, sf_dir):
+    """The registered driver-facing query is the assertion contract:
+    5 per-query rows, recall/score/cardinality booleans all TRUE (the
+    oracle pins them TRUE, so this is exactly what the driver's hash
+    compare will require)."""
+    from etl_knlp_spark.operators.ivf import similarity_ivf
+
+    rows = similarity_ivf(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_exact"] == 10
+        assert r["recall_ok"] and r["scores_true"] and r["ret_le_k"]

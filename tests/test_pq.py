@@ -12,8 +12,8 @@ from etl_knlp_spark.functions.vector import as_double, l2_norm
 from etl_knlp_spark.operators.pq import (
     _M,
     pq_encode,
+    pq_topk,
     pq_train,
-    similarity_pq,
 )
 
 
@@ -59,7 +59,7 @@ def test_training_is_deterministic(spark, sf_dir):
 
 
 def test_pq_rerank_scores_exact_with_recall(spark, sf_dir):
-    got = similarity_pq(spark, sf_dir).collect()
+    got = pq_topk(spark, sf_dir).collect()
     assert len(got) > 0
     vecs = {
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
@@ -94,3 +94,16 @@ def test_pq_rerank_scores_exact_with_recall(spark, sf_dir):
         pq10 = {r["vec_id"] for r in got if r["query_id"] == qid}
         recalls.append(len(true10 & pq10) / 10)
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_pq_contract_booleans_hold(spark, sf_dir):
+    """The registered driver-facing query is the assertion contract:
+    5 per-query rows with recall/score/cardinality booleans TRUE
+    (what the driver's hash compare will require)."""
+    from etl_knlp_spark.operators.pq import similarity_pq
+
+    rows = similarity_pq(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_exact"] == 10
+        assert r["recall_ok"] and r["scores_true"] and r["ret_le_k"]

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from etl_knlp_spark.catalog import load_table
 from etl_knlp_spark.functions.vector import cosine
-from etl_knlp_spark.operators.similarity import similarity_ann_lsh, similarity_topk
+from etl_knlp_spark.operators.similarity import ann_lsh_topk, similarity_topk
 
 
 def test_cosine_matches_numpy(spark):
@@ -58,7 +58,7 @@ def test_brute_topk_matches_numpy(spark, sf_dir, brute_topk):
 def test_lsh_results_are_true_neighbors(spark, sf_dir, brute_topk):
     """LSH candidates are a subset of the corpus scored identically to
     brute force; recall of the true top-10 must be non-trivial."""
-    got = similarity_ann_lsh(spark, sf_dir).collect()
+    got = ann_lsh_topk(spark, sf_dir).collect()
     assert all(r["rank"] <= 10 for r in got)
     recall_hits, total = 0, 0
     for q in range(5):
@@ -71,6 +71,21 @@ def test_lsh_results_are_true_neighbors(spark, sf_dir, brute_topk):
     assert recall_hits > 0
     corpus = {r["vec_id"] for r in load_table(spark, sf_dir, "embeddings").collect()}
     assert {r["vec_id"] for r in got} <= corpus
+
+
+def test_lsh_contract_booleans_hold(spark, sf_dir):
+    """The registered driver-facing query is the assertion contract
+    (no recall term — documented as vacuous for this banding on
+    near-random data): exact-side columns + integrity booleans."""
+    from etl_knlp_spark.operators.similarity import similarity_ann_lsh
+
+    rows = similarity_ann_lsh(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_exact"] == 10
+        assert r["kth_exact_sim"] is not None
+        assert r["scores_true"] and r["ret_le_k"]
+        assert "recall_ok" not in r.asDict()
 
 
 def test_quantize_roundtrip_error_bound(spark):

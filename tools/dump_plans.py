@@ -202,6 +202,12 @@ def main() -> None:
     spark = get_spark(cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.all_queries()
+    # The registered ANN entries are assertion contracts since round 5;
+    # the plan evidence should showcase the production probe itself
+    # (the PartitionFilters subtree, not the verifier wrapper).
+    from etl_knlp_spark.operators.ivf import ivf_pruned_topk
+
+    qs = {**qs, "similarity_ivf_pruned": ivf_pruned_topk}
     out = [
         "# PLANS — physical-plan evidence for the 100 TB design claims",
         "",
