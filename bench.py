@@ -64,15 +64,20 @@ def materialize(df) -> None:
 
 
 def _probe_overrides():
-    """The ANN registry entries became assertion-contract queries in
-    round 5 (probe + the exact brute-force verifier + contract fold).
-    The bench measures the PRODUCTION probe path under its registry
-    name — benchmarking the verifier would mostly time the brute
-    force it verifies against. Correctness still gates on the
-    contract via the registry."""
+    """The ANN + hashed-dedup registry entries became assertion-
+    contract queries in round 5 (production path + an exact verifier
+    + contract fold). The bench measures the PRODUCTION path under
+    its registry name — benchmarking the verifier would mostly time
+    the brute-force/inverted-index baseline it verifies against.
+    Correctness still gates on the contracts via the registry."""
+    from etl_knlp_spark.operators.dedup import minhash_pairs, simhash_sigs
     from etl_knlp_spark.operators.similarity import ann_lsh_topk
 
-    return {"similarity_ann_lsh": ann_lsh_topk}
+    return {
+        "similarity_ann_lsh": ann_lsh_topk,
+        "dedup_minhash": minhash_pairs,
+        "dedup_simhash": simhash_sigs,
+    }
 
 
 def main() -> None:

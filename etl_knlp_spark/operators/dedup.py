@@ -543,12 +543,11 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return pairs.join(sh_a, "doc_a").join(sh_b, "doc_b").select("doc_a", "doc_b", "sh_a", "sh_b")
 
 
-@query("dedup_minhash", oracle=None)  # seeded-hash signatures are engine-specific
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection on `documents` (SURVEY §2.12):
     banded candidate generation + exact-Jaccard verification on the
-    char-shingle sets. Rows-only driver check (hash seeds are
-    engine-specific); tests verify recall on injected duplicates."""
+    shingle-hash sets. The production probe — `dedup_minhash` wraps it
+    in the driver-facing assertion contract."""
     docs = load_table(spark, sf_dir, "documents")
     cands = minhash_candidates(docs)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -561,14 +560,111 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_fuzzy", oracle=None)  # SURVEY §2.12's canonical name for this op
+def shingle_jaccard_exact(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """EXACT word-3-gram-shingle Jaccard pairs via inverted-index
+    self-join — the ground truth the MinHash contract verifies
+    against, deliberately formulated through a DIFFERENT plan than
+    the LSH path (posting-list join vs banded signatures + array set
+    math), so a bug in either shows up as disagreement. Quadratic in
+    hot-shingle df (no cap): a verifier, not a production path — the
+    same role `similarity_topk` plays for the ANN contracts."""
+    sh = _shingle_sets(docs, "text", "doc_id")
+    inv = sh.select("doc_id", F.explode("shingle_hashes").alias("h"))
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = inv.select("h", F.col("doc_id").alias("doc_a"))
+    b = inv.select("h", F.col("doc_id").alias("doc_b"))
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    )
+    jac = F.col("ns") * 1.0 / (F.col("na") + F.col("nb") - F.col("ns"))
+    return shared.filter(jac >= threshold).select("doc_a", "doc_b")
+
+
+def minhash_contract_oracle() -> str:
+    """DuckDB oracle for the MinHash contract: the true ≥0.7
+    shingle-Jaccard pair count computed from the raw text (string
+    shingles — independent of Spark's xxhash64 representation; equal
+    counts modulo 64-bit collisions), booleans pinned TRUE."""
+    return """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks WHERE len(t) >= 3
+    ), inv AS (
+      SELECT doc_id, unnest(g) AS gram FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ns
+      FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           TRUE AS subset_ok,
+           TRUE AS recall_ok
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = shared.doc_a
+    JOIN sizes sb ON sb.doc_id = shared.doc_b
+    WHERE ns * 1.0 / (sa.n + sb.n - ns) >= 0.7
+    """
+
+
+def _minhash_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One contract row: n_true_pairs (data-derived — DuckDB recomputes
+    it from raw text), subset_ok (every LSH-emitted pair truly has
+    Jaccard ≥ 0.7 per the independent exact join), recall_ok (the LSH
+    path found ≥70% of the true pairs; measured 1.0 at sf0.01/sf0.1 —
+    testdata dups are high-Jaccard, where banded candidacy is
+    >0.999/pair — floored at the j=0.7 single-pair candidacy ≈0.89
+    minus margin for regeneration)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emitted = minhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_emitted")
+    )
+    truth = shingle_jaccard_exact(docs, 0.7).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_true")
+    )
+    both = emitted.join(truth, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.coalesce(F.sum("is_true"), F.lit(0)).cast("bigint").alias("n_true_pairs"),
+        (
+            F.coalesce(F.sum("is_emitted"), F.lit(0))
+            == F.coalesce(F.sum(F.col("is_emitted") * F.col("is_true")), F.lit(0))
+        ).alias("subset_ok"),
+        (
+            F.coalesce(F.sum(F.col("is_emitted") * F.col("is_true")), F.lit(0))
+            >= F.coalesce(F.sum("is_true"), F.lit(0)) * 0.7
+        ).alias("recall_ok"),
+    )
+
+
+@query("dedup_minhash", oracle=minhash_contract_oracle())
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assertion contract over `minhash_pairs` (upgraded from
+    rows-only in round 5): the seeded signatures stay
+    engine-specific, but precision and recall against the EXACT
+    shingle-Jaccard ground truth are SQL-expressible, so the driver
+    hash-verifies them — see `_minhash_contract`."""
+    return _minhash_contract(spark, sf_dir)
+
+
+@query("dedup_fuzzy", oracle=minhash_contract_oracle())
 def dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy/near dedup under the inventory name SURVEY.md §2.12
     declares (`dedup_fuzzy`): the MinHash-LSH candidate + exact-verify
-    pipeline, thresholded at Jaccard ≥ 0.7. Same engine path as
-    `dedup_minhash`; kept as its own entry so the §2 inventory maps
-    one-to-one onto `queries()`."""
-    return dedup_minhash(spark, sf_dir)
+    pipeline, thresholded at Jaccard ≥ 0.7, driver-checked through
+    the same assertion contract as `dedup_minhash`. Kept as its own
+    entry so the §2 inventory maps one-to-one onto `queries()`."""
+    return _minhash_contract(spark, sf_dir)
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -625,12 +721,84 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return bit_votes.select("doc_id", sig.alias("simhash"))
 
 
-@query("dedup_simhash", oracle=None)  # xxhash64 bit-patterns are engine-specific
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signature per document (SURVEY §2.12); near-dup
-    search then joins on 16-bit sub-bands of the signature
-    (`simhash_neardup_pairs`, exercised in tests)."""
+def simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (SURVEY §2.12) — the
+    production signature build; `dedup_simhash` wraps it in the
+    driver-facing assertion contract."""
     return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_PLANT_OFFSET = 10_000_000  # far above any testdata doc_id
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS sigs_complete,
+           TRUE AS sig_deterministic,
+           TRUE AS planted_recalled
+    FROM documents
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assertion contract over the SimHash pipeline (upgraded from
+    rows-only in round 5). The xxhash64 bit patterns are
+    engine-specific, so the checkable surface is the pipeline's HARD
+    guarantees, verified on a corpus with PLANTED exact copies (every
+    doc unioned again under doc_id+10M — the construction is
+    deterministic, so the oracle knows the ground truth without
+    seeing a signature):
+
+    - ``n_docs`` — data-derived corpus count (hash-compared).
+    - ``sigs_complete`` — one signature per input row (2·n_docs).
+    - ``sig_deterministic`` — identical text ⇒ identical signature
+      (same distinct-token vote set ⇒ same sign vector; catches
+      nondeterministic aggregation order leaking into the bits).
+    - ``planted_recalled`` — every planted copy pair is emitted by
+      `simhash_neardup_pairs` with hamming 0: exercises banding,
+      pair join, and the bit_count(xor) verify end to end — hamming
+      ≤ 3 with equal signatures is a certainty, not a probability,
+      so the boolean is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + F.lit(_SIMHASH_PLANT_OFFSET)).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    sigs = simhash_signatures(corpus)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    n_sigs = sigs.agg(F.count(F.lit(1)).alias("n_sigs"))
+    sig_pairs = sigs.filter(F.col("doc_id") < _SIMHASH_PLANT_OFFSET).alias("o").join(
+        sigs.alias("c"),
+        F.col("c.doc_id") == F.col("o.doc_id") + _SIMHASH_PLANT_OFFSET,
+    )
+    deterministic = sig_pairs.agg(
+        F.bool_and(F.col("o.simhash") == F.col("c.simhash")).alias("det")
+    )
+    planted = (
+        sigs.filter(F.col("doc_id") < _SIMHASH_PLANT_OFFSET)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + _SIMHASH_PLANT_OFFSET).alias("doc_b"),
+        )
+    )
+    found = simhash_neardup_pairs(sigs).filter(F.col("hamming") == 0)
+    recalled = (
+        planted.join(found, ["doc_a", "doc_b"], "left")
+        .agg(F.bool_and(F.col("hamming").isNotNull()).alias("rec"))
+    )
+    return (
+        n_docs.crossJoin(n_sigs)
+        .crossJoin(deterministic)
+        .crossJoin(recalled)
+        .select(
+            "n_docs",
+            (F.col("n_sigs") == F.col("n_docs") * 2).alias("sigs_complete"),
+            F.col("det").alias("sig_deterministic"),
+            F.col("rec").alias("planted_recalled"),
+        )
+    )
 
 
 def simhash_neardup_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:

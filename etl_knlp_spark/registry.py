@@ -73,6 +73,15 @@ _STALE_SINCE: dict[str, int] = {
     # round 5 made max_df_abs=64 the production default (the frac-only
     # path measured 50x at the 10x probe) — pair set + oracle changed.
     "dedup_ngram_jaccard": 5,
+    # round 5 upgraded the ANN + hashed-dedup families from rows-only
+    # to assertion-contract oracles — outputs changed shape entirely.
+    "similarity_ivf": 5,
+    "similarity_ivf_pruned": 5,
+    "similarity_pq": 5,
+    "similarity_ann_lsh": 5,
+    "dedup_minhash": 5,
+    "dedup_fuzzy": 5,
+    "dedup_simhash": 5,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

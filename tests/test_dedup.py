@@ -174,9 +174,30 @@ def test_simhash_signature_is_deterministic(spark, sf_dir):
 
 
 def test_dedup_simhash_query_shape(spark, sf_dir):
-    out = dedup_simhash(spark, sf_dir)
+    from etl_knlp_spark.operators.dedup import simhash_sigs
+
+    out = simhash_sigs(spark, sf_dir)
     assert out.columns == ["doc_id", "simhash"]
     assert out.count() == load_table(spark, sf_dir, "documents").count()
+
+
+def test_dedup_contracts_hold(spark, sf_dir):
+    """The driver-facing trio queries are assertion contracts: all
+    oracle-pinned booleans must come back TRUE (what the hash compare
+    will require)."""
+    from etl_knlp_spark.operators.dedup import dedup_minhash
+
+    r = dedup_minhash(spark, sf_dir).collect()
+    assert len(r) == 1
+    assert r[0]["subset_ok"] and r[0]["recall_ok"]
+    s = dedup_simhash(spark, sf_dir).collect()
+    assert len(s) == 1
+    assert (
+        s[0]["sigs_complete"]
+        and s[0]["sig_deterministic"]
+        and s[0]["planted_recalled"]
+    )
+    assert s[0]["n_docs"] == load_table(spark, sf_dir, "documents").count()
 
 
 def test_bloom_decontaminate_no_false_negatives(spark):
