@@ -67,12 +67,41 @@ def pack_sequences(docs: DataFrame, budget: int = DEFAULT_BUDGET) -> DataFrame:
     )
 
 
-@query("pack_sequences", oracle=None)  # stateful running-reset scan — not SQL
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
+      FROM documents
+    ), ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM toks
+    ), walk(lang, rn, doc_id, n_tokens, seq_id, used) AS (
+      SELECT lang, rn, doc_id, n_tokens, 0::BIGINT, n_tokens
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.lang, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN w.used > 0 AND w.used + o.n_tokens > {DEFAULT_BUDGET}
+                  THEN w.seq_id + 1 ELSE w.seq_id END,
+             CASE WHEN w.used > 0 AND w.used + o.n_tokens > {DEFAULT_BUDGET}
+                  THEN o.n_tokens ELSE w.used + o.n_tokens END
+      FROM walk w JOIN ordered o ON o.lang = w.lang AND o.rn = w.rn + 1
+    )
+    SELECT doc_id, lang, n_tokens, seq_id FROM walk
+    """,
+)
 def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: pack `documents` per language at the default
-    budget. Rows-only (the seq_id accumulator resets on overflow —
-    no window formulation); invariants pinned in tests/test_packing.py.
-    """
+    budget. Upgraded from rows-only in round 5: the running-reset
+    accumulator has no WINDOW formulation, but it IS expressible as a
+    sequential recursion — the DuckDB oracle walks each language's
+    doc_id order through a recursive CTE carrying (seq_id, used),
+    stepping every language in parallel per recursion level, and
+    reproduces the greedy first-fit assignment exactly. (The Spark
+    side stays `applyInPandas`: a per-row recursive walk is an
+    oracle-sized tool, not a 100 TB plan.) Invariants additionally
+    pinned in tests/test_packing.py."""
     return pack_sequences(load_table(spark, sf_dir, "documents"))
 
 

@@ -62,8 +62,6 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # earlier rounds predate a semantics/oracle change and don't count.
 # Maintained by hand alongside any change to a query's output or oracle.
 _STALE_SINCE: dict[str, int] = {
-    # round 3 serialized the token array (tokens -> tokens_ws).
-    "udf_tokenize": 3,
     # round 4 upgraded the rows-only check to an assertion-contract
     # oracle (n_docs + exact exp(avg(ln)) + udaf_matches boolean).
     "udaf_geomean": 4,
@@ -82,6 +80,15 @@ _STALE_SINCE: dict[str, int] = {
     "dedup_minhash": 5,
     "dedup_fuzzy": 5,
     "dedup_simhash": 5,
+    # round 5 upgraded the last rows-only cohort: full oracles for
+    # near_dup_clusters (exact edges + recursive-CTE components),
+    # pack_sequences (recursive-CTE walk), udf_tokenize/udf_langid
+    # (RE2/SQL kernel mirrors); assertion contract for pagerank_links.
+    "near_dup_clusters": 5,
+    "pack_sequences": 5,
+    "udf_tokenize": 5,
+    "udf_langid": 5,
+    "pagerank_links": 5,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

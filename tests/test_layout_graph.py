@@ -158,11 +158,12 @@ def test_pagerank_matches_numpy_power_iteration(spark):
 
 
 def test_pagerank_query_contract(spark, sf_dir):
+    from etl_knlp_spark.operators.graph import pagerank_trade_ranks
     from etl_knlp_spark.registry import all_queries
 
-    rows = all_queries()["pagerank_links"](spark, sf_dir).collect()
-    total = sum(r["rank_6dp"] for r in rows)
-    assert abs(total - 1.0) < 1e-3  # 6dp rounding tolerance across nodes
+    rows = pagerank_trade_ranks(spark, sf_dir).collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-6  # mass conserved (unrounded)
     supp = [r for r in rows if r["is_supplier"]]
     cust = [r for r in rows if not r["is_supplier"]]
     assert supp and cust
@@ -170,3 +171,8 @@ def test_pagerank_query_contract(spark, sf_dir):
     assert (sum(r["rank_6dp"] for r in supp) / len(supp)) > (
         sum(r["rank_6dp"] for r in cust) / len(cust)
     )
+    # the registered query is the assertion contract the driver hashes
+    c = all_queries()["pagerank_links"](spark, sf_dir).collect()
+    assert len(c) == 1
+    assert c[0]["rank_sum_ok"] and c[0]["ranks_positive"]
+    assert c[0]["n_nodes"] == len(rows) and c[0]["n_suppliers"] == len(supp)
