@@ -225,7 +225,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of corpus size. 256 was picked by a measured sweep at
     sf0.1 (BASELINE.md round-5): the emitted pair set is IDENTICAL to
     uncapped (recall 1.0 — every pair passing the 0.05 threshold also
-    shares sub-cap grams) at 2.1× lower cost, while 128 already
+    shares sub-cap grams), cost-neutral at sf0.1 itself (interleaved
+    A/B) and 1.7× vs 50× at the 10× probe — while 128 already
     perturbs the pair set (recall 0.83) and 64 guts it (0.33). Pairs
     whose entire overlap is denser than the cap are the banded-LSH
     paths' job (dedup_minhash/dedup_fuzzy scale ~linearly)."""
