@@ -555,3 +555,90 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(100)
     )
+
+
+@query(
+    "lm_perplexity_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), big AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ), uni AS (
+      SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+    ), bg AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+    ), voc AS (
+      SELECT COUNT(DISTINCT x) AS v FROM (
+        SELECT unnest(t) AS x FROM toks
+      )
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln((bg.c12 + 0.5) / (uni.c1 + 0.5 * voc.v))), 4)
+             AS avg_logp
+    FROM big b
+    JOIN bg  ON bg.w1 = b.w1 AND bg.w2 = b.w2
+    JOIN uni ON uni.w1 = b.w1
+    CROSS JOIN voc
+    GROUP BY b.doc_id
+    """,
+)
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring (SURVEY §2.12 text
+    analysis): train an add-k-smoothed bigram LM on the corpus itself,
+    score every document by its mean bigram log-probability —
+    low-probability (high-perplexity) documents are the gibberish /
+    boilerplate / wrong-language outliers a pre-training pipeline
+    drops. The whole thing is three aggregations and two joins:
+
+    - bigram instance stream (index-explode over the token array —
+      the Generate-inlining trap avoided as everywhere else),
+    - count tables C(w1,w2), C(w1) and the vocab size (Zipf-bounded:
+      counts tables grow ~sublinearly with the corpus),
+    - score join: each doc's bigram instances hash-join the two count
+      tables on token keys, then one partial-aggregated AVG per doc.
+
+    At 100 TB the count tables are the only reused state — a
+    production run snapshots them (INSERT ... SELECT into parquet)
+    and scores incrementally; hashing tokens to longs (xxhash64)
+    halves the shuffle width of the count joins at the cost of
+    oracle-exactness, so the demo keeps exact string keys.
+    P(w2|w1) = (C(w1,w2) + 0.5) / (C(w1) + 0.5·V); ln is exact in
+    both engines on the same rationals, AVG rounds at 4dp to absorb
+    summation-order residue."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tdocs = docs.select("doc_id", toks.alias("t"))
+    big = (
+        tdocs.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - F.lit(1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr("element_at(t, i)").alias("w1"),
+            F.expr("element_at(t, i + 1)").alias("w2"),
+        )
+    )
+    uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    voc = tdocs.select(F.explode("t").alias("x")).agg(
+        F.countDistinct("x").alias("v")
+    )
+    logp = F.log((F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("v")))
+    return (
+        big.join(bg, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logp"),
+        )
+    )

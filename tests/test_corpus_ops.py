@@ -125,3 +125,68 @@ def test_vocab_zipf_invariants(spark, sf_dir):
     shares = [r["cum_share"] for r in rows]
     assert all(a < b for a, b in zip(shares, shares[1:]))
     assert shares[-1] <= 1.0 + 1e-12
+
+
+def test_lm_perplexity_flags_gibberish(spark, sf_dir):
+    """Every testdata doc gets a score, and on a controlled corpus
+    (20 copies of a natural sentence + one gibberish doc) the
+    gibberish's mean bigram log-probability is far below the natural
+    docs': its bigrams are smoothed-count singletons while natural
+    text rides the repeated bigrams. (On the raw testdata a strict
+    min-comparison is NOT valid — add-k LMs can score a rare
+    continuation of a common context below an unseen context, so the
+    discrimination claim needs the controlled corpus.)"""
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.analysis import lm_perplexity_filter
+
+    scores = {
+        r["doc_id"]: r["avg_logp"]
+        for r in lm_perplexity_filter(spark, sf_dir).collect()
+    }
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(scores) == n_docs  # every doc has >= 2 tokens in testdata
+
+    gib_text = " ".join(f"zzq{i}xv{i * 7}" for i in range(40))
+    rows = [(i, "the cat sat on the mat and the dog ran") for i in range(20)]
+    rows.append((9_000_000, gib_text))
+    probe = spark.createDataFrame(rows, "doc_id long, text string")
+    probe_scores = {
+        r["doc_id"]: r["avg_logp"] for r in _score_corpus(spark, probe).collect()
+    }
+    gib_score = probe_scores.pop(9_000_000)
+    assert gib_score < min(probe_scores.values()) - 1.0, (
+        gib_score, min(probe_scores.values()),
+    )
+
+
+def _score_corpus(spark, docs):
+    """Inline twin of lm_perplexity_filter over an arbitrary docs DF."""
+    import pyspark.sql.functions as F
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tdocs = docs.select("doc_id", toks.alias("t"))
+    big = (
+        tdocs.filter(F.size("t") >= 2)
+        .select(
+            "doc_id", "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - F.lit(1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr("element_at(t, i)").alias("w1"),
+            F.expr("element_at(t, i + 1)").alias("w2"),
+        )
+    )
+    uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    voc = tdocs.select(F.explode("t").alias("x")).agg(
+        F.countDistinct("x").alias("v")
+    )
+    logp = F.log((F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("v")))
+    return (
+        big.join(bg, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(logp), 4).alias("avg_logp"))
+    )
