@@ -47,3 +47,28 @@ def test_rows_only_canonicalizes_like_driver(spark, sf_dir, name):
         drop=True
     )
     assert len(canon) == len(pdf)
+
+
+def test_bench_harness_contract(spark):
+    """The driver runs bench.py per round; an import error or a stale
+    name in its HEADLINE list or probe overrides crashes the whole
+    bench (the round-3 rc=1 failure mode). Pin the contract: every
+    headline name resolves in the registry, every override shadows a
+    headline registry entry, and every override callable actually
+    builds a DataFrame plan at the test scale."""
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    bench = importlib.import_module("bench")
+    registry._load_all()
+    missing = [n for n in bench.HEADLINE if n not in registry._REGISTRY]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    overrides = bench._probe_overrides()
+    stray = [n for n in overrides if n not in bench.HEADLINE]
+    assert not stray, f"probe overrides for non-headline queries: {stray}"
+    from pyspark.sql import DataFrame
+
+    for name, fn in overrides.items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert isinstance(df, DataFrame), name
