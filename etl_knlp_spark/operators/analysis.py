@@ -642,3 +642,69 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(logp), 4).alias("avg_logp"),
         )
     )
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
+      FROM documents
+    ), per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM tok GROUP BY source
+    ), tot AS (
+      SELECT SUM(total_tokens) AS corpus_tokens, COUNT(*) AS n_sources
+      FROM per_source
+    )
+    SELECT p.source, p.n_docs, p.total_tokens,
+           ROUND(p.total_tokens * 1.0 / t.corpus_tokens, 6) AS natural_share,
+           ROUND(1.0 / t.n_sources, 6)                      AS target_share,
+           ROUND(LEAST(1.0,
+             (1.0 / t.n_sources) / (p.total_tokens * 1.0 / t.corpus_tokens)
+           ), 6) AS keep_prob
+    FROM per_source p CROSS JOIN tot t
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing plan (SURVEY §2.12 extension): per
+    source, the corpus's NATURAL token share vs a uniform TARGET
+    share, and the per-doc keep probability that downsamples
+    over-represented sources to the target (capped at 1 —
+    under-represented sources are an epoch-repeat decision, not a
+    sampling one). This is the table a data-mixing stage feeds into
+    `sample_importance`-style digest coins: weights are derived from
+    token mass, not doc counts, because the training budget is
+    tokens. Two tiny aggregations — the corpus scans once for token
+    counts and never shuffles; at 100 TB this is a metadata query
+    over per-source partial sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("bigint")
+    per_source = (
+        docs.select("source", n_tok.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("total_tokens").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    natural = F.col("total_tokens") / F.col("corpus_tokens")
+    target = F.lit(1.0) / F.col("n_sources")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(natural, 6).alias("natural_share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(F.least(F.lit(1.0), target / natural), 6).alias("keep_prob"),
+        )
+    )
