@@ -1340,3 +1340,61 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.filter(n_shared * den >= num * (F.col("n_a") + F.col("n_b") - n_shared))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), split AS (
+      SELECT MAX(doc_id) / 2 AS cut FROM documents
+    ), hist AS (
+      SELECT fp, MIN(doc_id) AS first_doc
+      FROM fp CROSS JOIN split WHERE doc_id < cut
+      GROUP BY fp
+    )
+    SELECT n.doc_id,
+           h.fp IS NOT NULL AS is_exact_dup,
+           h.first_doc      AS dup_of
+    FROM fp n
+    CROSS JOIN split
+    LEFT JOIN hist h ON h.fp = n.fp
+    WHERE n.doc_id >= cut
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen a NEW batch against the HISTORICAL
+    corpus without re-deduplicating history (the steady-state shape of
+    a production ingest — history is deduped once, every new crawl
+    batch joins against its fingerprint table). Demonstrated on a
+    deterministic split of `documents` (doc_id below/above half the
+    max key = history/new).
+
+    The join is digest-to-digest: history collapses to one
+    (fingerprint, first_doc) row per distinct text — at 100 TB that
+    fingerprint table is the only state the ingest keeps (32-byte
+    digests, ~corpus-distinct rows), it never rescans historical
+    text, and the new batch shuffles only its digests. The same shape
+    extends to near-dup screening by swapping the digest for MinHash
+    band keys (`minhash_candidates`) against a persisted signature
+    table. Emits every new doc with its dup verdict and the earliest
+    historical doc it duplicates (NULL when novel)."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = docs.select("doc_id", F.md5(normalized).alias("fp"))
+    cut = docs.agg((F.max("doc_id") / 2).alias("cut"))
+    fp = fp.crossJoin(F.broadcast(cut))
+    hist = (
+        fp.filter(F.col("doc_id") < F.col("cut"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    new = fp.filter(F.col("doc_id") >= F.col("cut"))
+    return new.join(hist, "fp", "left").select(
+        "doc_id",
+        F.col("first_doc").isNotNull().alias("is_exact_dup"),
+        F.col("first_doc").alias("dup_of"),
+    )
