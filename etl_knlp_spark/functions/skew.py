@@ -34,11 +34,15 @@ def salted_join(
     ``buckets`` shuffle partitions, replicating the right side
     ``buckets``× (right side must be the smaller one).
 
-    The salt is a deterministic per-row hash of the whole left row —
-    uniform across duplicates of the same hot key, stable across
-    retries (a nondeterministic salt breaks task re-execution).
+    The salt derives from the input partition id (same reasoning as
+    `salted_agg`, round-5 fix): a whole-row hash would send fully
+    duplicated rows of a hot key — the bot-user case — to ONE bucket,
+    silently disabling the mitigation exactly when it's needed, while
+    the partition id varies across the hot key's rows wherever they
+    span input partitions (at scale they always do) and is stable
+    under task retry (partition layout is fixed for the stage).
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets))
+    salt = F.pmod(F.spark_partition_id().cast("long"), F.lit(buckets))
     salted_left = left.withColumn("_salt", salt)
     replicated_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
