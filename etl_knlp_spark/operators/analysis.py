@@ -708,3 +708,104 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.least(F.lit(1.0), target / natural), 6).alias("keep_prob"),
         )
     )
+
+
+# BM25 retrieval constants (Robertson/Spärck Jones; Lucene-style idf).
+# The query term set is fixed so the result is deterministic and
+# oracle-checkable; a real deployment parameterizes it.
+_BM25_TERMS = ("vector", "hash", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(t)::BIGINT AS dl FROM toks
+    ), stats AS (
+      SELECT COUNT(*)::BIGINT AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      WHERE term IN ('vector', 'hash', 'stream')
+      GROUP BY 1, 2
+    ), dfq AS (
+      SELECT term, COUNT(*)::BIGINT AS df_ct FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             SUM(ln((stats.n_docs - dfq.df_ct + 0.5) / (dfq.df_ct + 0.5) + 1.0)
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)))
+               AS s
+      FROM tf
+      JOIN dfq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, ROUND(s, 6) AS bm25
+    FROM scored
+    ORDER BY ROUND(s, 6) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the corpus for a fixed query term
+    set — the lexical half of every RAG / training-data retrieval
+    stack (the dense half is `similarity_topk`). Scores are Lucene's
+    BM25 variant: idf = ln((N-df+0.5)/(df+0.5)+1) with the k1/b
+    saturation on tf and document-length normalization.
+
+    100 TB design: the explode is filtered to the query terms BEFORE
+    any shuffle, so only matching postings (|Q| terms' worth, not the
+    whole token stream) reach the (doc_id, term) aggregation; df and
+    the (N, avgdl) corpus stats are one-row/|Q|-row broadcasts; the
+    final top-k is TakeOrderedAndProject, never a global sort. Doc
+    length rides along the postings (functionally dependent on
+    doc_id) instead of a second corpus-wide join. Score rounded to
+    1e-6 on both engines: ln() is the one libm call whose last ULP
+    may differ between the JVM and DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id", "t", F.size("t").cast("bigint").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    post = base.select("doc_id", "dl", F.explode("t").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = post.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df_ct"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_ct") + 0.5) / (F.col("df_ct") + 0.5) + 1.0
+    )
+    tf_sat = (
+        F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_sat).alias("s"))
+    )
+    return (
+        scored.select("doc_id", F.round("s", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

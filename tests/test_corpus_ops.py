@@ -190,3 +190,27 @@ def _score_corpus(spark, docs):
         .groupBy("doc_id")
         .agg(F.round(F.avg(logp), 4).alias("avg_logp"))
     )
+
+
+def test_bm25_topk_scores_and_membership(spark, sf_dir):
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.analysis import _BM25_TERMS, bm25_topk
+
+    rows = bm25_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    scores = [r["bm25"] for r in rows]
+    # top-k contract: non-increasing scores, all positive (idf > 0
+    # whenever df < N/2, which holds for the fixed query terms)
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # every returned doc actually contains >= 1 query term
+    docs = load_table(spark, sf_dir, "documents")
+    texts = {
+        r["doc_id"]: r["text"].lower()
+        for r in docs.filter(
+            F.col("doc_id").isin([r["doc_id"] for r in rows])
+        ).collect()
+    }
+    assert all(
+        any(t in texts[r["doc_id"]].split() for t in _BM25_TERMS) for r in rows
+    )
