@@ -809,3 +809,167 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "source_overlap",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), sh0 AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ), sh AS (
+      SELECT DISTINCT source, shingle FROM sh0
+    ), per_src AS (
+      SELECT source, COUNT(*)::BIGINT AS n_shingles FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*)::BIGINT AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           ROUND(n_shared * 1.0
+                 / (pa.n_shingles + pb.n_shingles - n_shared), 6) AS jaccard
+    FROM inter
+    JOIN per_src pa ON inter.source_a = pa.source
+    JOIN per_src pb ON inter.source_b = pb.source
+    """,
+)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus-overlap matrix: 3-gram shingle Jaccard for
+    every source pair — the diagnostic for "how much of source A is
+    re-crawled/mirrored in source B" that decides whether two corpus
+    components should be deduplicated jointly or can ship as-is.
+
+    100 TB design: ONE shuffle keyed on shingle. `collect_set(source)`
+    per shingle (partial-aggregated map-side; the set is bounded by
+    the number of sources, a small constant, not by corpus size),
+    then both the per-source shingle totals and the per-pair
+    intersection counts derive from the source sets map-side via
+    higher-order pair expansion — no corpus-sized self-join of the
+    shingle stream (the naive a⋈b on shingle shuffles the stream
+    twice and re-materializes every match; the oracle keeps that
+    formulation because DuckDB lacks the HOF pair expansion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sh = (
+        docs.select("source", t.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat(element_at(t, i), ' ',"
+                    "             element_at(t, i + 1), ' ',"
+                    "             element_at(t, i + 2)))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    sets = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    per_src = (
+        sets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) ->"
+                " transform(slice(srcs, i + 2, size(srcs)),"
+                "           b -> struct(a AS source_a, b AS source_b))))"
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    inter = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared")
+    )
+    pa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a")
+    )
+    pb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "oov_rate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS r
+        FROM toks GROUP BY term
+      ) WHERE r <= 10
+    )
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_tokens,
+           SUM(CASE WHEN term IN (SELECT term FROM vocab) THEN 0 ELSE 1 END)
+             ::BIGINT AS n_oov,
+           ROUND(SUM(CASE WHEN term IN (SELECT term FROM vocab) THEN 0 ELSE 1
+                     END) * 1.0 / COUNT(*), 6) AS oov_rate
+    FROM toks GROUP BY lang
+    """,
+)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against the corpus's own
+    top-10 frequency vocabulary — the tokenizer-coverage diagnostic
+    (a high OOV share predicts token-count blowup when a fixed vocab
+    meets a new language/domain mix).
+
+    100 TB design: the vocabulary is a term-keyed aggregate reduced
+    to K rows (partial-aggregated, then a driver-free rank over the
+    tiny term table) and re-enters the plan as a BROADCAST left
+    join; the per-language rollup partial-aggregates map-side. The
+    token stream is never shuffled wholesale — the only full shuffle
+    key is `term` for the frequency table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "term")
+    vocab = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 10)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "term", "left")
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )

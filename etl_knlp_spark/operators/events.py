@@ -341,3 +341,50 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("total", ignorenulls=True).over(w).alias("filled_total"),
     )
+
+
+@query(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type, COUNT(*)::BIGINT AS n,
+           ROUND(COUNT(*) * 1.0
+                 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS p
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix: counts and row-normalized
+    probabilities of (previous event type -> event type) per-user
+    steps — the sequence-mining summary behind next-event prediction
+    features and anomaly baselines ("error -> purchase at 20%?").
+
+    Ordering ties break on event_id so the lag is deterministic
+    across engines. 100 TB design: one shuffle on user_id for the
+    lag window (partial per-user sequences stay partition-local),
+    then the transition rollup collapses to |event_types|² rows —
+    partial-aggregated map-side — and the probability normalization
+    is a window over that tiny matrix, not over the event stream."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wp), 6).alias("p"),
+    )

@@ -214,3 +214,26 @@ def test_bm25_topk_scores_and_membership(spark, sf_dir):
     assert all(
         any(t in texts[r["doc_id"]].split() for t in _BM25_TERMS) for r in rows
     )
+
+
+def test_source_overlap_is_a_valid_jaccard_matrix(spark, sf_dir):
+    from etl_knlp_spark.operators.analysis import source_overlap
+
+    rows = source_overlap(spark, sf_dir).collect()
+    assert rows, "expected at least one overlapping source pair"
+    for r in rows:
+        # canonical pair ordering, one row per unordered pair
+        assert r["source_a"] < r["source_b"]
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["n_shared"] >= 1
+    assert len({(r["source_a"], r["source_b"]) for r in rows}) == len(rows)
+
+
+def test_oov_rate_bounds_and_totals(spark, sf_dir):
+    from etl_knlp_spark.operators.analysis import oov_rate
+
+    rows = oov_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) < 1e-5

@@ -106,3 +106,18 @@ def test_attribution_last_touch_picks_latest_view(spark, sf_dir, monkeypatch):
     out = ev.attribution_last_touch(spark, sf_dir).collect()
     assert len(out) == 1
     assert out[0]["purchase_id"] == 13 and out[0]["view_id"] == 12
+
+
+def test_markov_transition_rows_normalize_to_one(spark, sf_dir):
+    from collections import defaultdict
+
+    from etl_knlp_spark.operators.events import markov_transitions
+
+    rows = markov_transitions(spark, sf_dir).collect()
+    assert rows
+    by_prev = defaultdict(float)
+    for r in rows:
+        assert r["n"] >= 1
+        by_prev[r["prev_type"]] += r["p"]
+    # each row of the transition matrix is a probability distribution
+    assert all(abs(s - 1.0) < 1e-4 for s in by_prev.values())
