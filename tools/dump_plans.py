@@ -195,6 +195,22 @@ SHOWCASE = {
         "filter, so probe I/O is nprobe/k of the corpus regardless "
         "of size — the vector-search shape of partition pruning."
     ),
+    "bm25_topk": (
+        "BM25 retrieval: the posting explode is filtered to the "
+        "query terms BEFORE any shuffle (the isin predicate sits "
+        "inside the Generate's parent Filter), df and corpus stats "
+        "enter as broadcasts, and the final top-k is "
+        "TakeOrderedAndProject — the corpus token stream never "
+        "shuffles wholesale."
+    ),
+    "source_overlap": (
+        "Cross-source overlap matrix off ONE shingle-keyed shuffle: "
+        "collect_set(source) partial-aggregates map-side (set size "
+        "bounded by source count, not corpus size), then pair "
+        "expansion, per-source totals, and the Jaccard join all "
+        "operate on the aggregated set — no corpus-sized self-join "
+        "of the shingle stream."
+    ),
 }
 
 
