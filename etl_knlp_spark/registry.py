@@ -98,13 +98,10 @@ _STALE_SINCE: dict[str, int] = {
 # this round (which can take the following round's slots). Prune
 # entries once their green row lands.
 _SWEEP_PRIORITY: set[str] = {
-    # round-2 verdict "What's missing" list (never driver-evidenced)
-    "stream_dedup_watermark", "tfidf_topterms", "repetition_filter",
-    "decontaminate_ngram", "csv_roundtrip", "orc_roundtrip",
-    "sample_stratified", "regr_agg", "udtf_chunk_text", "lateral_join",
-    # round-2 defect + stale/changed-oracle re-checks
-    "udf_tokenize", "dedup_ngram_jaccard", "approx_distinct",
-    "multimodal_frames", "multimodal_features",
+    # stale-bumped in round 5 (semantics/oracle changed) and not yet
+    # re-evidenced — everything else from the round-2 missing list got
+    # its green row in r3/r4 and was pruned per the rule above.
+    "udf_tokenize", "dedup_ngram_jaccard",
 }
 
 
