@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) for the invariant-heavy kernels.
+
+Three targets where example-based tests under-cover the input space:
+the greedy packing kernel (pure pandas — hundreds of examples are
+free), the salted-aggregation identity (must equal a plain GROUP BY
+for ANY input, including the fully-duplicated hot-row case a previous
+round's salt derivation got wrong), and min-label-propagation
+connected components against a pure union-find reference. Spark-bound
+properties keep example counts small — every example is a real job.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_knlp_spark.functions.skew import salted_agg
+from etl_knlp_spark.operators.graph import connected_components
+from etl_knlp_spark.operators.packing import _pack_group
+
+# ---------------------------------------------------------------- packing
+
+lengths = st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=60)
+
+
+@given(lengths=lengths, budget=st.integers(min_value=8, max_value=64))
+@settings(max_examples=200, deadline=None)
+def test_pack_group_invariants(lengths, budget):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(lengths)),
+            "lang": ["xx"] * len(lengths),
+            "n_tokens": lengths,
+        }
+    )
+    out = _pack_group(pdf, budget)
+    # every doc packed exactly once, order preserved
+    assert sorted(out["doc_id"]) == list(range(len(lengths)))
+    by_seq = out.groupby("seq_id")["n_tokens"].agg(["sum", "count"])
+    # seq ids contiguous from 0
+    assert list(by_seq.index) == list(range(len(by_seq)))
+    # budget respected except for single oversized docs
+    for _, row in by_seq.iterrows():
+        assert row["sum"] <= budget or row["count"] == 1
+    # greedy: each non-first sequence opens only because the previous
+    # one could not fit its first doc
+    seq_sums = by_seq["sum"].tolist()
+    firsts = out.sort_values("doc_id").groupby("seq_id")["n_tokens"].first().tolist()
+    for k in range(1, len(seq_sums)):
+        assert seq_sums[k - 1] + firsts[k] > budget
+
+
+# ------------------------------------------------------------- salted agg
+
+rows = st.lists(
+    st.tuples(st.sampled_from(["hot", "a", "b"]), st.integers(-1000, 1000)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows, dup=st.integers(min_value=0, max_value=30))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_salted_agg_equals_plain_groupby(spark, rows, dup):
+    # append `dup` fully-identical hot rows: the regression case where
+    # an all-column hash salt collapses to one bucket (results must
+    # STILL match; spreading is a perf property asserted in test_plans)
+    data = rows + [("hot", 7)] * dup
+    df = spark.createDataFrame(data, "k string, v long")
+    got = {
+        r["k"]: (r["s"], r["c"])
+        for r in salted_agg(
+            df, ["k"], {"s": F.sum("v"), "c": F.count(F.lit(1))}, buckets=4
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["s"], r["c"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------- connected components
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id per component
+    comp = {}
+    for n in parent:
+        comp[n] = find(n)
+    return comp
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=edge_lists)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_connected_components_match_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=30).collect()
+    }
+    assert got == _union_find(edges)
