@@ -236,3 +236,29 @@ def test_runtime_bloom_filter_injected(plans):
     from etl_knlp_spark.session import get_spark
 
     assert get_spark().conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_bm25_filters_postings_before_shuffle_and_takes_topk(plans):
+    p = plans("bm25_topk")
+    # top-k must be a bounded heap, never a global sort
+    assert "TakeOrderedAndProject" in p
+    # the query-term predicate must sit on the exploded postings (below
+    # the first exchange), so only matching postings ever shuffle
+    import re
+
+    gen = re.search(r"Generate explode", p)
+    filt = re.search(r"term#\d+ IN \(", p)
+    assert gen and filt, "expected an explode and an isin posting filter"
+    # df and corpus stats re-enter as broadcasts — no shuffle join
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_source_overlap_never_self_joins_the_shingle_stream(plans):
+    p = plans("source_overlap")
+    # pair expansion works off the aggregated per-shingle source sets:
+    # collect_set partials, no join keyed on the raw shingle stream
+    assert "collect_set" in p
+    assert "SortMergeJoin" not in p
+    # the per-source totals re-join onto the tiny pair matrix broadcast
+    assert "BroadcastHashJoin" in p
