@@ -182,3 +182,71 @@ def lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     than a window can express; Catalyst decorrelates it into a ranked
     join rather than re-running the subquery per outer row."""
     return run_sql(spark, sf_dir, _LATERAL_SQL)
+
+
+_SCRIPTING_SQL = """
+BEGIN
+  DECLARE i INT DEFAULT 0;
+  DECLARE m DOUBLE DEFAULT -1;
+  DECLARE ns ARRAY<BIGINT> DEFAULT array();
+  DECLARE ms ARRAY<DOUBLE> DEFAULT array();
+  WHILE i < 4 DO
+    SET ns = array_append(ns, (SELECT COUNT(*) FROM orders
+                               WHERE o_totalprice > m));
+    SET m = (SELECT AVG(o_totalprice) FROM orders WHERE o_totalprice > m);
+    SET ms = array_append(ms, m);
+    SET i = i + 1;
+  END WHILE;
+  SELECT k AS iter,
+         element_at(ns, k + 1) AS n_above,
+         ROUND(element_at(ms, k + 1), 4) AS mean_price
+  FROM (SELECT explode(sequence(0, 3)) AS k);
+END
+"""
+
+
+@query(
+    "sql_scripting",
+    oracle="""
+    WITH m0 AS (
+      SELECT COUNT(*)::BIGINT AS n, AVG(o_totalprice) AS m FROM orders
+    ), m1 AS (
+      SELECT COUNT(*)::BIGINT AS n, AVG(o_totalprice) AS m FROM orders
+      WHERE o_totalprice > (SELECT m FROM m0)
+    ), m2 AS (
+      SELECT COUNT(*)::BIGINT AS n, AVG(o_totalprice) AS m FROM orders
+      WHERE o_totalprice > (SELECT m FROM m1)
+    ), m3 AS (
+      SELECT COUNT(*)::BIGINT AS n, AVG(o_totalprice) AS m FROM orders
+      WHERE o_totalprice > (SELECT m FROM m2)
+    )
+    SELECT 0 AS iter, n AS n_above, ROUND(m, 4) AS mean_price FROM m0
+    UNION ALL SELECT 1, n, ROUND(m, 4) FROM m1
+    UNION ALL SELECT 2, n, ROUND(m, 4) FROM m2
+    UNION ALL SELECT 3, n, ROUND(m, 4) FROM m3
+    """,
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procedural SQL scripting (Spark 4 `BEGIN … END` blocks with
+    DECLARE / WHILE / SET): an iterative mean-shell peel over orders —
+    each round keeps only rows above the previous round's mean and
+    records (count, mean) per iteration. Genuinely procedural (each
+    threshold depends on the previous aggregate), so the DuckDB oracle
+    unrolls the fixed 4 iterations into chained CTE stages.
+
+    The loop runs ON the cluster per iteration (each SET's scalar
+    subquery is a distributed aggregate); only two scalars cross the
+    driver per round — the same bounded-sync shape as the Lloyd
+    iterations in ivf.py. The scripting conf is scoped and restored
+    (session-wide conf leaks bit a previous round — see
+    sources/layout.py)."""
+    register_views(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(_SCRIPTING_SQL)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)

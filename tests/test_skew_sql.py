@@ -51,3 +51,16 @@ def test_recursive_cte_spine_is_gap_free(spark, sf_dir):
         assert (b.year, b.month) == nxt  # no gaps
     assert all(r["n_orders"] >= 0 for r in rows)
     assert sum(r["n_orders"] for r in rows) > 0
+
+
+def test_sql_scripting_runs_and_restores_conf(spark, sf_dir):
+    from etl_knlp_spark.functions.sql_surface import sql_scripting
+
+    rows = {r["iter"]: r for r in sql_scripting(spark, sf_dir).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    # each peel strictly shrinks the set and raises the mean
+    for k in range(1, 4):
+        assert rows[k]["n_above"] < rows[k - 1]["n_above"]
+        assert rows[k]["mean_price"] > rows[k - 1]["mean_price"]
+    # conf scoped: the session-wide flag is back to its default
+    assert spark.conf.get("spark.sql.scripting.enabled", None) in (None, "false")
