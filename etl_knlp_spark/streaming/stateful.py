@@ -12,6 +12,14 @@ executors; each micro-batch touches only the groups present in the
 batch. Use timeouts (here: processing-time) to evict idle keys —
 unbounded key cardinality with no eviction is the way stateful
 streaming dies at scale.
+
+Why not `transformWithStateInPandas` (the Spark 4 successor with
+typed Value/List/Map state and timers): its Python runner requires
+protobuf, which this environment lacks (verified — the streaming
+worker crashes at init with `ImportError: google.protobuf`), and
+packages can't be installed here. applyInPandasWithState expresses
+the same operators via a tuple-encoded state row; migrating a
+processor to the typed API is mechanical once protobuf is present.
 """
 
 from __future__ import annotations
