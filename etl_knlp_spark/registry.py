@@ -205,7 +205,7 @@ def _load_all() -> None:
     )
     from .functions import scalar, skew, sql_surface  # noqa: F401
     from .sources import layout  # noqa: F401
-    from .plans import dimension, tpch  # noqa: F401
+    from .plans import corpus, dimension, tpch  # noqa: F401
     from .streaming import cdc, joins, stateful, windows  # noqa: F401
 
     _LOADED = True

@@ -66,3 +66,14 @@ def test_ragged_wiki_title_survives_parse(result):
     the full title reaches the dimension table intact."""
     rows = {r["word_id"]: r for r in result.dimension.collect()}
     assert rows["42"]["korean"] == "역사: 고대"
+
+
+def test_corpus_funnel_is_monotone_and_consistent(spark, sf_dir):
+    from etl_knlp_spark.plans.corpus import corpus_funnel
+
+    n = {r["stage"]: r["n"] for r in corpus_funnel(spark, sf_dir).collect()}
+    assert set(n) == {"raw", "clean", "quality", "dedup", "packed"}
+    # every filter stage can only shrink the doc set
+    assert n["raw"] >= n["clean"] >= n["quality"] >= n["dedup"] > 0
+    # packing merges docs into sequences: never more sequences than docs
+    assert 0 < n["packed"] <= n["dedup"]
