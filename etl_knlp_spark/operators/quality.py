@@ -95,3 +95,73 @@ def max_length_toplimit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("len").desc())
         .limit(1)
     )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "column_profile",
+    oracle="""
+    SELECT 'doc_id' AS col, COUNT(doc_id)::BIGINT AS n_present,
+           SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_v,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_v
+    FROM documents
+    UNION ALL
+    SELECT 'text', COUNT(text)::BIGINT,
+           SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           COUNT(DISTINCT text)::BIGINT,
+           CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(lang)::BIGINT,
+           SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           COUNT(DISTINCT lang)::BIGINT,
+           CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(source)::BIGINT,
+           SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           COUNT(DISTINCT source)::BIGINT,
+           CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(n_chars)::BIGINT,
+           SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           COUNT(DISTINCT n_chars)::BIGINT,
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (count / nulls / exact distinct /
+    min / max) — the generalization of the reference's two DQ checks
+    into the profiling pass data-quality systems (Deequ-style) run
+    before setting constraints.
+
+    One branch per column rather than one wide multi-distinct
+    aggregate: each branch's scan prunes to a SINGLE column (Catalyst
+    column pruning per union arm), and none of them pays the Expand
+    blow-up Spark uses for several COUNT(DISTINCT)s in one aggregate
+    — at 100 TB each branch reads one column's pages, the cheapest
+    exact formulation. Swap COUNT(DISTINCT) for approx_count_distinct
+    per column when estimates suffice; exact is kept here so the
+    oracle is engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def branch(c: str) -> DataFrame:
+        return docs.agg(
+            F.lit(c).alias("col"),
+            F.count(c).cast("bigint").alias("n_present"),
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias("n_null"),
+            F.countDistinct(c).cast("bigint").alias("n_distinct"),
+            F.min(c).cast("string").alias("min_v"),
+            F.max(c).cast("string").alias("max_v"),
+        )
+
+    out = branch(_PROFILE_COLS[0])
+    for c in _PROFILE_COLS[1:]:
+        out = out.unionAll(branch(c))
+    return out

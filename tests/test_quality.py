@@ -53,3 +53,16 @@ def test_enforce_varchar_truncates(words):
     assert out["2"] == "exact"
     assert out["1"] == "short"
     assert out["3"] is None
+
+
+def test_column_profile_covers_all_columns_with_sane_stats(spark, sf_dir):
+    from etl_knlp_spark.operators.quality import column_profile
+
+    rows = {r["col"]: r for r in column_profile(spark, sf_dir).collect()}
+    assert set(rows) == {"doc_id", "text", "lang", "source", "n_chars"}
+    for r in rows.values():
+        assert r["n_null"] >= 0
+        assert r["n_distinct"] <= r["n_present"] + r["n_null"]
+        assert r["min_v"] <= r["max_v"] or r["n_present"] == 0
+    # doc_id is a unique key in the testdata
+    assert rows["doc_id"]["n_distinct"] == rows["doc_id"]["n_present"]
