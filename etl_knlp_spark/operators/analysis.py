@@ -973,3 +973,69 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_rate"),
     )
+
+
+@query(
+    "embedding_health",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             embedding,
+             CASE WHEN embedding IS NULL THEN NULL
+                  ELSE sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                    x -> x * x))) END AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*)::BIGINT AS n_vectors,
+           SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_null,
+           SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
+                    THEN 1 ELSE 0 END)::BIGINT AS n_bad_dim,
+           SUM(CASE WHEN embedding IS NOT NULL
+                     AND len(list_filter(embedding, x -> isnan(x))) > 0
+                    THEN 1 ELSE 0 END)::BIGINT AS n_nan,
+           SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
+           ROUND(MIN(nrm), 4) AS min_norm,
+           ROUND(MAX(nrm), 4) AS max_norm,
+           ROUND(AVG(nrm), 4) AS avg_norm
+    FROM v GROUP BY label
+    """,
+)
+def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column health profile per label: null vectors, wrong
+    dimensionality, NaN components, zero norms, and norm range — the
+    pre-index data-quality gate for a vector corpus (a handful of NaN
+    or zero vectors silently poisons cosine top-k and k-means
+    training; checking AFTER an index build costs a rebuild).
+
+    Pure map-side per-vector math (sequential in-list fold on doubles,
+    so engine and oracle sum in the same order) followed by a
+    label-keyed partial aggregate — no shuffle of the vectors
+    themselves at any size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    nrm = F.when(
+        emb.isNotNull(),
+        F.sqrt(
+            F.aggregate(
+                emb,
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+    )
+    v = e.select("label", emb.alias("embedding"), nrm.alias("nrm"))
+    has_nan = F.exists("embedding", lambda x: F.isnan(x))
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(emb.isNull().cast("int")).cast("bigint").alias("n_null"),
+        F.sum((emb.isNotNull() & (F.size("embedding") != 64)).cast("int"))
+        .cast("bigint")
+        .alias("n_bad_dim"),
+        F.sum((emb.isNotNull() & has_nan).cast("int")).cast("bigint").alias("n_nan"),
+        F.sum((F.col("nrm") == 0).cast("int")).cast("bigint").alias("n_zero_norm"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+    )

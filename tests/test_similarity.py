@@ -107,3 +107,32 @@ def test_quantize_roundtrip_error_bound(spark):
     assert out[3]["scale"] == 0.0 and out[3]["codes"] == [0, 0, 0, 0]
     # full-scale dimension maps to ±127 exactly
     assert min(out[1]["codes"]) == -127
+
+
+def test_embedding_health_flags_degenerate_vectors(spark):
+    from etl_knlp_spark.operators import analysis  # noqa: F401 (registry)
+    from etl_knlp_spark.operators.analysis import embedding_health
+    import etl_knlp_spark.catalog as catalog
+
+    # craft a corpus with every failure mode on label 1
+    rows = [
+        (0, [1.0] * 64, 0),
+        (1, [2.0] * 64, 0),
+        (2, None, 1),
+        (3, [0.0] * 64, 1),
+        (4, [1.0] * 32, 1),
+        (5, [float("nan")] * 64, 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    import unittest.mock as mock
+
+    with mock.patch.object(catalog, "load_table", return_value=df), mock.patch(
+        "etl_knlp_spark.operators.analysis.load_table", return_value=df
+    ):
+        out = {r["label"]: r for r in embedding_health(spark, "unused").collect()}
+    assert out[0]["n_null"] == out[0]["n_bad_dim"] == out[0]["n_zero_norm"] == 0
+    assert out[0]["min_norm"] == 8.0 and out[0]["max_norm"] == 16.0
+    assert out[1]["n_null"] == 1
+    assert out[1]["n_bad_dim"] == 1
+    assert out[1]["n_zero_norm"] == 1
+    assert out[1]["n_nan"] == 1
