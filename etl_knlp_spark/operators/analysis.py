@@ -717,10 +717,9 @@ _BM25_TERMS = ("vector", "hash", "stream")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
-
-@query(
-    "bm25_topk",
-    oracle=f"""
+# Shared by bm25_topk and bm25_pruned: the index-probed variant must
+# return the IDENTICAL result set, so it registers the same oracle.
+_BM25_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
@@ -752,8 +751,10 @@ _BM25_B = 0.75
     FROM scored
     ORDER BY ROUND(s, 6) DESC, doc_id
     LIMIT 10
-    """,
-)
+    """
+
+
+@query("bm25_topk", oracle=_BM25_ORACLE)
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval over the corpus for a fixed query term
     set — the lexical half of every RAG / training-data retrieval
@@ -786,6 +787,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("tf"),
         F.first("dl").alias("dl"),
     )
+    return _bm25_score(tf, stats)
+
+
+def _bm25_score(tf: DataFrame, stats: DataFrame) -> DataFrame:
+    """Shared BM25 scoring tail: (doc_id, term, tf, dl) postings +
+    one-row (n_docs, avgdl) stats → top-10 (doc_id, bm25). Used by
+    both the scan path and the index-probe path so their score
+    expressions are textually identical (same FP evaluation order —
+    the two variants must hash to the same oracle result)."""
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df_ct"))
     idf = F.log(
         (F.col("n_docs") - F.col("df_ct") + 0.5) / (F.col("df_ct") + 0.5) + 1.0
@@ -809,6 +819,67 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+_BM25_BUCKETS = 32
+
+
+@query("bm25_pruned", oracle=_BM25_ORACLE)
+def bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against a term-bucketed postings INDEX — the storage
+    layout that makes lexical retrieval scale the way
+    `similarity_ivf_pruned` makes vector search scale: postings
+    (doc_id, term, tf, dl) are written partitioned by
+    pmod(xxhash64(term), {buckets}), and a query probes ONLY the
+    partitions its terms hash to — the bucket IN (...) predicate
+    prunes at directory listing (PartitionFilters; pinned in
+    test_plans), so probe I/O is |Q|/buckets of the index regardless
+    of corpus size, with zero tokenization at query time.
+
+    Results are IDENTICAL to the scan-path `bm25_topk` by
+    construction (same postings, same scoring tail), so it registers
+    the same oracle — the driver hash-verifies that probing the
+    pruned index loses nothing. The bucket ids for the probe come
+    from one bounded driver sync (|Q| longs — the same pattern as the
+    IVF centroid sync)."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id", "t", F.size("t").cast("bigint").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    # Index build: FULL posting lists (every term), bucketed by term
+    # hash. In production this is written once and probed many times.
+    post = base.select("doc_id", "dl", F.explode("t").alias("term"))
+    tf_all = post.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    index = tf_all.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(_BM25_BUCKETS))
+    )
+    path = tempfile.mkdtemp(prefix="etl_knlp_bm25_")
+    index.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # Probe: bucket ids for the query terms (bounded driver sync).
+    buckets = [
+        r["b"]
+        for r in spark.createDataFrame(
+            [(t,) for t in _BM25_TERMS], "term string"
+        )
+        .select(F.pmod(F.xxhash64("term"), F.lit(_BM25_BUCKETS)).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    stored = spark.read.parquet(path)
+    tf = stored.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(*_BM25_TERMS)
+    ).select("doc_id", "term", "tf", "dl")
+    return _bm25_score(tf, stats)
 
 
 @query(

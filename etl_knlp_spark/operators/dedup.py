@@ -97,6 +97,58 @@ def ngram_jaccard_pairs(
     pairs whose entire overlap exceeds that df are the LSH paths' job
     (minhash/simhash scale ~linearly in the same probe).
     """
+    # The capped posting stream feeds FOUR consumers (both self-join
+    # sides + sizes, each otherwise re-running scan → explode → hash →
+    # dedup → anti-join: the executed plan showed 24 scans and zero
+    # ReusedExchange). localCheckpoint materializes it once per run —
+    # thin (lang, gh, doc_id) rows, O(corpus tokens) executor-local
+    # storage traded against 3 recomputations of the whole upstream;
+    # lazy so nothing materializes until the first consumer runs.
+    # Round-5 interleaved A/B at sf0.1: 4.55 → 3.98 s, output
+    # bit-identical. (The HOF posting-array pair expansion remains
+    # rejected: re-measured 2× slower — interpreted lambda eval vs the
+    # self-join's codegen.)
+    kept = capped_postings(docs, max_df_frac, max_df_abs).localCheckpoint(
+        eager=False
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # SIZES JOIN LAST: the posting self-join shuffles only
+    # (lang, gh, doc_id) — 24-byte rows — and the shared-gram groupBy
+    # keys on the bare pair. Attaching each doc's gram count n to the
+    # postings instead (the obvious formulation) shuffles every posting
+    # an extra time (by doc_id) and drags n through the pair-explosion
+    # join and the groupBy key; joining sizes onto the AGGREGATED pair
+    # set touches far fewer rows (measured ~15% faster at sf0.1, and
+    # the gap widens with postings-per-doc at scale).
+    a = kept.select("lang", "gh", F.col("doc_id").alias("doc_a"))
+    b = kept.select("lang", "gh", F.col("doc_id").alias("doc_b"))
+    shared = (
+        a.join(b, ["lang", "gh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    shared = shared.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a"
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b"
+    )
+    # jaccard is a ratio of exact ints — unrounded doubles are
+    # bit-identical across engines (rounding risks half-boundaries)
+    jac = F.col("n_shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return shared.filter(jac >= threshold).select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
+def capped_postings(
+    docs: DataFrame,
+    max_df_frac: float = 0.25,
+    max_df_abs: int | None = None,
+) -> DataFrame:
+    """The DF-capped distinct (lang, gh, doc_id) posting stream that
+    `ngram_jaccard_pairs` self-joins — exposed un-checkpointed so the
+    plan tests can pin the broadcast-anti-join cap shape (a
+    localCheckpoint truncates lineage, hiding the subtree from the
+    final query's executed plan)."""
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     # index-explode then hash each bigram to a long: the inverted index
     # shuffles 8-byte keys, not gram strings, and the array expression
@@ -135,46 +187,7 @@ def ngram_jaccard_pairs(
         .filter(over_cap)
         .select("lang", "gh")
     )
-    # The capped posting stream feeds FOUR consumers (both self-join
-    # sides + sizes, each otherwise re-running scan → explode → hash →
-    # dedup → anti-join: the executed plan showed 24 scans and zero
-    # ReusedExchange). localCheckpoint materializes it once per run —
-    # thin (lang, gh, doc_id) rows, O(corpus tokens) executor-local
-    # storage traded against 3 recomputations of the whole upstream;
-    # lazy so nothing materializes until the first consumer runs.
-    # Round-5 interleaved A/B at sf0.1: 4.55 → 3.98 s, output
-    # bit-identical. (The HOF posting-array pair expansion remains
-    # rejected: re-measured 2× slower — interpreted lambda eval vs the
-    # self-join's codegen.)
-    kept = distinct_grams.join(
-        F.broadcast(hot_grams), ["lang", "gh"], "left_anti"
-    ).localCheckpoint(eager=False)
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # SIZES JOIN LAST: the posting self-join shuffles only
-    # (lang, gh, doc_id) — 24-byte rows — and the shared-gram groupBy
-    # keys on the bare pair. Attaching each doc's gram count n to the
-    # postings instead (the obvious formulation) shuffles every posting
-    # an extra time (by doc_id) and drags n through the pair-explosion
-    # join and the groupBy key; joining sizes onto the AGGREGATED pair
-    # set touches far fewer rows (measured ~15% faster at sf0.1, and
-    # the gap widens with postings-per-doc at scale).
-    a = kept.select("lang", "gh", F.col("doc_id").alias("doc_a"))
-    b = kept.select("lang", "gh", F.col("doc_id").alias("doc_b"))
-    shared = (
-        a.join(b, ["lang", "gh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    shared = shared.join(
-        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a"
-    ).join(
-        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b"
-    )
-    # jaccard is a ratio of exact ints — unrounded doubles are
-    # bit-identical across engines (rounding risks half-boundaries)
-    jac = F.col("n_shared") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-    return shared.filter(jac >= threshold).select("doc_a", "doc_b", jac.alias("jaccard"))
+    return distinct_grams.join(F.broadcast(hot_grams), ["lang", "gh"], "left_anti")
 
 
 def ngram_jaccard_oracle(

@@ -63,12 +63,22 @@ def test_window_rownum_uses_group_limit(plans):
     assert "WindowGroupLimit" in p  # rank filter pushed below the shuffle
 
 
-def test_ngram_df_cap_is_broadcast_anti_join(plans):
+def test_ngram_df_cap_is_broadcast_anti_join(spark):
     """The document-frequency cap must stay a BROADCAST LeftAnti
     against the (tiny) hot-gram set — if it regresses to a shuffled
     join or a window over postings, the cap itself becomes a full
-    posting-list shuffle at 100 TB."""
-    p = plans("dedup_ngram_jaccard")
+    posting-list shuffle at 100 TB. Pinned on `capped_postings`
+    directly: the registered query localCheckpoints this stream, which
+    truncates the lineage out of the final executed plan."""
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.dedup import capped_postings
+
+    p = (
+        capped_postings(load_table(spark, SF, "documents"), max_df_abs=256)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "LeftAnti" in p
     import re
 
@@ -262,3 +272,20 @@ def test_source_overlap_never_self_joins_the_shingle_stream(plans):
     assert "SortMergeJoin" not in p
     # the per-source totals re-join onto the tiny pair matrix broadcast
     assert "BroadcastHashJoin" in p
+
+
+def test_bm25_pruned_probes_only_query_term_buckets(spark):
+    from etl_knlp_spark.operators.analysis import bm25_pruned, bm25_topk
+
+    pruned = bm25_pruned(spark, SF)
+    # identical results to the scan path — probing the index loses nothing
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, bm25_topk(spark, SF).collect())
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the bucket predicate must reach the index scan as a partition
+    # filter (directory-listing pruning), not a post-scan filter
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*IN", plan)
+    assert m, "expected bucket IN (...) inside PartitionFilters"
