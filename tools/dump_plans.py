@@ -203,6 +203,13 @@ SHOWCASE = {
         "TakeOrderedAndProject — the corpus token stream never "
         "shuffles wholesale."
     ),
+    "bm25_pruned": (
+        "BM25 against a term-bucketed postings index: the bucket IN "
+        "predicate from the query terms lands in PartitionFilters — "
+        "probe I/O is |Q|/buckets of the index at any corpus size, "
+        "zero query-time tokenization. Same oracle as the scan path: "
+        "the driver verifies the index loses nothing."
+    ),
     "source_overlap": (
         "Cross-source overlap matrix off ONE shingle-keyed shuffle: "
         "collect_set(source) partial-aggregates map-side (set size "
