@@ -46,7 +46,10 @@ SHOWCASE = {
         "MinHash-LSH: signature built by explode + 32 codegen'd min() "
         "partial aggs (shuffle = docs × 32 longs); the band self-join "
         "carries only (band, doc_id); shingle sets re-join onto the "
-        "few surviving candidate pairs."
+        "few surviving candidate pairs. The ExistingRDD scans are the "
+        "checkpointed band/shingle streams — each feeds two join "
+        "sides, materialized once instead of re-running the signature "
+        "build per side."
     ),
     "similarity_topk": (
         "Query set broadcast (BroadcastNestedLoopJoin over 5 rows); "
@@ -59,8 +62,11 @@ SHOWCASE = {
         "not a global sort."
     ),
     "dedup_ngram_jaccard": (
-        "Inverted-index dedup with the document-frequency cap as a "
-        "BROADCAST anti-join: per-gram doc frequencies aggregate with "
+        "Inverted-index dedup, posting/cap stage (the registered query "
+        "localCheckpoints this stream before the pair self-join, so the "
+        "final plan reads an ExistingRDD — this dump shows the "
+        "checkpointed subtree itself): the document-frequency cap is a "
+        "BROADCAST anti-join — per-gram doc frequencies aggregate with "
         "map-side partials, only the (provably tiny) over-cap gram set "
         "broadcasts, and the posting list never shuffles for the cap. "
         "Hot stop-word grams can no longer fan out O(d²) join rows."
@@ -228,9 +234,19 @@ def main() -> None:
     # The registered ANN entries are assertion contracts since round 5;
     # the plan evidence should showcase the production probe itself
     # (the PartitionFilters subtree, not the verifier wrapper).
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.dedup import capped_postings
     from etl_knlp_spark.operators.ivf import ivf_pruned_topk
 
-    qs = {**qs, "similarity_ivf_pruned": ivf_pruned_topk}
+    qs = {
+        **qs,
+        "similarity_ivf_pruned": ivf_pruned_topk,
+        # the registered query checkpoints this stream (lineage
+        # truncated out of its final plan) — dump the subtree itself
+        "dedup_ngram_jaccard": lambda spark, sf: capped_postings(
+            load_table(spark, sf, "documents"), max_df_abs=256
+        ),
+    }
     out = [
         "# PLANS — physical-plan evidence for the 100 TB design claims",
         "",
