@@ -79,3 +79,36 @@ def test_stale_since_names_exist():
     registry._load_all()
     unknown = sorted(set(registry._STALE_SINCE) - set(registry._REGISTRY))
     assert not unknown, f"_STALE_SINCE names unknown queries: {unknown}"
+
+
+def test_value_hash_comparator_is_not_vacuous():
+    """The correctness gate is only as good as its hash: prove the
+    canonicalization catches the mutation classes it claims to —
+    changed values, reordered-but-different rows, float drift above
+    the 1e-9 canon scale — and tolerates exactly the ones it should
+    (row order, column order, sub-1e-9 float noise)."""
+    import pandas as pd
+
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_oracles",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "verify_oracles.py"),
+    )
+    vo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vo)
+
+    base = pd.DataFrame({"k": [1, 2, 3], "v": [1.0, 2.5, 3.25]})
+    h = vo.value_hash(base)
+    # invariant to row order and column order
+    assert vo.value_hash(base.iloc[::-1].reset_index(drop=True)) == h
+    assert vo.value_hash(base[["v", "k"]]) == h
+    # invariant to float noise below the 1e-9 canon scale
+    assert vo.value_hash(base.assign(v=base.v + 1e-12)) == h
+    # sensitive to a changed value, a changed key, and float drift
+    assert vo.value_hash(base.assign(v=[1.0, 2.5, 3.26])) != h
+    assert vo.value_hash(base.assign(k=[1, 2, 4])) != h
+    assert vo.value_hash(base.assign(v=base.v + 1e-8)) != h
+    # sensitive to a dropped/duplicated row even at equal length... 
+    mutated = pd.concat([base.iloc[:2], base.iloc[1:2]]).reset_index(drop=True)
+    assert vo.value_hash(mutated) != h
