@@ -124,3 +124,58 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(df, max_iter=30).collect()
     }
     assert got == _union_find(edges)
+
+
+# ----------------------------------------------------------- CDC compaction
+
+cdc_rows = st.lists(
+    st.tuples(
+        st.integers(1, 4),                  # key
+        st.integers(0, 20),                 # seq
+        st.sampled_from(["U", "D"]),        # op
+        st.integers(-100, 100),             # payload
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=cdc_rows)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_compact_changes_is_total_latest_wins(spark, rows):
+    from etl_knlp_spark.streaming.cdc import compact_changes
+
+    df = spark.createDataFrame(rows, "k long, seq long, op string, payload long")
+    out = compact_changes(df, "k", "seq").collect()
+    # exactly one survivor per key
+    assert sorted({r["k"] for r in out}) == sorted({k for k, *_ in rows})
+    assert len(out) == len({k for k, *_ in rows})
+    # the survivor carries the maximal (seq, op) for its key — the
+    # deterministic latest-wins reduction, even with duplicate seqs
+    for r in out:
+        best = max((s, o) for k, s, o, _ in rows if k == r["k"])
+        assert (r["seq"], r["op"]) == best
+
+
+# ------------------------------------------------------------- hash splits
+
+keys = st.lists(st.integers(0, 10_000), min_size=1, max_size=50, unique=True)
+
+
+@given(keys=keys)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_split_by_hash_is_total_deterministic_and_stable(spark, keys):
+    from etl_knlp_spark.operators.sampling import split_by_hash
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    splits = {"train": 80, "val": 10, "test": 10}
+    a = {r["doc_id"]: r["split"] for r in split_by_hash(df, "doc_id", splits).collect()}
+    # total: every key assigned to exactly one named split
+    assert sorted(a) == sorted(keys)
+    assert set(a.values()) <= set(splits)
+    # deterministic: a second run (and a subset run) agrees row-for-row —
+    # the property that makes the split safe against re-partitioning
+    # and incremental re-processing
+    sub = spark.createDataFrame([(k,) for k in keys[: len(keys) // 2 + 1]], "doc_id long")
+    b = {r["doc_id"]: r["split"] for r in split_by_hash(sub, "doc_id", splits).collect()}
+    assert all(a[k] == v for k, v in b.items())
