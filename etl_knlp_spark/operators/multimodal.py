@@ -3,10 +3,13 @@
 Design: image/audio/video payloads are opaque `binary` columns with a
 typed metadata struct beside them; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over `mapInPandas`
-(per-batch, never per-row). The media codec libraries are not in this
-container, so the decode kernel is stubbed behind a clearly-marked
-NotImplementedError with a deterministic fake used by tests — the
-Spark-side contract (schema, batch shape, partitioning) is real.
+(per-batch, never per-row). Binary PNM images (P6/P5) decode with a
+built-in pure-numpy parser — tested end to end with no codec library.
+Compressed formats (JPEG/PNG, audio, video) need codec libraries not
+in this container, so that decode path is gated behind a
+clearly-marked NotImplementedError with a deterministic fake used by
+tests — the Spark-side contract (schema, batch shape, partitioning)
+is real either way.
 
 At 100 TB: binary payloads dominate bytes, so the plumbing (a) keeps
 metadata in separate columns so predicate pushdown prunes row groups
@@ -59,14 +62,54 @@ except ImportError:
     _HAS_PIL = False
 
 
+def _decode_pnm(payload: bytes):
+    """Pure-numpy decoder for binary PNM images (P6 RGB / P5 gray) —
+    the uncompressed format family that needs NO codec library, so the
+    decode path is genuinely exercised even in environments without
+    pillow. Handles '#' header comments per the spec; 8-bit maxval
+    only (16-bit PNM is rare and pillow-territory)."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PNM payload (magic {magic!r})")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval, then raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM needs a real codec library")
+    ch = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return arr.reshape(h, w, ch)
+
+
+_PNM_TYPES = ("image/x-portable-pixmap", "image/x-portable-graymap")
+
+
 def decode_media(payload: bytes, media_type: str):
     """Decode a binary payload to a numpy array.
 
-    Images decode via PIL when it is installed (`pip install pillow`);
-    other modalities (audio/video) need librosa/av. Without the codec
-    library this raises NotImplementedError — callers that can degrade
-    (feature extraction) fall back to the deterministic fake kernel.
+    Binary PNM images (P6/P5) decode with the built-in pure-numpy
+    parser — no library needed; other image formats decode via PIL
+    when it is installed (`pip install pillow`); audio/video need
+    librosa/av. Without a usable decoder this raises
+    NotImplementedError — callers that can degrade (feature
+    extraction) fall back to the deterministic fake kernel.
     """
+    if media_type in _PNM_TYPES or (
+        media_type.startswith("image/") and payload[:2] in (b"P5", b"P6")
+    ):
+        return _decode_pnm(payload)
     if media_type.startswith("image/") and _HAS_PIL:
         import io
 
@@ -74,9 +117,10 @@ def decode_media(payload: bytes, media_type: str):
 
         return np.asarray(_PILImage.open(io.BytesIO(payload)))
     raise NotImplementedError(
-        f"no decoder available for {media_type!r}: install pillow (images) or "
-        "an audio/video codec library; the Spark plumbing around decode "
-        "(mapInPandas batching, schemas, partitioning) is real and tested"
+        f"no decoder available for {media_type!r}: install pillow (compressed "
+        "images) or an audio/video codec library; binary PNM decodes "
+        "natively, and the Spark plumbing around decode (mapInPandas "
+        "batching, schemas, partitioning) is real and tested"
     )
 
 
@@ -183,9 +227,10 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
     frame-extraction plumbing shape — a row-EXPANDING batch kernel,
     unlike `extract_features`' 1→1).
 
-    The real decoder (`decode_media`) is stubbed in this environment;
-    the deterministic stand-in slices the payload every `every_n_bytes`
-    — batch shapes, schema, and the 1→N row accounting are real.
+    The compressed-format decoder is gated in this environment (PNM
+    decodes for real — see `decode_media`); the deterministic
+    stand-in slices the payload every `every_n_bytes` — batch shapes,
+    schema, and the 1→N row accounting are real.
     """
 
     def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -273,8 +318,9 @@ def resize_media(media: DataFrame, target: int = 32) -> DataFrame:
     feature extraction, but emitting a SMALLER binary payload plus
     the resize accounting).
 
-    The real decoder-resampler (`decode_media`) is stubbed in this
-    environment; the deterministic stand-in keeps every stride-th
+    The compressed-format decoder-resampler is gated in this
+    environment (PNM decodes for real — see `decode_media`); the
+    deterministic stand-in keeps every stride-th
     byte, stride = ceil(n/target), so the output payload has at most
     ``target`` bytes. Schema, batch shape, and the size accounting
     are real and oracle-checkable.

