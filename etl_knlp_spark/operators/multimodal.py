@@ -301,6 +301,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resize_pnm(payload: bytes, target: int) -> tuple[bytes, int]:
+    """REAL image downsample for binary PNM: decode, keep every
+    stride-th row and column so the longer side lands ≤ ``target``,
+    re-encode as the same PNM variant. Returns (payload, stride)."""
+    import math
+
+    arr = _decode_pnm(payload)
+    h, w, ch = arr.shape
+    stride = max(1, math.ceil(max(h, w) / target))
+    out = arr[::stride, ::stride]
+    magic = b"P6" if ch == 3 else b"P5"
+    header = b"%s\n%d %d\n255\n" % (magic, out.shape[1], out.shape[0])
+    return header + out.tobytes(), stride
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -330,10 +345,18 @@ def resize_media(media: DataFrame, target: int = 32) -> DataFrame:
     def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for pdf in it:
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
                 n = len(payload)
-                stride = max(1, math.ceil(n / target))
-                resized = bytes(payload[::stride])
+                if mtype in _PNM_TYPES:
+                    # REAL 2D downsample for the natively-decodable
+                    # format: keep every stride-th row/column, then
+                    # re-encode — an actual thumbnail, not a byte slice
+                    resized, stride = resize_pnm(bytes(payload), target)
+                else:
+                    stride = max(1, math.ceil(n / target))
+                    resized = bytes(payload[::stride])
                 rows.append((mid, n, stride, len(resized), resized))
             yield pd.DataFrame(
                 rows,

@@ -149,3 +149,33 @@ def test_pnm_decode_is_real_without_any_codec_library(spark):
     )
     row = extract_features(df).collect()[0]
     assert row["feature"][:2] == feat[:2] or len(row["feature"]) >= 2
+
+
+def test_resize_media_does_a_real_2d_downsample_for_pnm(spark):
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import (
+        _decode_pnm,
+        resize_media,
+    )
+
+    # 4x4 RGB gradient
+    px = [v for i in range(16) for v in (i * 16, 255 - i * 16, i)]
+    payload = _ppm(4, 4, px)
+    df = spark.createDataFrame(
+        [(9, payload, "image/x-portable-pixmap", len(payload))],
+        "media_id long, payload binary, media_type string, n_bytes long",
+    )
+    row = resize_media(df, target=2).collect()[0]
+    out = _decode_pnm(bytes(row["resized_payload"]))
+    assert row["stride"] == 2
+    src = _decode_pnm(payload)
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out, src[::2, ::2])
+    # text payloads keep the oracled byte-stride accounting
+    tdf = spark.createDataFrame(
+        [(1, b"0123456789", "text/plain", 10)],
+        "media_id long, payload binary, media_type string, n_bytes long",
+    )
+    trow = resize_media(tdf, target=5).collect()[0]
+    assert bytes(trow["resized_payload"]) == b"02468"
