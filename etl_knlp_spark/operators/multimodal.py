@@ -94,6 +94,39 @@ def _decode_pnm(payload: bytes):
 
 
 _PNM_TYPES = ("image/x-portable-pixmap", "image/x-portable-graymap")
+_WAV_TYPES = ("audio/wav", "audio/x-wav", "audio/wave")
+
+
+def _decode_wav(payload: bytes):
+    """Pure-numpy decoder for PCM16 RIFF/WAVE audio — like PNM, the
+    uncompressed container needs no codec library. Walks the chunk
+    list per the spec (fmt may not be the first chunk; chunks pad to
+    even sizes). Returns int16 samples shaped (n_samples, n_channels).
+    Compressed WAV (non-PCM codecs) raises NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("RIFF/WAVE payload missing fmt or data chunk")
+    audio_fmt, n_ch, _rate, _bps, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            "only PCM16 WAV decodes natively; compressed audio needs a codec"
+        )
+    return np.frombuffer(data, dtype="<i2").reshape(-1, n_ch)
 
 
 def decode_media(payload: bytes, media_type: str):
@@ -110,6 +143,10 @@ def decode_media(payload: bytes, media_type: str):
         media_type.startswith("image/") and payload[:2] in (b"P5", b"P6")
     ):
         return _decode_pnm(payload)
+    if media_type in _WAV_TYPES or (
+        media_type.startswith("audio/") and payload[:4] == b"RIFF"
+    ):
+        return _decode_wav(payload)
     if media_type.startswith("image/") and _HAS_PIL:
         import io
 
@@ -140,12 +177,16 @@ def media_feature(payload: bytes, media_type: str, dim: int = 8) -> list[float]:
         arr = decode_media(payload, media_type)
     except NotImplementedError:
         return _fake_feature(payload, dim)
+    import numpy as np
+
     flat = arr.reshape(-1).astype("float64")
     if flat.size == 0:
         return [0.0] * dim
-    # per-stride mean intensities, normalized — cheap, deterministic,
-    # and genuinely a function of the decoded pixels
-    return [float(flat[i::dim].mean()) / 255.0 for i in range(dim)]
+    # per-stride mean intensities/amplitudes, normalized to the
+    # sample domain — cheap, deterministic, and genuinely a function
+    # of the decoded pixels/samples
+    scale = 32768.0 if np.issubdtype(arr.dtype, np.int16) else 255.0
+    return [float(flat[i::dim].mean()) / scale for i in range(dim)]
 
 
 def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:

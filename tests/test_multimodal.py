@@ -63,9 +63,10 @@ def test_real_image_decode_when_pil_present():
 def test_media_feature_falls_back_deterministically():
     from etl_knlp_spark.operators.multimodal import _fake_feature, media_feature
 
-    payload = b"not decodable as audio" * 4
-    # audio has no decoder in any environment here → fake kernel
-    assert media_feature(payload, "audio/wav") == _fake_feature(payload)
+    payload = b"not decodable compressed audio" * 4
+    # compressed audio has no decoder in this environment → fake kernel
+    # (PCM WAV now decodes natively; see test_wav_decode below)
+    assert media_feature(payload, "audio/mpeg") == _fake_feature(payload)
 
 
 def test_media_table_schema(spark, sf_dir):
@@ -179,3 +180,36 @@ def test_resize_media_does_a_real_2d_downsample_for_pnm(spark):
     )
     trow = resize_media(tdf, target=5).collect()[0]
     assert bytes(trow["resized_payload"]) == b"02468"
+
+
+def test_wav_decode_is_real_without_any_codec_library():
+    import struct
+
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import decode_media, media_feature
+
+    # minimal PCM16 stereo WAV: fmt + data chunks, 4 frames
+    samples = np.array(
+        [[1000, -1000], [32767, -32768], [0, 0], [-555, 555]], dtype="<i2"
+    )
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    arr = decode_media(wav, "audio/wav")
+    assert arr.shape == (4, 2) and np.array_equal(arr, samples)
+    # features are true normalized sample statistics, not the byte fake
+    feat = media_feature(wav, "audio/wav", dim=2)
+    flat = samples.reshape(-1).astype("float64")
+    assert feat == [float(flat[0::2].mean()) / 32768.0, float(flat[1::2].mean()) / 32768.0]
+    # compressed (non-PCM) WAV refuses loudly instead of fake-decoding
+    bad_fmt = struct.pack("<HHIIHH", 85, 2, 8000, 8000 * 4, 4, 16)  # MP3-in-WAV
+    body2 = b"WAVE" + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+    body2 += b"data" + struct.pack("<I", len(data)) + data
+    wav2 = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="PCM16"):
+        decode_media(wav2, "audio/wav")
