@@ -443,3 +443,74 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(media).select(
         "media_id", "orig_bytes", "stride", "resized_bytes"
     )
+
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("img_h", T.IntegerType()),
+        T.StructField("img_w", T.IntegerType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           1 AS img_h,
+           LEAST(64, length(text))::INT AS img_w,
+           ROUND(list_aggregate(
+                   list_transform(generate_series(1, LEAST(64, length(text))),
+                                  i -> ascii(substr(text, i, 1))),
+                   'avg'), 4) AS mean_px
+    FROM documents
+    WHERE length(text) >= 1
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL decode path, driver-hash-verified end to end: each
+    document's first 64 bytes become a 1×w grayscale binary PNM
+    payload (header + raster built ENGINE-side with concat/encode),
+    the Arrow-batched kernel decodes it with the pure-numpy P5 parser,
+    and the emitted (height, width, mean pixel) statistics must match
+    DuckDB recomputing the same statistics from the raw text
+    codepoints — if the decoder misparses the header, drops raster
+    bytes, or mis-normalizes, the hash gate fails. Complements the
+    pytest-pinned fixtures with a corpus-scale oracle.
+
+    Map-side only, like every payload kernel here: payloads are built
+    and decoded inside one mapInPandas pass, nothing binary shuffles."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    w = F.least(F.lit(64), F.length("text"))
+    header = F.encode(F.format_string("P5\n%d 1\n255\n", w), "UTF-8")
+    payload = F.concat(header, F.encode(F.substring("text", 1, 64), "UTF-8"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                arr = _decode_pnm(bytes(p))
+                # UNROUNDED here: Python round() is banker's; the
+                # engine-side F.round below is HALF_UP like DuckDB's
+                out.append(
+                    (
+                        mid,
+                        int(arr.shape[0]),
+                        int(arr.shape[1]),
+                        float(np.mean(arr.astype("float64"))),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "img_h", "img_w", "mean_px"]
+            )
+
+    return media.mapInPandas(stats, DECODE_STATS_SCHEMA).withColumn(
+        "mean_px", F.round("mean_px", 4)
+    )
