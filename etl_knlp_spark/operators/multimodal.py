@@ -95,6 +95,45 @@ def _decode_pnm(payload: bytes):
 
 _PNM_TYPES = ("image/x-portable-pixmap", "image/x-portable-graymap")
 _WAV_TYPES = ("audio/wav", "audio/x-wav", "audio/wave")
+_Y4M_TYPES = ("video/x-y4m", "video/yuv4mpeg")
+
+
+def _decode_y4m(payload: bytes):
+    """Pure-numpy decoder for YUV4MPEG2 (.y4m) uncompressed video —
+    the third no-codec-needed modality beside PNM images and PCM WAV.
+    Parses the parameter header and per-frame FRAME markers; returns
+    the luma (Y) planes stacked as (n_frames, h, w) uint8 — the part
+    frame-sampling and thumbnailing pipelines consume. 4:2:0
+    subsampling only (the y4m default); other chroma modes raise."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    chroma = b"420"
+    for p in payload[:nl].split(b" ")[1:]:
+        if p[:1] == b"W":
+            w = int(p[1:])
+        elif p[:1] == b"H":
+            h = int(p[1:])
+        elif p[:1] == b"C":
+            chroma = p[1:]
+    if w is None or h is None:
+        raise ValueError("y4m header missing W/H")
+    if not chroma.startswith(b"420"):
+        raise NotImplementedError("only 4:2:0 y4m decodes natively")
+    frame_size = w * h * 3 // 2
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError("missing FRAME marker in y4m stream")
+        pos = payload.index(b"\n", pos) + 1
+        frames.append(
+            np.frombuffer(payload, np.uint8, count=w * h, offset=pos).reshape(h, w)
+        )
+        pos += frame_size
+    return np.stack(frames)
 
 
 def _decode_wav(payload: bytes):
@@ -147,6 +186,10 @@ def decode_media(payload: bytes, media_type: str):
         media_type.startswith("audio/") and payload[:4] == b"RIFF"
     ):
         return _decode_wav(payload)
+    if media_type in _Y4M_TYPES or (
+        media_type.startswith("video/") and payload[:9] == b"YUV4MPEG2"
+    ):
+        return _decode_y4m(payload)
     if media_type.startswith("image/") and _HAS_PIL:
         import io
 
@@ -277,7 +320,17 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
     def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype in _Y4M_TYPES:
+                    # REAL frame extraction for the natively-decodable
+                    # video container: up to max_frames luma planes
+                    planes = _decode_y4m(bytes(payload))
+                    for k in range(min(max_frames, planes.shape[0])):
+                        chunk = planes[k].tobytes()
+                        rows.append((mid, k, chunk, len(chunk)))
+                    continue
                 for k in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
                     chunk = bytes(payload[k * every_n_bytes : (k + 1) * every_n_bytes])
                     rows.append((mid, k, chunk, len(chunk)))

@@ -213,3 +213,31 @@ def test_wav_decode_is_real_without_any_codec_library():
 
     with _pytest.raises(NotImplementedError, match="PCM16"):
         decode_media(wav2, "audio/wav")
+
+
+def test_y4m_decode_and_real_frame_sampling(spark):
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import decode_media, sample_frames
+
+    # 4x2, 4:2:0, two frames: Y plane 8 bytes + U,V 2 bytes each
+    y0, y1 = bytes(range(8)), bytes(range(100, 108))
+    uv = bytes([128, 128])
+    payload = (
+        b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+        + b"FRAME\n" + y0 + uv + uv
+        + b"FRAME\n" + y1 + uv + uv
+    )
+    arr = decode_media(payload, "video/x-y4m")
+    assert arr.shape == (2, 2, 4)
+    assert arr[0].tobytes() == y0 and arr[1].tobytes() == y1
+    # the distributed frame sampler emits the true luma planes
+    df = spark.createDataFrame(
+        [(3, payload, "video/x-y4m", len(payload))],
+        "media_id long, payload binary, media_type string, n_bytes long",
+    )
+    rows = sorted(sample_frames(df).collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in rows] == [0, 1]
+    assert bytes(rows[0]["frame_bytes"]) == y0
+    assert bytes(rows[1]["frame_bytes"]) == y1
+    assert all(r["n_bytes"] == 8 for r in rows)
