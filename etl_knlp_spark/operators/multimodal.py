@@ -3,10 +3,12 @@
 Design: image/audio/video payloads are opaque `binary` columns with a
 typed metadata struct beside them; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over `mapInPandas`
-(per-batch, never per-row). Binary PNM images (P6/P5) decode with a
-built-in pure-numpy parser — tested end to end with no codec library.
-Compressed formats (JPEG/PNG, audio, video) need codec libraries not
-in this container, so that decode path is gated behind a
+(per-batch, never per-row). All three modalities decode natively in
+their uncompressed containers — PNM images (P6/P5), PCM16 WAV audio,
+and YUV4MPEG2 video — with pure-numpy parsers tested end to end and
+an oracle-hashed decode query (`multimodal_decode`); no codec library
+needed. Compressed formats (JPEG/PNG, MP3, H.264) do need codec
+libraries not in this container, so those paths are gated behind a
 clearly-marked NotImplementedError with a deterministic fake used by
 tests — the Spark-side contract (schema, batch shape, partitioning)
 is real either way.
