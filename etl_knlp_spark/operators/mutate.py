@@ -182,3 +182,80 @@ def ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.round("total_value", 2).alias("total_value"),
     )
+
+
+def derive_changefeed(
+    old: DataFrame, new: DataFrame, key: str, fingerprint_cols: list[str]
+) -> DataFrame:
+    """Derive a CDC changefeed from two table snapshots — the inverse
+    of the apply side (streaming/cdc.py): rows only in `new` are
+    inserts, rows only in `old` are deletes, rows whose fingerprint
+    changed are updates; unchanged rows are dropped. Output:
+    (key, op ∈ {I,U,D}).
+
+    100 TB design: both sides reduce to (key, 32-byte digest) BEFORE
+    the full-outer join, so the shuffle carries fingerprints, not
+    rows — same digest-only discipline as dedup_exact/dedup_incremental.
+    With a table format the same diff comes from the transaction log;
+    this is the storage-agnostic fallback."""
+    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in fingerprint_cols]))
+    a = old.select(F.col(key).alias("k"), fp.alias("fp_old"))
+    b = new.select(F.col(key).alias("k"), fp.alias("fp_new"))
+    j = a.join(b, "k", "full_outer")
+    op = (
+        F.when(F.col("fp_old").isNull(), F.lit("I"))
+        .when(F.col("fp_new").isNull(), F.lit("D"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("U"))
+    )
+    return (
+        j.select(F.col("k").alias(key), op.alias("op"))
+        .filter(F.col("op").isNotNull())
+    )
+
+
+@query(
+    "snapshot_changefeed",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, text FROM documents
+    ), new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' [rev]' ELSE text END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 19 = 0
+    ), j AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'I'
+                  WHEN n.doc_id IS NULL THEN 'D'
+                  WHEN md5(o.text) <> md5(n.text) THEN 'U' END AS op
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, op FROM j WHERE op IS NOT NULL
+    """,
+)
+def snapshot_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC derivation demo: a deterministic mutation of `documents`
+    (every 17th doc deleted, every 13th revised, every 19th re-added
+    under a shifted key) plays the role of the next snapshot, and
+    `derive_changefeed` recovers exactly the I/U/D stream that
+    `cdc_merge` would apply — the two operators are inverses, which
+    the oracle verifies row-for-row."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [rev]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return derive_changefeed(docs, new, "doc_id", ["text"])

@@ -79,3 +79,29 @@ def test_apply_aggregate_delta_handles_new_and_absent_keys(spark):
     }
     # untouched key passes through, overlapping key sums, new key appears
     assert got == {"a": (10, 100.0), "b": (7, 57.0), "c": (1, 1.5)}
+
+
+def test_changefeed_then_apply_roundtrips(spark):
+    """derive_changefeed and the CDC apply are inverses: applying the
+    derived feed to the old snapshot reconstructs the new one."""
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.operators.mutate import derive_changefeed, merge_into
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "e")], "k long, v string"  # 2 updated, 3/4 deleted, 5 inserted
+    )
+    feed = derive_changefeed(old, new, "k", ["v"]).collect()
+    ops = {r["k"]: r["op"] for r in feed}
+    assert ops == {2: "U", 3: "D", 4: "D", 5: "I"}
+    # apply: upsert I/U rows (joined back to new for values), drop D keys
+    upserts = new.join(
+        spark.createDataFrame([(k,) for k, o in ops.items() if o in "IU"], "k long"),
+        "k",
+    )
+    deletes = [k for k, o in ops.items() if o == "D"]
+    rebuilt = merge_into(old, upserts, "k").filter(~F.col("k").isin(deletes))
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
