@@ -488,3 +488,44 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, c.* FROM _chunk_src d, LATERAL chunk_text(d.text) c"
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE length(replace(lower(text), ' ', '')) END AS n_nonspace,
+           length(text) - length(replace(text, ' ', '')) AS n_spaces
+    FROM documents
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (`@udf(useArrow=True)`, Spark 3.5+/4):
+    the third Python-execution tier beside row-pickled UDFs and
+    `pandas_udf` — per-row Python logic but Arrow-batch serialization,
+    so the interpreter round-trip skips pickle entirely. The kernel is
+    deliberately trivial string counting with an exact SQL mirror, so
+    the API tier itself is what the oracle hash-verifies.
+
+    Tier guidance for 100 TB (same conclusion the pandas_udf docstrings
+    reach): built-in expressions > pandas_udf (vectorized kernels) >
+    Arrow UDF (per-row logic, cheap transport) > pickled UDF (never in
+    a hot path). Lazily constructed like every Python UDF here —
+    decoration at import would require a live session."""
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def n_nonspace(text: str) -> int:
+        return len(text.replace(" ", "").lower()) if text else 0
+
+    @udf("long", useArrow=True)
+    def n_spaces(text: str) -> int:
+        return text.count(" ") if text else 0
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_nonspace("text").alias("n_nonspace"),
+        n_spaces("text").alias("n_spaces"),
+    )
