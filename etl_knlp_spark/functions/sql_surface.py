@@ -250,3 +250,43 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@query(
+    "sql_udf",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\s+'))::INT AS n_tokens,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, MIN(term) AS first_term
+    FROM toks GROUP BY doc_id, n_tokens
+    """,
+)
+def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark `CREATE FUNCTION ... RETURN`):
+    a scalar function and a TABLE function declared in SQL text and
+    consumed through LATERAL correlation — the warehouse-style UDF
+    surface (no Python involved, fully planned by Catalyst, so both
+    functions inline into the query plan like macros and keep
+    whole-stage codegen). The oracle recomputes the same result with
+    plain SQL, proving the function indirection is semantically free."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tok_count(s STRING) "
+        "RETURNS INT RETURN size(split(trim(lower(s)), '\\\\s+'))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION terms_of(s STRING) "
+        "RETURNS TABLE (term STRING) "
+        "RETURN SELECT explode(split(trim(lower(s)), '\\\\s+')) AS term"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, tok_count(d.text) AS n_tokens, MIN(t.term) AS first_term
+        FROM documents d, LATERAL terms_of(d.text) t
+        GROUP BY d.doc_id, tok_count(d.text)
+        """
+    )
