@@ -63,12 +63,59 @@ try:
                         continue
                     yield _parse_line(line, self.sep, self.n_fields)
 
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _PartCommit(WriterCommitMessage):
+        def __init__(self, path: str, n_rows: int):
+            self.path = path
+            self.n_rows = n_rows
+
+    class DelimitedTextWriter(DataSourceWriter):
+        """Writer half of the connector: rows serialize back to the
+        reference's sep-joined line format, one part file per input
+        partition (executor-parallel, no shuffle). The overflow rule
+        is the reader's inverse by construction — a sep inside the
+        LAST column round-trips because the reader rejoins trailing
+        fields into it. NULLs write as empty fields (the reader's
+        missing-field rule reads short lines back as NULL)."""
+
+        def __init__(self, options, overwrite: bool):
+            self.path = options.get("path")
+            self.sep = options.get("sep", ":")
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self.path, exist_ok=True)
+            fpath = os.path.join(self.path, f"part-{pid:05d}.txt")
+            n = 0
+            with open(fpath, "w", encoding="utf-8") as fh:
+                for row in iterator:
+                    vals = ["" if v is None else str(v) for v in row]
+                    fh.write(self.sep.join(vals) + "\n")
+                    n += 1
+            return _PartCommit(fpath, n)
+
+        def commit(self, messages):
+            # task outputs are already in place; a production committer
+            # would write to temp names here and rename on commit
+            return None
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
     class DelimitedTextDataSource(DataSource):
         """Usage:
         spark.dataSource.register(DelimitedTextDataSource)
         (spark.read.format("knlp_delimited")
               .schema("korean string, hanjya string, examples string")
               .option("path", "/data/hanja.txt").option("sep", ":").load())
+        df.write.format("knlp_delimited").mode("append")
+          .option("path", out_dir).option("sep", ":").save()
         """
 
         @classmethod
@@ -77,6 +124,9 @@ try:
 
         def reader(self, schema) -> DataSourceReader:
             return DelimitedTextReader(schema, self.options)
+
+        def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+            return DelimitedTextWriter(self.options, overwrite)
 
     DATASOURCE_AVAILABLE = True
 except ImportError:  # Spark < 4: Python DataSource API absent

@@ -58,3 +58,39 @@ def test_custom_source_matches_declarative_reader(spark, raw_dir):
     assert sorted(map(tuple, custom.collect())) == sorted(
         map(tuple, declarative.collect())
     )
+
+
+def test_writer_roundtrips_through_the_connector(spark, tmp_path):
+    """Write through the connector's writer, read back through its
+    reader: the sep-joined line format round-trips, including a sep
+    inside the last column (the ragged-overflow inverse) and NULLs."""
+    register(spark)
+    rows = [
+        ("가", "家", "가족, 가정"),
+        ("간", "間", "시간:공간:기간"),   # sep inside last col
+        ("수", None, None),
+    ]
+    df = spark.createDataFrame(rows, "korean string, hanjya string, examples string")
+    out = str(tmp_path / "out")
+    (
+        df.coalesce(2)
+        .write.format("knlp_delimited")
+        .mode("append")
+        .option("path", out)
+        .option("sep", ":")
+        .save()
+    )
+    back = (
+        spark.read.format("knlp_delimited")
+        .schema("korean string, hanjya string, examples string")
+        .option("path", out)
+        .option("sep", ":")
+        .load()
+    )
+    got = {tuple(r) for r in back.collect()}
+    # NULL middle/last fields write as empty and read back as '' (the
+    # line keeps its field count); the overflow line round-trips intact
+    assert ("간", "間", "시간:공간:기간") in got
+    assert ("가", "家", "가족, 가정") in got
+    assert ("수", "", "") in got
+    assert len(got) == 3
