@@ -841,3 +841,69 @@ def intersect_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return c.intersectAll(s)
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           MIN(CASE WHEN p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+                    THEN p.ts END) AS next_purchase_ts
+    FROM c LEFT JOIN p ON c.user_id = p.user_id
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (pandas `merge_asof
+    direction='forward', tolerance=1h` parity): for each click, the
+    EARLIEST purchase at-or-after it by the same user, nulled when it
+    falls outside the 1-hour window.
+
+    Same single-shuffle design as `join_asof`, mirrored: tag both
+    sides, union, ONE window over (user_id, ts) carrying the first
+    non-null purchase ts BACKWARD from the future side
+    (currentRow → unboundedFollowing), then the tolerance applies as
+    a post-filter expression. Clicks sort before purchases on ts ties
+    so an exactly-simultaneous purchase is visible (>= semantics).
+    The naive inequality join fans out clicks × purchases per user
+    and shuffles twice; this shuffles the event stream once."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("p_ts"),
+        F.lit(1).alias("kind"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(0).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = F.first("p_ts", ignorenulls=True).over(w)
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("nxt", nxt)
+        .filter(F.col("kind") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.when(
+                F.col("nxt") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+                F.col("nxt"),
+            ).alias("next_purchase_ts"),
+        )
+    )
