@@ -289,3 +289,14 @@ def test_bm25_pruned_probes_only_query_term_buckets(spark):
 
     m = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*IN", plan)
     assert m, "expected bucket IN (...) inside PartitionFilters"
+
+
+def test_asof_tolerance_is_single_shuffle_no_join(plans):
+    """The forward as-of must keep the union+window shape: exactly one
+    hash exchange (user_id) and ZERO joins — a regression to the
+    inequality-join formulation shuffles twice and fans out
+    clicks × purchases."""
+    p = plans("join_asof_tolerance")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+    assert "Window" in p
