@@ -179,3 +179,41 @@ def test_split_by_hash_is_total_deterministic_and_stable(spark, keys):
     sub = spark.createDataFrame([(k,) for k in keys[: len(keys) // 2 + 1]], "doc_id long")
     b = {r["doc_id"]: r["split"] for r in split_by_hash(sub, "doc_id", splits).collect()}
     assert all(a[k] == v for k, v in b.items())
+
+
+# ------------------------------------------------------- changefeed inverse
+
+snap = st.dictionaries(
+    st.integers(1, 6), st.sampled_from(["a", "b", "c"]), min_size=0, max_size=6
+)
+
+
+@given(old=snap, new=snap)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_derive_then_apply_reconstructs_any_snapshot(spark, old, new):
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.operators.mutate import derive_changefeed, merge_into
+
+    schema = "k long, v string"
+    old_df = spark.createDataFrame(list(old.items()) or [(None, None)], schema).filter(
+        F.col("k").isNotNull()
+    )
+    new_df = spark.createDataFrame(list(new.items()) or [(None, None)], schema).filter(
+        F.col("k").isNotNull()
+    )
+    ops = {
+        r["k"]: r["op"] for r in derive_changefeed(old_df, new_df, "k", ["v"]).collect()
+    }
+    # feed properties: D for removed keys, I for added, U only on value change
+    assert {k for k, o in ops.items() if o == "D"} == set(old) - set(new)
+    assert {k for k, o in ops.items() if o == "I"} == set(new) - set(old)
+    assert {k for k, o in ops.items() if o == "U"} == {
+        k for k in set(old) & set(new) if old[k] != new[k]
+    }
+    # applying the feed to old reconstructs new exactly
+    upsert_keys = [k for k, o in ops.items() if o in "IU"]
+    upserts = new_df.filter(F.col("k").isin(upsert_keys)) if upsert_keys else new_df.limit(0)
+    deletes = [k for k, o in ops.items() if o == "D"]
+    rebuilt = merge_into(old_df, upserts, "k").filter(~F.col("k").isin(deletes))
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(new.items())
