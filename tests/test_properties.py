@@ -1,12 +1,14 @@
 """Property-based tests (hypothesis) for the invariant-heavy kernels.
 
-Three targets where example-based tests under-cover the input space:
-the greedy packing kernel (pure pandas — hundreds of examples are
-free), the salted-aggregation identity (must equal a plain GROUP BY
-for ANY input, including the fully-duplicated hot-row case a previous
-round's salt derivation got wrong), and min-label-propagation
-connected components against a pure union-find reference. Spark-bound
-properties keep example counts small — every example is a real job.
+Targets where example-based tests under-cover the input space: the
+greedy packing kernel (pure pandas — hundreds of examples are free),
+the salted-aggregation identity (must equal a plain GROUP BY for ANY
+input, including the fully-duplicated hot-row case a previous round's
+salt derivation got wrong), min-label-propagation connected
+components against a pure union-find reference, CDC latest-wins
+compaction totality, hash-split totality/stability, and the
+changefeed-derive/apply inverse. Spark-bound properties keep example
+counts small — every example is a real job.
 """
 
 from __future__ import annotations
