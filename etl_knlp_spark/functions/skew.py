@@ -142,3 +142,49 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     joined = salted_join(o, c, "o_custkey", "c_custkey", buckets=8)
     return joined.select("o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+
+
+@query(
+    "skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey AS k, COUNT(*)::BIGINT AS c
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*)::BIGINT AS n_keys,
+           SUM(c)::BIGINT AS n_rows,
+           MAX(c)::BIGINT AS max_key_rows,
+           CAST(MEDIAN(c) AS DOUBLE) AS median_key_rows,
+           ROUND(MAX(c) / CAST(MEDIAN(c) AS DOUBLE), 4) AS skew_ratio,
+           ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top1_share
+    FROM per_key
+    """,
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic for a join/aggregation key — the
+    measurement that decides whether a key needs `salted_join` /
+    `salted_agg` (this module) or plain AQE skew handling: key
+    cardinality, hottest-key row count, max/median ratio, and the
+    hottest key's share of all rows. A skew_ratio near 1 means salt
+    buckets would only add overhead; a ratio ≫ bucket count means one
+    reducer owns the job's tail latency.
+
+    One partial-aggregated shuffle on the key (counts), then the
+    summary reduces the per-key table to a single row — the key table
+    (not the fact table) is what percentile/median touch, so at 100 TB
+    the cost is the groupBy the consuming join would do anyway."""
+    from ..catalog import load_table
+
+    per_key = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        F.median("c").cast("double").alias("median_key_rows"),
+        F.round(F.max("c") / F.median("c").cast("double"), 4).alias("skew_ratio"),
+        F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top1_share"),
+    )
