@@ -28,6 +28,24 @@ _K = 16
 _N_PROBE = 4
 _TOP_K = 10
 _N_QUERIES = 5
+_TRAIN_CAP = 1024
+
+
+def training_sample(vectors: DataFrame, cap: int = _TRAIN_CAP) -> DataFrame:
+    """Deterministic bounded training set for Lloyd's iterations: keep
+    rows whose xxhash64(vec_id) lands in one of ``ceil(n/cap)`` residue
+    classes. One cheap count pass up front; after that, every training
+    iteration touches ≤ ~cap rows no matter how large the corpus is —
+    the full corpus is read exactly once more, by the final assignment
+    pass. (Without this, k-means training is max_iter full-corpus
+    passes; at 100 TB that is the dominant cost and the sample changes
+    centroid quality only marginally — the standard IVF/PQ recipe.)
+    Deterministic given the data: no RNG, hash-residue selection."""
+    n = vectors.count()
+    if n <= cap:
+        return vectors
+    denom = -(-n // cap)  # ceil
+    return vectors.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(denom)) == 0)
 
 
 def _sq_dist(a, b):
@@ -57,12 +75,22 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = _K, max_iter: int = 5) -> DataFrame:
+def kmeans_fit(
+    spark: SparkSession,
+    vectors: DataFrame,
+    k: int = _K,
+    max_iter: int = 5,
+    train_cap: int = _TRAIN_CAP,
+) -> DataFrame:
     """Lloyd's k-means; returns the centroid table (cluster_id,
-    centroid array<double>). Init = the k lowest vec_ids (seeded and
-    deterministic; k-means|| would replace this at real scale)."""
+    centroid array<double>). Init = the k lowest vec_ids of the
+    training sample (seeded and deterministic; k-means|| would replace
+    this at real scale). Training runs on `training_sample(vectors,
+    train_cap)` so iteration cost is bounded by the cap, not the
+    corpus; callers assign the full corpus once against the result."""
+    train = training_sample(vectors, train_cap)
     init = (
-        vectors.orderBy("vec_id")
+        train.orderBy("vec_id")
         .limit(k)
         .collect()
     )
@@ -71,7 +99,7 @@ def kmeans_fit(spark: SparkSession, vectors: DataFrame, k: int = _K, max_iter: i
         "cluster_id INT, centroid ARRAY<DOUBLE>",
     )
     for _ in range(max_iter):
-        assigned = _assign(vectors, centroids)
+        assigned = _assign(train, centroids)
         # per-dimension means, long-form, then re-pack ordered arrays
         new_rows = (
             assigned.select("cluster_id", F.posexplode("emb").alias("pos", "v"))

@@ -31,6 +31,7 @@ from ..catalog import load_table
 from ..functions.vector import as_double, dot, l2_norm
 from ..registry import query
 from . import similarity as _sim
+from .ivf import _TRAIN_CAP, training_sample
 
 _M = 8        # subspaces
 _KSUB = 16    # centroids per subspace
@@ -91,23 +92,25 @@ def pq_train(
     m: int = _M,
     ksub: int = _KSUB,
     max_iter: int = 4,
+    train_cap: int = _TRAIN_CAP,
 ) -> DataFrame:
     """Train the PQ codebook: per-subspace Lloyd's k-means run JOINTLY
     for all m subspaces in each distributed pass (keys are
     (sub, code); one assignment join + one mean-recompute per
     iteration regardless of m). Returns (sub, code, centroid
     array<double>). Init is seeded/deterministic: subvectors of the
-    ksub lowest vec_ids."""
-    # Each Lloyd iteration triggers a full job over the subvector table;
-    # persist it so iterations re-read cached Arrow batches instead of
-    # re-scanning + re-slicing the corpus (at real scale this is the
-    # standard "cache the training sample" step — codebooks train on a
-    # bounded sample, never the full 100 TB corpus).
-    subs = _subvectors(vectors, m).persist()
+    ksub lowest vec_ids in the training sample."""
+    # Codebooks train on `ivf.training_sample` — a deterministic
+    # hash-residue sample bounded by `train_cap` — and the bounded
+    # subvector table is persisted so each Lloyd iteration re-reads
+    # cached Arrow batches instead of re-scanning + re-slicing. The
+    # full corpus is touched only by `pq_encode`, exactly once.
+    train = training_sample(vectors, train_cap)
+    subs = _subvectors(train, m).persist()
     init = (
         subs.filter(
             F.col("vec_id").isin(
-                [r["vec_id"] for r in vectors.select("vec_id").orderBy("vec_id").limit(ksub).collect()]
+                [r["vec_id"] for r in train.select("vec_id").orderBy("vec_id").limit(ksub).collect()]
             )
         )
         .withColumn(

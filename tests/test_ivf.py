@@ -93,3 +93,42 @@ def test_ivf_contract_booleans_hold(spark, sf_dir):
     for r in rows:
         assert r["n_exact"] == 10
         assert r["recall_ok"] and r["scores_true"] and r["ret_le_k"]
+
+
+def test_training_sample_is_bounded_and_deterministic(spark, sf_dir):
+    """The Lloyd iterations must run over a hash-residue sample bounded
+    by the cap — not the full corpus — and the sample must be a pure
+    function of the data (no RNG)."""
+    from etl_knlp_spark.functions.vector import as_double
+    from etl_knlp_spark.operators.ivf import training_sample
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vectors = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    n = vectors.count()
+    cap = 128
+    s1 = sorted(r["vec_id"] for r in training_sample(vectors, cap).select("vec_id").collect())
+    s2 = sorted(r["vec_id"] for r in training_sample(vectors, cap).select("vec_id").collect())
+    assert s1 == s2
+    # hash-residue selection: expected size n/ceil(n/cap) ≤ cap, allow
+    # hash variance but require a genuine cut below the corpus size
+    assert 0 < len(s1) < n
+    assert len(s1) <= 2 * cap
+    # cap ≥ n degenerates to the identity (no behavior change at small SF)
+    assert training_sample(vectors, n).count() == n
+
+
+def test_kmeans_sampled_training_still_indexes_everything(spark, sf_dir):
+    """With the cap forcing the sampled path, the returned index must
+    still be deterministic and assign the FULL corpus (training is
+    bounded; the one full pass is the final assignment)."""
+    from etl_knlp_spark.functions.vector import as_double
+    from etl_knlp_spark.operators.ivf import _assign, kmeans_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vectors = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    c1 = kmeans_fit(spark, vectors, k=8, max_iter=2, train_cap=128)
+    c2 = kmeans_fit(spark, vectors, k=8, max_iter=2, train_cap=128)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+    assigned = _assign(vectors, c1)
+    assert assigned.count() == vectors.count()
+    assert assigned.select("cluster_id").distinct().count() > 1

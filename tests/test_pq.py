@@ -107,3 +107,19 @@ def test_pq_contract_booleans_hold(spark, sf_dir):
     for r in rows:
         assert r["n_exact"] == 10
         assert r["recall_ok"] and r["scores_true"] and r["ret_le_k"]
+
+
+def test_pq_sampled_training_encodes_full_corpus(spark, sf_dir):
+    """Force the bounded training sample (cap < n): the codebook must
+    stay deterministic and `pq_encode` must still code every corpus
+    vector — training cost is bounded by the cap, the corpus is only
+    touched by the single encode pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vectors = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    cb1 = pq_train(spark, vectors, max_iter=2, train_cap=128)
+    cb2 = pq_train(spark, vectors, max_iter=2, train_cap=128)
+    assert sorted(map(tuple, cb1.collect())) == sorted(map(tuple, cb2.collect()))
+    codes = pq_encode(vectors, cb1)
+    n = vectors.count()
+    assert codes.select("vec_id").distinct().count() == n
+    assert codes.count() == n * _M
