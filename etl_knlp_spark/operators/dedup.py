@@ -1433,3 +1433,70 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_doc").isNotNull().alias("is_exact_dup"),
         F.col("first_doc").alias("dup_of"),
     )
+
+
+# ---- Embedding-space (semantic) decontamination ----------------------------
+
+_EVAL_N = 8       # eval vectors: the first 8 vec_ids (tiny by definition)
+_CONTAM_TAU = 0.3  # max-cosine threshold (p95 of this corpus ~0.31)
+
+
+@query(
+    "decontaminate_embedding",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    ev AS (SELECT emb FROM e WHERE vec_id < {_EVAL_N}),
+    c AS (SELECT vec_id, emb FROM e WHERE vec_id >= {_EVAL_N})
+    SELECT c.vec_id,
+           ROUND(MAX(list_cosine_similarity(ev.emb, c.emb)), 6) AS max_eval_cos,
+           ROUND(MAX(list_cosine_similarity(ev.emb, c.emb)), 6) >= {_CONTAM_TAU}
+             AS contaminated
+    FROM c, ev
+    GROUP BY c.vec_id
+    """,
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: screen every corpus embedding against
+    a small benchmark/eval embedding set and flag documents whose max
+    cosine to ANY eval vector reaches the threshold — the
+    embedding-space sibling of `decontaminate_ngram`/`_bloom` (which
+    catch verbatim leakage; this catches paraphrased leakage).
+
+    Scale design (the whole point): eval sets are tiny by definition
+    (thousands of rows vs a 100 TB corpus), so the eval matrix is
+    collected once — a bounded driver sync, like the bloom bit array
+    at dedup.py's bloom path — and embedded as a LITERAL array of
+    arrays in the plan. The per-document max-cosine is then
+    `transform` + `array_max` over that literal: a pure scan-project
+    with ZERO joins and ZERO shuffles, whole-stage-codegen'd; the plan
+    touches each corpus row exactly once and nothing moves between
+    executors. (The broadcast-join + groupBy alternative shuffles the
+    corpus once on vec_id — strictly worse at any scale.)
+
+    Reference parity: no counterpart (the reference has no embedding
+    surface at all, dag-knlp.py); this is part of the
+    training-data-pipeline extension mandated by the brief.
+    """
+    from ..functions.vector import as_double, dot, l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    # Bounded driver sync: _EVAL_N rows × 64 doubles.
+    eval_rows = e.filter(F.col("vec_id") < _EVAL_N).orderBy("vec_id").collect()
+    ev_lits = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r["emb"]]) for r in eval_rows]
+    )
+    corpus = e.filter(F.col("vec_id") >= _EVAL_N)
+    nrm = l2_norm(F.col("emb"))
+    # Raw cosines per eval vector, max'd, rounded ONCE (mirrors the
+    # oracle's ROUND(MAX(...), 6) exactly).
+    sims = F.transform(
+        ev_lits, lambda ev: dot(ev, F.col("emb")) / (l2_norm(ev) * nrm)
+    )
+    max_cos = F.round(F.array_max(sims), 6)
+    return corpus.select(
+        "vec_id",
+        max_cos.alias("max_eval_cos"),
+        (max_cos >= F.lit(_CONTAM_TAU)).alias("contaminated"),
+    )

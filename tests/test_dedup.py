@@ -384,3 +384,38 @@ def test_ngram_abs_df_cap_bounds_fanout(spark):
     # candidates while the uncapped form enumerates the full fan-out
     assert uncapped.count() > 1000
     assert capped.count() == 0
+
+
+def test_decontaminate_embedding_zero_shuffle_and_flags(spark, sf_dir):
+    """The semantic-decontamination screen must be a pure scan-project:
+    the eval matrix rides in the plan as a literal, so there is NO
+    Exchange and NO join anywhere in the physical plan — per-row work
+    only. Flags must agree with a brute-force numpy recompute."""
+    import numpy as np
+
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.dedup import _CONTAM_TAU, _EVAL_N, decontaminate_embedding
+
+    out = decontaminate_embedding(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    rows = {r["vec_id"]: r for r in out.collect()}
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    evs = [vecs[i] for i in range(_EVAL_N)]
+    n_contam = 0
+    for vid, v in vecs.items():
+        if vid < _EVAL_N:
+            assert vid not in rows
+            continue
+        mx = max(
+            float(np.dot(ev, v) / (np.linalg.norm(ev) * np.linalg.norm(v)))
+            for ev in evs
+        )
+        assert abs(rows[vid]["max_eval_cos"] - round(mx, 6)) < 1e-6
+        n_contam += rows[vid]["contaminated"]
+    # the threshold sits at ~p95 of this corpus: some flagged, most not
+    assert 0 < n_contam < len(rows)
