@@ -419,3 +419,37 @@ def test_decontaminate_embedding_zero_shuffle_and_flags(spark, sf_dir):
         n_contam += rows[vid]["contaminated"]
     # the threshold sits at ~p95 of this corpus: some flagged, most not
     assert 0 < n_contam < len(rows)
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Plant exact duplicate vectors in a small synthetic corpus: the
+    keep-lowest rule must drop every planted copy (cos = 1.0 lands in
+    the same block), keep the originals, and report the original as
+    the representative."""
+    import numpy as np
+
+    from etl_knlp_spark.operators.dedup import semantic_dedup_sets
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # copies of vectors 3 and 11 under higher ids
+    rows += [(100, rows[3][1]), (101, rows[11][1]), (102, rows[3][1])]
+    vecs = spark.createDataFrame(rows, "vec_id LONG, emb ARRAY<DOUBLE>")
+    out = {r["vec_id"]: r for r in semantic_dedup_sets(spark, vecs, k=4, tau=0.9).collect()}
+    assert len(out) == 43
+    # at tau=0.9 only the planted exact copies qualify: each is
+    # dropped with its original as representative, everything else
+    # (including the originals) survives
+    for cid, rep in [(100, 3), (101, 11), (102, 3)]:
+        assert out[cid]["removed"] and out[cid]["rep_id"] == rep
+    for vid, r in out.items():
+        if vid not in (100, 101, 102):
+            assert not r["removed"] and r["rep_id"] is None
+    # precision invariant: every removed doc's rep is a LOWER id at
+    # genuine cosine ≥ tau, recomputed from the raw vectors
+    by_id = {vid: np.array(emb) for vid, emb in rows}
+    for cid in (100, 101, 102):
+        a, b = by_id[out[cid]["rep_id"]], by_id[cid]
+        cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert out[cid]["rep_id"] < cid and cos >= 0.9
