@@ -31,23 +31,28 @@ def _round_files(root: str) -> list[str]:
 
 
 def main() -> int:
-    if len(sys.argv) == 3:
-        prev_path, curr_path = sys.argv[1], sys.argv[2]
-    else:
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        files = _round_files(root)
-        if len(files) < 2:
-            print(f"only {len(files)} bench file(s) — nothing to compare")
-            return 0
-        prev_path, curr_path = files[-2], files[-1]
-
-    def load(path: str) -> dict:
+    def load(path: str) -> dict | None:
         with open(path) as f:
             d = json.load(f)
-        # driver-recorded BENCH_r*.json wraps bench.py's line in "parsed"
-        return d.get("parsed", d)
+        # driver-recorded BENCH_r*.json wraps bench.py's line in "parsed";
+        # a crashed round records "parsed": null — unusable for comparison
+        p = d.get("parsed", d)
+        return p if isinstance(p, dict) and "value" in p else None
 
-    prev, curr = load(prev_path), load(curr_path)
+    if len(sys.argv) == 3:
+        prev_path, curr_path = sys.argv[1], sys.argv[2]
+        prev, curr = load(prev_path), load(curr_path)
+        if prev is None or curr is None:
+            print("one of the given bench files has no parsed result")
+            return 1
+    else:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        usable = [(p, load(p)) for p in _round_files(root)]
+        usable = [(p, d) for p, d in usable if d is not None]
+        if len(usable) < 2:
+            print(f"only {len(usable)} usable bench file(s) — nothing to compare")
+            return 0
+        (prev_path, prev), (curr_path, curr) = usable[-2], usable[-1]
 
     print(
         f"{os.path.basename(prev_path)} {prev['value']}s -> "
