@@ -224,6 +224,14 @@ SHOWCASE = {
         "operate on the aggregated set — no corpus-sized self-join "
         "of the shingle stream."
     ),
+    "decontaminate_embedding": (
+        "Semantic decontamination as a PURE scan-project: the eval "
+        "matrix is a plan literal, the per-doc max-cosine is transform "
+        "+ array_max inside WholeStageCodegen — zero joins, zero "
+        "exchanges anywhere in the plan. The corpus is read once and "
+        "nothing moves between executors; the broadcast-join + groupBy "
+        "alternative would shuffle the corpus on vec_id."
+    ),
 }
 
 
