@@ -204,11 +204,16 @@ def ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN (...) filter prunes at directory listing (PartitionFilters;
     pinned in tests). Results are identical to the in-memory probe
     (`similarity_ivf`) by construction: tests compare the two."""
+    import hashlib
+    import os
     import tempfile
 
     e = load_table(spark, sf_dir, "embeddings")
     assigned, centroids = ivf_build(spark, e)
-    path = tempfile.mkdtemp(prefix="etl_knlp_ivf_")
+    # deterministic per-corpus path: repeated runs overwrite the same
+    # staging layout instead of accumulating one mkdtemp per call
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"etl_knlp_ivf_{tag}")
     ivf_write_partitioned(assigned, path)
     queries = (
         assigned.filter(F.col("vec_id") < _N_QUERIES)
