@@ -45,7 +45,13 @@ def training_sample(vectors: DataFrame, cap: int = _TRAIN_CAP) -> DataFrame:
     if n <= cap:
         return vectors
     denom = -(-n // cap)  # ceil
-    return vectors.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(denom)) == 0)
+    picked = vectors.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(denom)) == 0)
+    if not picked.limit(1).count():
+        # degenerate small-n case: every id hashed outside residue
+        # class 0 — fall back to the cap lowest ids (TakeOrdered,
+        # driver-bounded) so training always has data
+        return vectors.orderBy("vec_id").limit(cap)
+    return picked
 
 
 def _sq_dist(a, b):

@@ -219,3 +219,29 @@ def test_derive_then_apply_reconstructs_any_snapshot(spark, old, new):
     deletes = [k for k, o in ops.items() if o == "D"]
     rebuilt = merge_into(old_df, upserts, "k").filter(~F.col("k").isin(deletes))
     assert sorted(map(tuple, rebuilt.collect())) == sorted(new.items())
+
+
+# --------------------------------------------------- k-means training sample
+
+sample_ids = st.lists(st.integers(0, 1_000_000), min_size=1, max_size=60, unique=True)
+
+
+@given(ids=sample_ids, cap=st.integers(1, 80))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_training_sample_subset_deterministic_identity_at_cap(spark, ids, cap):
+    """For ANY id set and cap: the training sample is a subset of the
+    input, is a pure function of the data (two calls agree), is never
+    empty, and degenerates to the identity when cap ≥ n — the
+    properties the bounded k-means training relies on."""
+    from etl_knlp_spark.operators.ivf import training_sample
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in ids], "vec_id long, emb array<double>"
+    )
+    got1 = sorted(r["vec_id"] for r in training_sample(df, cap).select("vec_id").collect())
+    got2 = sorted(r["vec_id"] for r in training_sample(df, cap).select("vec_id").collect())
+    assert got1 == got2
+    assert set(got1) <= set(ids)
+    assert len(got1) >= 1
+    if cap >= len(ids):
+        assert got1 == sorted(ids)
