@@ -290,3 +290,87 @@ def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id, tok_count(d.text)
         """
     )
+
+
+_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate >= DATE '1995-01-01'
+|> EXTEND l_extendedprice * (1 - l_discount) AS net
+|> AGGREGATE ROUND(SUM(net), 2) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n_items > 0
+|> SELECT l_returnflag, l_linestatus, revenue, n_items
+"""
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 0
+"""
+
+
+@query("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0+, the `|>` operator chain): the same
+    scan → filter → derive → aggregate → filter program as classic
+    SELECT, written in dataflow order. Pure parser surface — Catalyst
+    receives the identical logical plan, so pushdown/pruning/codegen
+    are untouched; the oracle is the classic-SQL spelling and must
+    hash-match exactly."""
+    return run_sql(spark, sf_dir, _PIPE_SQL)
+
+
+_COLLATED_SQL = """
+WITH mixed AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+              ELSE event_type END AS etype,
+         value
+  FROM events
+)
+SELECT etype COLLATE UTF8_LCASE AS etype_ci,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM mixed
+GROUP BY etype_ci
+"""
+
+_COLLATED_ORACLE = """
+WITH mixed AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+              ELSE event_type END AS etype,
+         value
+  FROM events
+)
+SELECT lower(etype) AS etype_ci,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM mixed
+GROUP BY lower(etype)
+"""
+
+
+@query("collated_group", oracle=_COLLATED_ORACLE)
+def collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4.0+ COLLATE): a deliberately
+    case-mangled event_type groups under UTF8_LCASE so 'CLICK' and
+    'click' share a bucket WITHOUT rewriting the data — the collation
+    rides the type, the shuffle hash-partitions on the collation key,
+    and every comparison downstream inherits it (vs the lower()
+    rewrite, which burns a projection and loses the original casing).
+    The oracle is the lower() rewrite, normalized on both sides so the
+    group keys hash identically."""
+    df = run_sql(spark, sf_dir, _COLLATED_SQL)
+    # a collated string column hashes as its own value; normalize to
+    # lowercase for the comparator (collation metadata is engine-side)
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.lower(F.col("etype_ci").cast("string")).alias("etype_ci"),
+        "n_events",
+        "total_value",
+    )

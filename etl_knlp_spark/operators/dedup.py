@@ -1653,3 +1653,72 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.sum(F.col("is_global").cast("long")) * _SEM_RECALL_FLOOR
         ).alias("recall_ok"),
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    prefix_len: int = 16,
+    max_edits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs verified by BOUNDED edit distance: block on the
+    first ``prefix_len`` characters of the text, then compare only
+    within-block pairs with `levenshtein(a, b, threshold)` — Spark's
+    banded Levenshtein, which abandons a pair the moment its running
+    distance exceeds ``max_edits`` (O(len·k) per pair, not O(len²))
+    and returns -1 instead of the true distance. The Jaccard paths
+    catch token-level overlap; this catches character-level edits
+    (typos, OCR noise, template fills) that token shingles miss.
+
+    Scale: the prefix block is a deterministic banding — texts shuffle
+    ONCE on the prefix key, pair fan-out is bounded by block size, and
+    the quadratic-in-block verify runs the banded comparator. At
+    100 TB the block key generalizes to any cheap deterministic
+    signature (MinHash band, SimHash prefix — `minhash_candidates`
+    produces exactly such blocks); the prefix is the oracle-able
+    choice here and the right one for the leading-edit-free dup class
+    (boilerplate-prefixed pages). Pairs whose edits fall inside the
+    first ``prefix_len`` chars land in different blocks — by design:
+    recall for those belongs to the signature paths, precision here is
+    exact.
+    """
+    pfx = F.substring(F.col("text"), 1, prefix_len)
+    d = docs.select("doc_id", "text", pfx.alias("pfx"))
+    a = d.select(
+        F.col("pfx"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+    )
+    b = d.select(
+        F.col("pfx"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+    )
+    ed = F.levenshtein(F.col("text_a"), F.col("text_b"), max_edits)
+    return (
+        a.join(b, ["pfx"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_dist", ed)
+        .filter(F.col("edit_dist") >= 0)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
+@query(
+    "dedup_edit_distance",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, substr(text, 1, 16) AS pfx FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+    FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 8
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for `edit_distance_pairs` on the documents table
+    (prefix_len=16, max_edits=8). The oracle computes the UNbounded
+    Levenshtein and filters ≤ 8 — equal to the banded comparator's
+    non-(-1) output by definition, so the hash compare verifies the
+    band abandons exactly the pairs it should."""
+    return edit_distance_pairs(load_table(spark, sf_dir, "documents"))

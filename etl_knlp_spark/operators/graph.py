@@ -77,9 +77,12 @@ def connected_components(
     )
 
 
-@query(
-    "near_dup_clusters",
-    oracle="""
+# Shared CTE chain: raw text → 3-gram shingles → exact-Jaccard edges
+# (≥ 0.7) → recursive transitive closure → (node, component). Both
+# cluster oracles append their own final SELECT; the near_dup_clusters
+# oracle string is byte-identical to its pre-factoring form (snapshot-
+# guarded), so no _STALE_SINCE bump.
+_CLUSTER_CTE = """
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
@@ -111,7 +114,13 @@ def connected_components(
       SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
     ), comp AS (
       SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
-    )
+    )"""
+
+
+@query(
+    "near_dup_clusters",
+    oracle=_CLUSTER_CTE
+    + """
     SELECT d.doc_id,
            COALESCE(c.component, d.doc_id) AS cluster_rep,
            d.doc_id = COALESCE(c.component, d.doc_id) AS is_kept
@@ -283,4 +292,71 @@ def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         # display column would accumulate n·5e-7 of rounding error
         (F.abs(F.sum("rank") - 1.0) < 1e-6).alias("rank_sum_ok"),
         (F.min("rank") > 0).alias("ranks_positive"),
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=_CLUSTER_CTE
+    + """
+    , assigned AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.component, d.doc_id) AS cluster_rep
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster_rep, keep_id, doc_id = keep_id AS is_kept
+    FROM (
+      SELECT doc_id, cluster_rep,
+             FIRST_VALUE(doc_id) OVER (
+               PARTITION BY cluster_rep
+               ORDER BY n_chars DESC, doc_id) AS keep_id
+      FROM assigned
+    )
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup: same similarity clusters as
+    `near_dup_clusters`, but the survivor of each cluster is the
+    HIGHEST-QUALITY member (longest text, doc_id tiebreak), not the
+    lowest id. This is what production corpus dedup actually ships —
+    near-dup clusters mix truncated/mangled copies with the full
+    document, and keep-first throws away the good one whenever the
+    fragment has the smaller id. Swap `n_chars` for any scalar quality
+    column (`quality_score`, a perplexity filter) without touching the
+    plan shape.
+
+    Plan: the component table (iterative min-label propagation, O(dup-
+    cluster diameter) rounds) left-joins back to documents — singleton
+    docs keep themselves via the coalesce — then ONE window per
+    cluster picks the argmax. The window shuffles on cluster_rep:
+    bounded by cluster sizes (dup clusters are small-cardinality by
+    nature), and the same shuffle the rep-assignment already did, so
+    AQE coalesces them. The oracle re-derives clusters from raw text
+    via the shared recursive-CTE closure and pins every keep decision
+    bit-for-bit."""
+    from .dedup import shingle_jaccard_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = shingle_jaccard_exact(docs, 0.7).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    assigned = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, F.col("doc_id") == comp.node, "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_rep"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        assigned.withColumn("keep_id", F.first("doc_id").over(w))
+        .withColumn("is_kept", F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "cluster_rep", "keep_id", "is_kept")
     )

@@ -456,3 +456,66 @@ def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name1", "name2").cast("bigint").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "mine_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS q_label, emb AS q_emb
+      FROM e WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(q.q_emb, e.emb), 6) AS cos_sim
+      FROM q JOIN e ON e.label <> q.q_label
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_TOP_K}
+    """,
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each query vector, the top-k most-similar corpus vectors whose
+    label DIFFERS — the near-miss negatives that make metric-learning
+    batches informative (random negatives are trivially separable;
+    the hardest ones sit just across the boundary).
+
+    Same plan skeleton as `similarity_topk` — tiny query set broadcast
+    against the corpus, one array-fold cosine per pair, WindowGroupLimit
+    per-query top-k heaps before the single rank shuffle — plus a
+    label-mismatch predicate evaluated BEFORE the cosine (the join
+    condition), so same-label pairs never reach the fold. At 100 TB
+    the mining set is the training batch's queries (thousands), still
+    broadcastable, and the corpus-side scan parallelizes per
+    partition; swap the exact scan for the IVF/LSH probe when the
+    corpus side outgrows it (the contract machinery in
+    `ann_recall_contract` verifies that swap)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sim = dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
+    scored = (
+        e.join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .withColumn("cos_sim", F.round(sim, 6))
+        .select("query_id", "vec_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

@@ -136,3 +136,34 @@ def test_embedding_health_flags_degenerate_vectors(spark):
     assert out[1]["n_bad_dim"] == 1
     assert out[1]["n_zero_norm"] == 1
     assert out[1]["n_nan"] == 1
+
+
+def test_hard_negatives_are_cross_label_and_exact(spark, sf_dir):
+    """Every mined negative must carry a label different from its
+    query's, and per-query the emitted set must be exactly the numpy
+    brute-force top-k over the cross-label corpus."""
+    import numpy as np
+
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.similarity import mine_hard_negatives
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    labels = {r["vec_id"]: r["label"] for r in rows}
+
+    got = mine_hard_negatives(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in got:
+        assert labels[r["vec_id"]] != labels[r["query_id"]]
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cos_sim"]))
+    assert set(per_q) == {v for v in vecs if v < 5}
+    for qid, hits in per_q.items():
+        q = vecs[qid]
+        scored = [
+            (round(float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v))), 6), vid)
+            for vid, v in vecs.items()
+            if labels[vid] != labels[qid]
+        ]
+        want = sorted(scored, key=lambda t: (-t[0], t[1]))[:10]
+        hits.sort()
+        assert [(vid, s) for _, vid, s in hits] == [(vid, s) for s, vid in want]

@@ -64,3 +64,40 @@ def test_sql_scripting_runs_and_restores_conf(spark, sf_dir):
         assert rows[k]["mean_price"] > rows[k - 1]["mean_price"]
     # conf scoped: the session-wide flag is back to its default
     assert spark.conf.get("spark.sql.scripting.enabled", None) in (None, "false")
+
+
+def test_pipe_syntax_plans_like_classic_sql(spark, sf_dir):
+    """The |> chain must produce the same result set AND the same
+    optimized plan class as the classic spelling — it's parser
+    surface, not a different engine path."""
+    from etl_knlp_spark.functions.sql_surface import (
+        _PIPE_ORACLE,
+        run_sql,
+        sql_pipe_syntax,
+    )
+
+    piped = sorted(map(tuple, sql_pipe_syntax(spark, sf_dir).collect()))
+    classic = sorted(map(tuple, run_sql(spark, sf_dir, _PIPE_ORACLE).collect()))
+    assert piped == classic and len(piped) > 0
+    plan = sql_pipe_syntax(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan  # aggregated, not row-by-row
+
+
+def test_collated_group_merges_case_variants(spark, sf_dir):
+    """UTF8_LCASE grouping must collapse the upper/lower variants the
+    query deliberately manufactures: exactly one output row per
+    case-insensitive key, counts equal to the case-blind counts."""
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.functions.sql_surface import collated_group
+
+    got = {r["etype_ci"]: r["n_events"] for r in collated_group(spark, sf_dir).collect()}
+    want = {
+        r["k"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.lower("event_type").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
