@@ -1722,3 +1722,90 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-(-1) output by definition, so the hash compare verifies the
     band abandons exactly the pairs it should."""
     return edit_distance_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def edit_distance_dedup(
+    docs: DataFrame,
+    prefix_len: int = 16,
+    max_edits: int = 8,
+) -> DataFrame:
+    """Star-verify edit-distance dedup: ONE banded-Levenshtein
+    comparison per document — against its block's representative (min
+    doc_id sharing the ``prefix_len``-char prefix) — instead of the
+    all-pairs verify of `edit_distance_pairs`. Emits the per-doc
+    decision table (doc_id, block_rep, edit_dist, is_kept): a doc is
+    dropped when it sits within ``max_edits`` of its representative.
+
+    Why this is the scale path: the 10× probe (BASELINE.md round-5
+    session 3) measured the pair enumerator at 250× for 10× docs under
+    10-way dup density — within-block PAIRS grow quadratically in dup
+    multiplicity (299k pairs, 84% genuine hits: the output itself is
+    quadratic, no comparator can fix that). Star-verify does exactly
+    N - n_blocks comparisons — linear in corpus size at any dup
+    density — which is the same pairs→decisions move `dedup_semantic`
+    and `dedup_keep_best` make. The trade is greedy transitivity: a
+    doc is judged against the representative only, so a chain
+    A~B~C with lev(A,C) > max_edits still collapses to A — standard
+    greedy-dedup semantics, deterministic, and exactly mirrored by the
+    oracle.
+
+    Plan: one shuffle on the prefix key for the per-block min (partial
+    map-side), self-join rep→members broadcast-or-shuffled by AQE, one
+    banded comparison per row, no window.
+    """
+    pfx = F.substring(F.col("text"), 1, prefix_len)
+    d = docs.select("doc_id", "text", pfx.alias("pfx"))
+    reps = d.groupBy("pfx").agg(F.min("doc_id").alias("block_rep"))
+    rep_text = d.select(
+        F.col("doc_id").alias("block_rep"), F.col("text").alias("rep_text")
+    )
+    ed = F.when(
+        F.col("doc_id") == F.col("block_rep"), F.lit(0)
+    ).otherwise(F.levenshtein(F.col("text"), F.col("rep_text"), max_edits))
+    return (
+        d.join(reps, "pfx")
+        .join(rep_text, "block_rep")
+        .withColumn("edit_dist", ed)
+        .withColumn(
+            "is_kept",
+            (F.col("doc_id") == F.col("block_rep"))
+            | (F.col("edit_dist") < 0)
+            | (F.col("edit_dist") > F.lit(max_edits)),
+        )
+        .select(
+            "doc_id",
+            "block_rep",
+            F.col("edit_dist").cast("int").alias("edit_dist"),
+            "is_kept",
+        )
+    )
+
+
+@query(
+    "dedup_edit_star",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, substr(text, 1, 16) AS pfx FROM documents
+    ), reps AS (
+      SELECT pfx, MIN(doc_id) AS block_rep FROM d GROUP BY pfx
+    )
+    SELECT d.doc_id, r.block_rep,
+           CAST(CASE WHEN d.doc_id = r.block_rep THEN 0
+                     WHEN levenshtein(d.text, rt.text) <= 8
+                       THEN levenshtein(d.text, rt.text)
+                     ELSE -1 END AS INT) AS edit_dist,
+           (d.doc_id = r.block_rep
+            OR levenshtein(d.text, rt.text) > 8) AS is_kept
+    FROM d
+    JOIN reps r ON r.pfx = d.pfx
+    JOIN d rt ON rt.doc_id = r.block_rep
+    """,
+)
+def dedup_edit_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for `edit_distance_dedup` on the documents table
+    (prefix_len=16, max_edits=8): the linear-cost production path next
+    to the quadratic-output pair enumerator `dedup_edit_distance`
+    (kept as the bounded verifier). The oracle recomputes every
+    decision with unbounded Levenshtein — the band's -1 must land
+    exactly where the true distance exceeds the cap."""
+    return edit_distance_dedup(load_table(spark, sf_dir, "documents"))

@@ -476,9 +476,7 @@ def test_edit_distance_pairs_blocking_and_band(spark):
         for r in edit_distance_pairs(docs, prefix_len=16, max_edits=8).collect()
     }
     assert set(got) == {(1, 2)}
-    import difflib  # sanity: the emitted distance is the true one
-
-    assert got[(1, 2)] <= 8 and got[(1, 2)] > 0
+    assert 0 < got[(1, 2)] <= 8
 
 
 def test_keep_best_prefers_quality_over_min_id(spark, sf_dir):
@@ -505,3 +503,29 @@ def test_keep_best_prefers_quality_over_min_id(spark, sf_dir):
         for d in members:
             assert best[d]["keep_id"] == keep
             assert best[d]["is_kept"] == (d == keep)
+
+
+def test_edit_star_greedy_decisions(spark):
+    """Star-verify semantics: every non-rep doc is judged against the
+    block MIN only — a doc within the band of the rep is dropped, one
+    beyond it survives even if it is close to another non-rep member
+    (greedy transitivity, deliberately)."""
+    from etl_knlp_spark.operators.dedup import edit_distance_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again"
+    far = base[:16] + "y" * 30          # >8 edits from base
+    rows = [
+        (1, base),                       # rep of the block
+        (2, base + " v2"),               # within band of rep → dropped
+        (3, far),                        # beyond band of rep → kept
+        (4, far + " v2"),                # close to 3, far from rep → kept
+        (9, "Zother prefix entirely x"),  # singleton block → kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in edit_distance_dedup(docs, 16, 8).collect()}
+    assert out[1]["is_kept"] and out[1]["edit_dist"] == 0
+    assert not out[2]["is_kept"] and 0 < out[2]["edit_dist"] <= 8
+    assert out[3]["is_kept"] and out[3]["edit_dist"] == -1
+    assert out[4]["is_kept"] and out[4]["edit_dist"] == -1  # judged vs rep 1, not 3
+    assert out[9]["is_kept"] and out[9]["block_rep"] == 9
+    assert all(r["block_rep"] == 1 for d, r in out.items() if d in (2, 3, 4))
