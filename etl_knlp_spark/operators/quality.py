@@ -165,3 +165,67 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _PROFILE_COLS[1:]:
         out = out.unionAll(branch(c))
     return out
+
+
+def observed_write(df: DataFrame, metrics: dict[str, F.Column]):
+    """Materialize ``df`` through the noop sink while collecting
+    ``metrics`` from the SAME pass via `DataFrame.observe` — the
+    Spark-native way to get DQ measurements without a second scan
+    (the accumulator-backed answer to Deequ's "metrics repository"
+    pass). Returns the observed metrics dict.
+
+    At 100 TB this is the difference between one pass and two: every
+    pipeline stage can publish row counts / null counts / max widths
+    as a side effect of the write it was doing anyway. Observed
+    metrics are exact for deterministic aggregates (task retries
+    re-observe, Spark reconciles per-task results).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df.observe(obs, *[c.alias(n) for n, c in metrics.items()]).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    return obs.get
+
+
+@query(
+    "observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE text IS NULL) AS BIGINT) AS n_null_text,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass observed DQ metrics on the documents table: the
+    reference's count/length checks (dag-knlp.py:243-279) plus null
+    and total-width tallies, collected BY the materializing action
+    via `observe` — no dedicated metrics scan. The returned one-row
+    DataFrame is rebuilt from the observation payload; the oracle
+    recomputes every metric from the raw table, so a lost/duplicated
+    observation (the failure mode of accumulator-style metrics under
+    retries) hash-mismatches."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = observed_write(
+        docs,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_text": F.count_if(F.col("text").isNull()),
+            "max_chars": F.max("n_chars"),
+            "total_chars": F.sum("n_chars"),
+        },
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(got["n_rows"]),
+                int(got["n_null_text"]),
+                int(got["max_chars"]),
+                int(got["total_chars"]),
+            )
+        ],
+        "n_rows LONG, n_null_text LONG, max_chars LONG, total_chars LONG",
+    )

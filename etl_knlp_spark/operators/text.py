@@ -529,3 +529,71 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_nonspace("text").alias("n_nonspace"),
         n_spaces("text").alias("n_spaces"),
     )
+
+
+@query(
+    "arrow_batch_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+             AS n_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` kernel tier (Spark 3.5+/4): the Python function
+    receives raw `pyarrow.RecordBatch`es — no pandas materialization
+    at all — and emits per-BATCH partial aggregates (lang, doc count,
+    regex token count) that Spark then combines. This is the
+    lowest-overhead Python tier for columnar kernels: pyarrow.compute
+    runs vectorized C++ over the Arrow buffers Spark already shipped,
+    and the operator's output is partial-aggregate-sized, so the
+    Python→JVM return payload is O(batches), not O(rows) — the
+    map-side-combine shape a 100 TB scan needs from any Python stage.
+    The final groupBy sums partials: one shuffle of tiny rows. Exact
+    SQL mirror (`\\S+` token runs), so the tier is hash-verified."""
+    import pyarrow as pa
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+
+    def per_batch(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            toks = pc.count_substring_regex(tbl.column("text"), r"\S+")
+            part = (
+                pa.table(
+                    {
+                        "lang": tbl.column("lang"),
+                        "tok": toks.combine_chunks()
+                        if isinstance(toks, pa.ChunkedArray)
+                        else toks,
+                    }
+                )
+                .group_by("lang")
+                .aggregate([("tok", "sum"), ("tok", "count")])
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    part.column("lang").combine_chunks(),
+                    part.column("tok_count").cast(pa.int64()).combine_chunks(),
+                    part.column("tok_sum").cast(pa.int64()).combine_chunks(),
+                ],
+                names=["lang", "n_docs", "n_tokens"],
+            )
+
+    partials = docs.mapInArrow(per_batch, out_schema)
+    return partials.groupBy("lang").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )

@@ -66,3 +66,27 @@ def test_column_profile_covers_all_columns_with_sane_stats(spark, sf_dir):
         assert r["min_v"] <= r["max_v"] or r["n_present"] == 0
     # doc_id is a unique key in the testdata
     assert rows["doc_id"]["n_distinct"] == rows["doc_id"]["n_present"]
+
+
+def test_observed_write_metrics_match_direct_aggregates(spark, sf_dir):
+    """Metrics observed during a noop materialization must equal the
+    same aggregates computed by a dedicated pass — the single-pass
+    shortcut changes cost, not values."""
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.quality import observed_write
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = observed_write(
+        docs,
+        {"n": F.count(F.lit(1)), "mx": F.max("n_chars"), "s": F.sum("n_chars")},
+    )
+    direct = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("n_chars").alias("mx"),
+        F.sum("n_chars").alias("s"),
+    ).collect()[0]
+    assert got["n"] == direct["n"]
+    assert got["mx"] == direct["mx"]
+    assert got["s"] == direct["s"]

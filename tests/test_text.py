@@ -77,3 +77,35 @@ def test_udaf_geomean_matches_sql_identity(spark, sf_dir):
     rows = udaf_geomean(spark, sf_dir).collect()
     assert len(rows) > 0
     assert all(r["udaf_matches"] for r in rows)
+
+
+def test_arrow_batch_stats_partials_combine_exactly(spark, sf_dir):
+    """The mapInArrow per-batch partials must combine to exactly the
+    whole-corpus per-lang counts regardless of batch boundaries —
+    checked by forcing many tiny Arrow batches and comparing against
+    the built-in expression path."""
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.text import arrow_batch_stats
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            r["lang"]: (r["n_docs"], r["n_tokens"])
+            for r in arrow_batch_stats(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    want = {
+        r["lang"]: (r["n"], r["t"])
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))).alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
