@@ -232,6 +232,31 @@ SHOWCASE = {
         "nothing moves between executors; the broadcast-join + groupBy "
         "alternative would shuffle the corpus on vec_id."
     ),
+    "mine_hard_negatives": (
+        "Hard-negative mining rides the similarity_topk skeleton: the "
+        "query set is a BroadcastNestedLoopJoin literal (the label "
+        "mismatch is the join condition, so same-label pairs are "
+        "rejected before the cosine fold runs), the corpus never "
+        "shuffles for scoring, and WindowGroupLimit bounds each "
+        "partition's contribution to k rows per query before the one "
+        "rank exchange."
+    ),
+    "dedup_edit_star": (
+        "Star-verify edit dedup: one shuffle on the 16-char prefix for "
+        "the per-block min (partial map-side), AQE broadcasts the "
+        "rep-text side back, and the banded levenshtein(text, rep, 8) "
+        "runs inside WholeStageCodegen once per row — comparisons are "
+        "N - n_blocks (linear at any dup density), vs the pair "
+        "enumerator's quadratic within-block fan-out (measured 250x "
+        "at the 10x probe, BASELINE.md)."
+    ),
+    "arrow_batch_stats": (
+        "mapInArrow partial aggregation: the Python stage (ArrowEvalPython-"
+        "free MapInArrow node) emits per-batch (lang, count, tokens) "
+        "partials, so the exchange above it carries O(batches) tiny "
+        "rows — the map-side-combine shape that keeps a Python kernel "
+        "viable inside a 100 TB scan."
+    ),
 }
 
 
