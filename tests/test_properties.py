@@ -245,3 +245,48 @@ def test_training_sample_subset_deterministic_identity_at_cap(spark, ids, cap):
     assert len(got1) >= 1
     if cap >= len(ids):
         assert got1 == sorted(ids)
+
+
+# ------------------------------------------------- edit-distance star dedup
+
+texts = st.lists(
+    st.text(alphabet="ab xyz", min_size=0, max_size=40), min_size=1, max_size=24
+)
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Wagner–Fischer DP (pure Python)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(texts=texts)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_edit_star_decisions_match_reference_dp(spark, texts):
+    """For ANY corpus: every doc's block_rep is the min doc_id sharing
+    its 4-char prefix, the banded edit_dist agrees with a reference
+    DP (capped at 8 → -1), and is_kept is exactly rep-or-out-of-band.
+    Exercises empty strings, texts shorter than the prefix, and
+    duplicate texts — the boundary cases a fixed example set misses."""
+    from etl_knlp_spark.operators.dedup import edit_distance_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in edit_distance_dedup(docs, 4, 8).collect()}
+    assert set(out) == set(range(len(texts)))
+    reps: dict[str, int] = {}
+    for i, t in rows:
+        reps.setdefault(t[:4], i)
+    for i, t in rows:
+        rep = reps[t[:4]]
+        r = out[i]
+        assert r["block_rep"] == rep
+        true_d = _lev(t, texts[rep])
+        want_d = 0 if i == rep else (true_d if true_d <= 8 else -1)
+        assert r["edit_dist"] == want_d
+        assert r["is_kept"] == (i == rep or true_d > 8)
