@@ -94,3 +94,52 @@ def test_writer_roundtrips_through_the_connector(spark, tmp_path):
     assert ("가", "家", "가족, 가정") in got
     assert ("수", "", "") in got
     assert len(got) == 3
+
+
+def test_stream_reader_tails_new_files_exactly_once(spark, tmp_path):
+    """The streaming half of the connector: files present at start
+    arrive in the first micro-batch, a file added mid-stream arrives
+    in a later one, nothing is duplicated, and ragged lines follow
+    the same overflow rule as the batch reader."""
+    import time
+    import uuid
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    (d / "a_dump.txt").write_text(LINES_A, encoding="utf-8")
+
+    assert register(spark)
+    sink = f"ds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("knlp_delimited")
+        .schema("korean string, hanjya string, examples string")
+        .option("path", str(d))
+        .option("sep", ":")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql(f"SELECT * FROM {sink}").count() >= 2:
+                break
+            time.sleep(0.5)
+        (d / "b_dump.txt").write_text(LINES_B, encoding="utf-8")
+        while time.time() < deadline:
+            if spark.sql(f"SELECT * FROM {sink}").count() >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = {tuple(r) for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+    assert rows == {
+        ("가", "家", "가족, 가정"),
+        ("간", "間", "시간:공간:기간"),  # ragged overflow rejoins
+        ("수학", "數學", "산수"),
+        ("nocolon", None, None),  # missing fields → NULL
+    }
+    # exactly-once: the count equals the distinct count
+    assert spark.sql(f"SELECT * FROM {sink}").count() == len(rows)
