@@ -143,3 +143,21 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_value", 2).alias("total_value"),
         )
     )
+
+
+def read_state_store(spark: SparkSession, checkpoint: str) -> DataFrame:
+    """Query a streaming query's STATE as a batch DataFrame (Spark 4
+    `statestore` reader): key/value structs per state row, straight
+    from the checkpoint — the operational answer to "what does the
+    running aggregation believe right now" without touching the
+    stream. Pair with `spark.read.format("state-metadata")` for the
+    operator/batch inventory of the same checkpoint.
+
+    100 TB notes: state reads are partition-parallel over the store's
+    shuffle partitions and need no running query or state rebuild —
+    debugging a skewed or leaking stateful operator (THE operational
+    hazard of long-running streams) becomes a plain batch query you
+    can aggregate, join, or diff across batchId snapshots
+    (`option("batchId", n)` time-travels to any retained commit).
+    """
+    return spark.read.format("statestore").load(checkpoint)
