@@ -374,3 +374,39 @@ def collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+_PARAM_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+WHERE n_chars >= 120 AND lang <> 'xx'
+GROUP BY lang
+"""
+
+
+@query("parameterized_sql", oracle=_PARAM_ORACLE)
+def parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL, both Spark 4 forms composed: the outer
+    statement is `EXECUTE IMMEDIATE ... USING` (positional markers —
+    the procedural-SQL dispatch shape), the inner one binds a NAMED
+    parameter via `spark.sql(..., args=...)`. Parameters travel as
+    typed literals, never string-spliced — the injection-safe template
+    path a query service runs at scale, and Catalyst constant-folds
+    them exactly like hand-written literals (same plan, same pushdown,
+    hash-identical results — which is what the oracle pins)."""
+    register_views(spark, sf_dir)
+    inner = spark.sql(
+        """SELECT lang,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+           FROM documents
+           WHERE n_chars >= :min_chars AND lang <> :excluded
+           GROUP BY lang""",
+        args={"min_chars": 120, "excluded": "xx"},
+    )
+    inner.createOrReplaceTempView("param_inner")
+    return spark.sql(
+        "EXECUTE IMMEDIATE 'SELECT * FROM param_inner WHERE n_docs >= ?' USING 0"
+    )

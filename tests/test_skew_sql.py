@@ -101,3 +101,31 @@ def test_collated_group_merges_case_variants(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_parameterized_sql_binds_typed_literals(spark, sf_dir):
+    """Parameter binding must behave exactly like hand-written
+    literals: same results at a second parameter setting, and the
+    bound value must appear in the optimized plan as a literal
+    predicate (constant-folded, pushdown-eligible) — not a runtime
+    lookup."""
+    from etl_knlp_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    a = spark.sql(
+        "SELECT COUNT(*) AS n FROM documents WHERE n_chars >= :t",
+        args={"t": 200},
+    ).collect()[0]["n"]
+    b = spark.sql("SELECT COUNT(*) AS n FROM documents WHERE n_chars >= 200").collect()[
+        0
+    ]["n"]
+    assert a == b
+    plan = (
+        spark.sql(
+            "SELECT * FROM documents WHERE n_chars >= :t", args={"t": 200}
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "200" in plan  # bound as a literal, visible to pushdown
