@@ -271,3 +271,81 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(F.map_keys(m), "uid").alias("has_uid"),
         F.element_at(doubled, F.lit("k")).alias("k_doubled"),
     )
+
+
+@query(
+    "try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 10) END AS safe_div,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE CAST(o_custkey % (o_orderkey % 10) AS BIGINT) END AS safe_mod,
+           NULL::INT AS overflow_add,
+           CASE WHEN o_orderpriority LIKE '%-%'
+                THEN TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)
+                ELSE NULL END AS parsed_prio
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe `try_` family: division by a sometimes-zero divisor,
+    modulo behind the same guard, a deliberately overflowing int add,
+    and a TRY_CAST over dirty text — each yields NULL instead of a
+    task-killing exception. Under ANSI mode (Spark 4's default) a
+    single bad row otherwise fails its whole task → stage retries →
+    job death at 100 TB scale; `try_` keeps the plan codegen'd while
+    quarantining bad rows as NULLs you can route to a DQ side
+    channel. Oracle mirrors with CASE guards (DuckDB division by zero
+    on HUGEINT/DOUBLE returns inf, not NULL — the guard normalizes
+    both engines). The quotient ships UNrounded: IEEE double division
+    is correctly-rounded and bit-identical in both engines, while a
+    decimal ROUND on top straddles half-way binary boundaries
+    differently (caught by the sf0.1 sweep: 267076.97/8)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    div = F.col("o_orderkey") % 10
+    max_int = F.lit(2147483647).cast("int")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), div).alias("safe_div"),
+        F.try_mod(F.col("o_custkey"), div).cast("bigint").alias("safe_mod"),
+        F.try_add(max_int, F.lit(1).cast("int")).alias("overflow_add"),
+        F.when(
+            F.col("o_orderpriority").contains("-"),
+            F.expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)"),
+        ).alias("parsed_prio"),
+    )
+
+
+@query(
+    "xml_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars_rt,
+           len(text) > 0 AS has_text
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface (Spark 4 to_xml/from_xml): serialize each doc's
+    typed fields to an XML fragment, parse it back with an explicit
+    schema, and emit the recovered values — the lossless-roundtrip
+    contract a feed exchanging XML with legacy systems depends on.
+    The oracle recomputes the same values straight from the table, so
+    any serialization loss (escaping, whitespace, type coercion)
+    hash-mismatches. Both directions are JVM expressions in one
+    scan-project; no UDFs."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    xml = F.to_xml(
+        F.struct("doc_id", "lang", "n_chars", "text"), {"rowTag": "doc"}
+    )
+    parsed = F.from_xml(
+        xml, "doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING", {"rowTag": "doc"}
+    )
+    return d.select(parsed.alias("p")).select(
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.lang").alias("lang"),
+        F.col("p.n_chars").alias("n_chars_rt"),
+        (F.length("p.text") > 0).alias("has_text"),
+    )

@@ -129,3 +129,44 @@ def test_parameterized_sql_binds_typed_literals(spark, sf_dir):
         .toString()
     )
     assert "200" in plan  # bound as a literal, visible to pushdown
+
+
+def test_try_family_quarantines_bad_rows_not_tasks(spark):
+    """Under ANSI mode the plain operators throw on the poisoned rows;
+    the try_ forms return NULL for exactly those rows and real values
+    everywhere else."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(10, 2), (7, 0), (2147483647, 1)], "a INT, b INT"
+    )
+    out = {
+        (r["a"], r["b"]): (r["d"], r["s"])
+        for r in df.select(
+            "a",
+            "b",
+            F.try_divide("a", "b").alias("d"),
+            F.try_add("a", "b").alias("s"),
+        ).collect()
+    }
+    assert out[(10, 2)] == (5.0, 12)
+    assert out[(7, 0)][0] is None          # div-by-zero → NULL, not error
+    assert out[(2147483647, 1)][1] is None  # int overflow → NULL, not error
+    if spark.conf.get("spark.sql.ansi.enabled") == "true":
+        with _pytest.raises(Exception):
+            df.select((F.col("a") / F.col("b")).alias("x")).collect()
+
+
+def test_xml_roundtrip_preserves_special_chars(spark):
+    """to_xml → from_xml must be lossless for text containing the
+    XML-significant characters (&, <, >, quotes) — escaping bugs are
+    the way XML interchange silently corrupts a corpus."""
+    from pyspark.sql import functions as F
+
+    nasty = 'a & b < c > "d" \'e\' && <tag> — ☃'
+    df = spark.createDataFrame([(1, nasty)], "id LONG, text STRING")
+    xml = F.to_xml(F.struct("id", "text"), {"rowTag": "r"})
+    back = F.from_xml(xml, "id LONG, text STRING", {"rowTag": "r"})
+    r = df.select(back.alias("p")).select("p.id", "p.text").collect()[0]
+    assert r["id"] == 1 and r["text"] == nasty
