@@ -1809,3 +1809,106 @@ def dedup_edit_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision with unbounded Levenshtein — the band's -1 must land
     exactly where the true distance exceeds the cap."""
     return edit_distance_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ), inv AS (
+      SELECT doc_id, unnest(g) AS gram FROM grams
+    ), kept AS (
+      SELECT doc_id, gram
+      FROM (SELECT doc_id, gram,
+                   COUNT(*) OVER (PARTITION BY gram) AS df_ct
+            FROM inv)
+      WHERE df_ct <= 256
+    ), sized AS (
+      SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM kept
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS n_a, b.n AS n_b, COUNT(*) AS ns
+      FROM sized a JOIN sized b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           ROUND(ns * 1.0 / LEAST(n_a, n_b), 6) AS containment,
+           CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS inner_doc
+    FROM shared
+    WHERE ns * 1.0 / LEAST(n_a, n_b) >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs (asymmetric Jaccard): shared kept
+    2-grams over the SMALLER doc's gram count — the measure that
+    catches a short document embedded verbatim in a longer one (quote
+    expansion, article + commentary, chunk-of-a-page), where symmetric
+    Jaccard dives below any threshold as the containing doc grows.
+    Emits which side is the inner doc; a curation pass typically drops
+    the contained copy and keeps the superset.
+
+    Same scale posture as `dedup_ngram_jaccard`: the inverted-index
+    join runs under the measured max_df_abs=256 cap (per-gram fan-out
+    ≤ cap² independent of corpus size), one shuffle on the gram key,
+    partial-aggregated map-side; denser overlap belongs to the LSH
+    paths. Containment reuses the identical posting machinery — only
+    the denominator changes — so the cap's recall economics
+    (BASELINE.md round-5 sweep) carry over."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"),
+    ).filter(F.size("t") >= 2)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.concat_ws(" ", F.get(F.col("t"), i), F.get(F.col("t"), i + 1)),
+                )
+            )
+        ).alias("gram"),
+    )
+    from pyspark.sql import Window
+
+    kept = (
+        grams.withColumn("df_ct", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        .filter(F.col("df_ct") <= 256)
+        .drop("df_ct")
+    )
+    sized = kept.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    a = sized.select(
+        "gram", F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+    )
+    b = sized.select(
+        "gram", F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+    )
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    cont = F.col("ns") * 1.0 / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        shared.filter(cont >= 0.9)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 6).alias("containment"),
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("inner_doc"),
+        )
+    )

@@ -529,3 +529,33 @@ def test_edit_star_greedy_decisions(spark):
     assert out[4]["is_kept"] and out[4]["edit_dist"] == -1  # judged vs rep 1, not 3
     assert out[9]["is_kept"] and out[9]["block_rep"] == 9
     assert all(r["block_rep"] == 1 for d, r in out.items() if d in (2, 3, 4))
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc embedded verbatim in a 10x-longer one: containment
+    must flag the pair at ~1.0 with the short side as inner_doc, while
+    the symmetric Jaccard path (same grams, same threshold family)
+    stays far below its cutoff — the case this operator exists for."""
+    import uuid
+
+    from etl_knlp_spark.operators.dedup import dedup_containment
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} w{i}x" for i in range(80))
+    rows = [
+        (1, short, "en", "s", len(short)),
+        (2, filler + " " + short + " " + filler.upper(), "en", "s", 10),
+        (3, "totally unrelated content here now", "en", "s", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"contain_{uuid.uuid4().hex[:6]}_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {(r["doc_a"], r["doc_b"]): r for r in dedup_containment(spark, d).collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["containment"] >= 0.99 and r["inner_doc"] == 1
+    assert not any(3 in k for k in got)
