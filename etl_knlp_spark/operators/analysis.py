@@ -790,12 +790,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_score(tf, stats)
 
 
-def _bm25_score(tf: DataFrame, stats: DataFrame) -> DataFrame:
-    """Shared BM25 scoring tail: (doc_id, term, tf, dl) postings +
-    one-row (n_docs, avgdl) stats → top-10 (doc_id, bm25). Used by
-    both the scan path and the index-probe path so their score
-    expressions are textually identical (same FP evaluation order —
-    the two variants must hash to the same oracle result)."""
+def _bm25_scored(tf: DataFrame, stats: DataFrame) -> DataFrame:
+    """Shared BM25 scoring core: (doc_id, term, tf, dl) postings +
+    one-row (n_docs, avgdl) stats → (doc_id, bm25) for every matching
+    doc. Split from the top-k tail so the RRF hybrid can rank deeper
+    than 10 over the identical score expression (same FP evaluation
+    order everywhere — all consumers must hash to the same oracle)."""
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df_ct"))
     idf = F.log(
         (F.col("n_docs") - F.col("df_ct") + 0.5) / (F.col("df_ct") + 0.5) + 1.0
@@ -814,8 +814,15 @@ def _bm25_score(tf: DataFrame, stats: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(idf * tf_sat).alias("s"))
     )
+    return scored.select("doc_id", F.round("s", 6).alias("bm25"))
+
+
+def _bm25_score(tf: DataFrame, stats: DataFrame) -> DataFrame:
+    """Top-10 tail over `_bm25_scored` — used by both the scan path
+    and the index-probe path (TakeOrderedAndProject, never a global
+    sort)."""
     return (
-        scored.select("doc_id", F.round("s", 6).alias("bm25"))
+        _bm25_scored(tf, stats)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
@@ -1110,3 +1117,141 @@ def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("nrm"), 4).alias("max_norm"),
         F.round(F.avg("nrm"), 4).alias("avg_norm"),
     )
+
+
+_RRF_K = 60
+_RRF_DEPTH = 20
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(t)::BIGINT AS dl FROM toks
+    ), stats AS (
+      SELECT COUNT(*)::BIGINT AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      WHERE term IN ('vector', 'hash', 'stream')
+      GROUP BY 1, 2
+    ), dfq AS (
+      SELECT term, COUNT(*)::BIGINT AS df_ct FROM tf GROUP BY 1
+    ), lex_scored AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(ln((stats.n_docs - dfq.df_ct + 0.5) / (dfq.df_ct + 0.5) + 1.0)
+                 * tf.tf * ({_BM25_K1} + 1.0)
+                 / (tf.tf + {_BM25_K1}
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))), 6)
+               AS bm25
+      FROM tf
+      JOIN dfq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+      GROUP BY 1
+    ), lex AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM lex_scored
+      ) WHERE rank <= {_RRF_DEPTH}
+    ), e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), q AS (
+      SELECT emb AS q_emb FROM e WHERE vec_id = 0
+    ), sem AS (
+      SELECT vec_id AS doc_id, rank FROM (
+        SELECT e.vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND(list_cosine_similarity(q.q_emb, e.emb), 6) DESC,
+                          e.vec_id) AS rank
+        FROM e CROSS JOIN q WHERE e.vec_id <> 0
+      ) WHERE rank <= {_RRF_DEPTH}
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / ({_RRF_K} + l.rank), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + s.rank), 0), 6) AS rrf,
+             l.rank AS lex_rank, s.rank AS sem_rank
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rrf, lex_rank, sem_rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the lexical list
+    (BM25 over the fixed term set, identical score expression to
+    `bm25_topk` via the shared `_bm25_scored` core) and the semantic
+    list (cosine against embedding 0, identical ranking discipline to
+    `similarity_topk`) each rank to depth 20, then fuse as
+    Σ 1/(k + rank), k=60 — the standard score-free combiner that
+    needs no cross-list calibration, which is why every hybrid RAG
+    stack ships it.
+
+    Plan: both branches are the already-audited retrieval plans
+    (filtered postings + broadcast stats; broadcast query vector +
+    WindowGroupLimit); the fusion joins two ≤20-row lists —
+    driver-free, broadcast-sized, cost invisible at any corpus scale.
+    Ranks, not raw scores, cross the fusion boundary, so the two
+    branches can be swapped for their index-probed variants
+    (`bm25_pruned`, `similarity_ivf_pruned`) without touching the
+    combiner — rank lists are the stable interface."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id", "t", F.size("t").cast("bigint").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    post = base.select("doc_id", "dl", F.explode("t").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = post.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    from pyspark.sql import Window
+
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = (
+        _bm25_scored(tf, stats)
+        .withColumn("rank", F.row_number().over(w_lex))
+        .filter(F.col("rank") <= _RRF_DEPTH)
+        .select("doc_id", F.col("rank").alias("lex_rank"))
+    )
+
+    from ..functions.vector import as_double, dot, l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    sim = dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
+    w_sem = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_sim", F.round(sim, 6))
+        .withColumn("rank", F.row_number().over(w_sem))
+        .filter(F.col("rank") <= _RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        "lex_rank",
+        "sem_rank",
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)

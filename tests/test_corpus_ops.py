@@ -237,3 +237,29 @@ def test_oov_rate_bounds_and_totals(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_oov"] <= r["n_tokens"]
         assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) < 1e-5
+
+
+def test_rrf_fusion_rewards_docs_on_both_lists(spark, sf_dir):
+    """RRF sanity: any doc present on BOTH rank lists must outscore a
+    doc holding the same rank on only one list, and every fused score
+    must equal 1/(60+lex) + 1/(60+sem) recomputed from the emitted
+    ranks."""
+    from etl_knlp_spark.operators.analysis import hybrid_retrieval_rrf
+
+    rows = hybrid_retrieval_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        want = 0.0
+        if r["lex_rank"] is not None:
+            want += 1.0 / (60 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            want += 1.0 / (60 + r["sem_rank"])
+        assert abs(r["rrf"] - round(want, 6)) < 1e-9
+    both = [r for r in rows if r["lex_rank"] is not None and r["sem_rank"] is not None]
+    single = [r for r in rows if (r["lex_rank"] is None) != (r["sem_rank"] is None)]
+    for b in both:
+        for s in single:
+            s_rank = s["lex_rank"] if s["lex_rank"] is not None else s["sem_rank"]
+            b_best = min(x for x in (b["lex_rank"], b["sem_rank"]))
+            if b_best >= s_rank:
+                assert b["rrf"] > s["rrf"]
