@@ -259,3 +259,73 @@ def snapshot_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return derive_changefeed(docs, new, "doc_id", ["text"])
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             DATE '1995-01-01' AS valid_from,
+             CASE WHEN c_custkey % 2 = 1 THEN DATE '1997-01-01' END AS valid_to
+      FROM customer
+    ), v2 AS (
+      SELECT c_custkey, c_mktsegment || '+' AS segment,
+             DATE '1997-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM customer WHERE c_custkey % 2 = 1
+    ), dim AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT o.o_orderkey, o.o_custkey, d.segment AS segment_at_order
+    FROM orders o
+    JOIN dim d
+      ON d.c_custkey = o.o_custkey
+     AND o.o_orderdate >= d.valid_from
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+    """,
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join over an SCD2 dimension — the query SCD2
+    exists FOR: each order resolves the customer segment that was
+    valid ON ITS ORDER DATE, not the current one (the silent-time-
+    travel bug a plain dimension join commits). The dimension's
+    version history is built by the engine's own `scd2_apply` (open
+    1995 versions; odd custkeys change segment on 1997-01-01), so the
+    close-out/chain mechanics feed the join being verified.
+
+    Plan shape: the version predicate is an EQUI-join on the key plus
+    a range filter — Spark shuffles both sides on c_custkey once and
+    evaluates the validity window as a post-join filter, so there is
+    no inequality-join blow-up; versions-per-key is small by nature
+    (dimension churn, not fact volume), which keeps per-key fan-out
+    bounded at any fact scale. AQE broadcasts the dimension while it
+    fits — at 100 TB facts the dim side is still the tiny one."""
+    c = load_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    changes = (
+        c.filter(F.col("c_custkey") % 2 == 1)
+        .select(
+            "c_custkey",
+            F.concat(F.col("c_mktsegment"), F.lit("+")).alias("segment"),
+            F.lit("1997-01-01").cast("date").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+        )
+    )
+    dim = scd2_apply(current, changes, "c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")
+    )
+    cond = (
+        (dim.c_custkey == o.o_custkey)
+        & (o.o_orderdate >= dim.valid_from)
+        & (dim.valid_to.isNull() | (o.o_orderdate < dim.valid_to))
+    )
+    return o.join(dim, cond).select(
+        "o_orderkey", "o_custkey", F.col("segment").alias("segment_at_order")
+    )

@@ -105,3 +105,42 @@ def test_changefeed_then_apply_roundtrips(spark):
     deletes = [k for k, o in ops.items() if o == "D"]
     rebuilt = merge_into(old, upserts, "k").filter(~F.col("k").isin(deletes))
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_pit_join_resolves_the_version_valid_at_order_date(spark, sf_dir):
+    """Temporal correctness: an odd customer's pre-1997 orders must
+    get the original segment, post-1997 orders the '+' version; even
+    customers never change. And the validity window must ride an
+    EQUI-join on the key (no inequality-join blow-up)."""
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.mutate import scd2_point_in_time
+
+    out = scd2_point_in_time(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        out.join(o, "o_orderkey")
+        .join(c, out.o_custkey == c.c_custkey)
+        .select("o_custkey", "o_orderdate", "segment_at_order", "c_mktsegment")
+        .collect()
+    )
+    assert len(j) > 0
+    import datetime
+
+    cut = datetime.date(1997, 1, 1)
+    saw_pre = saw_post = False
+    for r in j:
+        odd = r["o_custkey"] % 2 == 1
+        od = r["o_orderdate"]
+        od = od.date() if isinstance(od, datetime.datetime) else od
+        if odd and od >= cut:
+            assert r["segment_at_order"] == r["c_mktsegment"] + "+"
+            saw_post = True
+        else:
+            assert r["segment_at_order"] == r["c_mktsegment"]
+            saw_pre = saw_pre or odd
+    assert saw_pre and saw_post  # both eras actually exercised
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan  # key equi-join, range as filter
