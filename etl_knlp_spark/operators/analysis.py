@@ -1255,3 +1255,138 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sem_rank",
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+_DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT COUNT(DISTINCT term) AS v FROM toks
+    ), raw_n AS (
+      SELECT COUNT(*) AS n FROM toks
+    ), tgt_n AS (
+      SELECT COUNT(*) AS n FROM toks WHERE lang = '{_DSIR_TARGET_LANG}'
+    ), raw_c AS (
+      SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+    ), tgt_c AS (
+      SELECT term, COUNT(*) AS c FROM toks
+      WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY term
+    ), ratio AS (
+      SELECT r.term,
+             ln((COALESCE(t.c, 0) + 1.0) / (tgt_n.n + vocab.v))
+           - ln((r.c + 1.0) / (raw_n.n + vocab.v)) AS log_ratio
+      FROM raw_c r
+      LEFT JOIN tgt_c t ON t.term = r.term
+      CROSS JOIN tgt_n CROSS JOIN raw_n CROSS JOIN vocab
+    )
+    SELECT toks.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(ratio.log_ratio), 6) AS importance
+    FROM toks JOIN ratio ON ratio.term = toks.term
+    GROUP BY toks.doc_id
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    per-doc Σ log(p_target(g) / p_raw(g)) under add-1-smoothed unigram
+    LMs, target = the '{en}' slice — the score that upweights raw-web
+    documents distributionally similar to a curated target domain.
+    Feed the weights to `sample_importance`'s digest coins to realize
+    the resampling.
+
+    This registered query uses EXACT token features so DuckDB can
+    recompute the estimator bit-for-bit (ln rounded at 1e-6, the bm25
+    precedent). The production path is `dsir_importance_hashed`: DSIR's
+    actual trick is hashing features into a FIXED bucket space (10k),
+    which turns the log-ratio table into a broadcastable array — the
+    per-doc scoring pass then needs no join at all, only a map-side
+    lookup. Pytest pins hashed-vs-exact rank agreement. One corpus
+    scan builds both count tables (partial-aggregated); the scoring
+    join shuffles on the gram key only in this exact variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    vocab = toks.agg(F.count_distinct("term").alias("v"))
+    raw_n = toks.agg(F.count(F.lit(1)).alias("rn"))
+    tgt = toks.filter(F.col("lang") == _DSIR_TARGET_LANG)
+    tgt_n = tgt.agg(F.count(F.lit(1)).alias("tn"))
+    raw_c = toks.groupBy("term").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_c = tgt.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    ratio = (
+        raw_c.join(tgt_c, "term", "left")
+        .crossJoin(F.broadcast(tgt_n))
+        .crossJoin(F.broadcast(raw_n))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "term",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("tn") + F.col("v")))
+                - F.log((F.col("rc") + 1.0) / (F.col("rn") + F.col("v")))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        toks.join(ratio, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("log_ratio"), 6).alias("importance"),
+        )
+    )
+
+
+def dsir_importance_hashed(
+    spark: SparkSession, sf_dir: str, buckets: int = 10_000
+) -> DataFrame:
+    """Production DSIR scoring: features are xxhash64 buckets instead
+    of exact grams, so the log-ratio table is AT MOST ``buckets`` rows
+    — broadcast once, scored map-side, zero scoring-join shuffle at
+    any corpus size (the reason the DSIR paper hashes). Collisions
+    merge rare features' statistics; rank agreement with the exact
+    estimator stays high (pytest-pinned), which is all resampling
+    needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.xxhash64("term"), F.lit(buckets))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    ).select("doc_id", "lang", bucket.alias("b"))
+    vocab = toks.agg(F.count_distinct("b").alias("v"))
+    raw_n = toks.agg(F.count(F.lit(1)).alias("rn"))
+    tgt = toks.filter(F.col("lang") == _DSIR_TARGET_LANG)
+    tgt_n = tgt.agg(F.count(F.lit(1)).alias("tn"))
+    raw_c = toks.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_c = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    ratio = (
+        raw_c.join(tgt_c, "b", "left")
+        .crossJoin(F.broadcast(tgt_n))
+        .crossJoin(F.broadcast(raw_n))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("tn") + F.col("v")))
+                - F.log((F.col("rc") + 1.0) / (F.col("rn") + F.col("v")))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("log_ratio"), 6).alias("importance"),
+        )
+    )
