@@ -224,3 +224,59 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("doc_id", "lang", "rk")
     )
+
+
+@query(
+    "budget_select",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, n_chars,
+             len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM tok
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           cum_tokens <= 800 AS selected
+    FROM ranked
+    """,
+)
+def budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: within each source, take documents in
+    quality order (n_chars desc, doc_id tiebreak — swap in any score)
+    until the source's token budget (800) is spent — the exact
+    selector that realizes a mixture plan (`corpus_mixture_weights`
+    hands each source a budget; this spends it deterministically,
+    unlike probabilistic keep-coins which only hit the budget in
+    expectation).
+
+    One window per source: running token cumsum, keep while ≤ budget
+    — a single shuffle on source, the same plan family as every
+    sessionization/packing op here. The greedy prefix rule (a doc is
+    taken iff the budget survives INCLUDING it) is mirrored exactly
+    in SQL, so every selection decision hash-verifies. At 100 TB the
+    window is per-source-partition local; skewed sources split under
+    AQE, and the budget comparison is a scan over cumsums, not a
+    driver loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("bigint")
+    base = docs.select("doc_id", "source", "n_chars", n_tok.alias("n_tokens"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    ).withColumn("selected", F.col("cum_tokens") <= 800)

@@ -58,3 +58,31 @@ def test_sample_importance_weight_extremes(spark):
     b = {r["doc_id"] for r in sample_importance(df, "doc_id", half).collect()}
     assert a == b
     assert 150 < len(a) < 350  # ~binomial(500, 0.5)
+
+
+def test_budget_select_takes_greedy_quality_prefix(spark):
+    """Within a source, selection must be exactly the greedy prefix in
+    (n_chars desc, doc_id) order whose running token sum stays within
+    the budget — once a doc busts the budget, it and everything after
+    it stay unselected even if a later shorter doc would still fit
+    (prefix rule, not knapsack — deterministic and windowable)."""
+    from etl_knlp_spark.operators.sampling import budget_select
+    import tempfile, uuid
+
+    rows = [
+        # source s: quality order by n_chars desc → doc 1 (600 tok),
+        # doc 2 (300 tok busts 800), doc 3 (100 tok would fit but is
+        # after the bust in quality order)
+        (1, " ".join(["w"] * 600), "en", "s", 9000),
+        (2, " ".join(["w"] * 300), "en", "s", 5000),
+        (3, " ".join(["w"] * 100), "en", "s", 1000),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    d = tempfile.mkdtemp(prefix=f"budget_{uuid.uuid4().hex[:6]}_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in budget_select(spark, d).collect()}
+    assert out[1]["selected"] and out[1]["cum_tokens"] == 600
+    assert not out[2]["selected"] and out[2]["cum_tokens"] == 900
+    assert not out[3]["selected"] and out[3]["cum_tokens"] == 1000
