@@ -56,6 +56,13 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_nation_volume",
     "q10_returned_items",
+    # round-5 session-3 flagship additions (~3s total at sf0.1): the
+    # linear-cost edit dedup, cross-label ANN mining, and the hybrid
+    # lexical+semantic fusion — benched so the new families have a
+    # recorded per-round number like every other family.
+    "dedup_edit_star",
+    "mine_hard_negatives",
+    "hybrid_retrieval_rrf",
 ]
 
 
