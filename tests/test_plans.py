@@ -300,3 +300,50 @@ def test_asof_tolerance_is_single_shuffle_no_join(plans):
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
     assert "Window" in p
+
+
+def test_aqe_splits_skewed_join_partitions_at_runtime(spark):
+    """The OTHER half of the skew story (salted_join is the manual
+    lever): AQE itself must detect a runtime-skewed shuffle partition
+    and split it — pinned by `SortMergeJoin(skew=true)` plus an
+    `AQEShuffleRead skewed` node in the FINAL adaptive plan. One key
+    owning half the rows with thresholds scaled to the fixture; the
+    executed Dataset itself is collected because a write runs a
+    separate QueryExecution whose finalized plan isn't visible on the
+    DataFrame (isFinalPlan=false otherwise — the trap this test
+    documents)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id") % 997)
+            .alias("k"),
+            F.lit("x" * 100).alias("pad"),
+        )
+        right = spark.range(0, 997).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().count()
+        assert j.collect()[0]["count"] == 400_000  # every row matched
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
