@@ -250,6 +250,15 @@ SHOWCASE = {
         "enumerator's quadratic within-block fan-out (measured 250x "
         "at the 10x probe, BASELINE.md)."
     ),
+    "dsir_importance_hashed": (
+        "DSIR production scoring: hashing features into a fixed bucket "
+        "space turns the log-ratio table into a BroadcastExchange — the "
+        "per-token scoring join is map-side (BroadcastHashJoin under "
+        "the final partial aggregation), so the corpus never shuffles "
+        "to be scored; only per-doc partials move. The exact-gram twin "
+        "(registered, oracled) shuffles on the gram key instead — the "
+        "hash is what buys the broadcast."
+    ),
     "arrow_batch_stats": (
         "mapInArrow partial aggregation: the Python stage (ArrowEvalPython-"
         "free MapInArrow node) emits per-batch (lang, count, tokens) "
@@ -271,9 +280,12 @@ def main() -> None:
     from etl_knlp_spark.operators.dedup import capped_postings
     from etl_knlp_spark.operators.ivf import ivf_pruned_topk
 
+    from etl_knlp_spark.operators.analysis import dsir_importance_hashed
+
     qs = {
         **qs,
         "similarity_ivf_pruned": ivf_pruned_topk,
+        "dsir_importance_hashed": dsir_importance_hashed,
         # the registered query checkpoints this stream (lineage
         # truncated out of its final plan) — dump the subtree itself
         "dedup_ngram_jaccard": lambda spark, sf: capped_postings(
