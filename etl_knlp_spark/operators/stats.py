@@ -342,3 +342,54 @@ def mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("robust_z"),
         )
     )
+
+
+@query(
+    "kanon_release",
+    oracle="""
+    WITH g AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY lang, source
+    ), marked AS (
+      SELECT CASE WHEN n_docs >= 5 THEN lang ELSE '__other__' END AS lang,
+             CASE WHEN n_docs >= 5 THEN source ELSE '__other__' END AS source,
+             n_docs, total_chars
+      FROM g
+    )
+    SELECT lang, source,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(total_chars) AS BIGINT) AS total_chars
+    FROM marked GROUP BY lang, source
+    """,
+)
+def kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymous aggregate release (k=5): per-(lang, source) stats
+    are published only for groups with ≥ k members; smaller groups
+    collapse into a single '__other__' bucket INSTEAD of being
+    dropped, so the released table still reconciles to corpus totals
+    (suppress-and-drop leaks the suppressed mass by subtraction — the
+    classic release mistake). The data-governance gate a corpus-stats
+    endpoint runs before publishing anything about a 100 TB crawl.
+
+    Two partial-aggregated groupBys back to back — the second
+    aggregates an already-group-sized table, so the corpus shuffles
+    once; the k test never sees row-level data. Every suppression
+    decision is deterministic and the oracle replays it exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    small = F.col("n_docs") < 5
+    marked = g.select(
+        F.when(small, F.lit("__other__")).otherwise(F.col("lang")).alias("lang"),
+        F.when(small, F.lit("__other__")).otherwise(F.col("source")).alias("source"),
+        "n_docs",
+        "total_chars",
+    )
+    return marked.groupBy("lang", "source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_chars").cast("bigint").alias("total_chars"),
+    )

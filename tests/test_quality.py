@@ -90,3 +90,26 @@ def test_observed_write_metrics_match_direct_aggregates(spark, sf_dir):
     assert got["n"] == direct["n"]
     assert got["mx"] == direct["mx"]
     assert got["s"] == direct["s"]
+
+
+def test_kanon_release_suppresses_and_reconciles(spark, sf_dir):
+    """No released group may be smaller than k, and the '__other__'
+    bucket must absorb the suppressed mass exactly: released totals
+    reconcile to the raw corpus totals."""
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.stats import kanon_release
+
+    rows = kanon_release(spark, sf_dir).collect()
+    for r in rows:
+        if r["lang"] != "__other__":
+            assert r["n_docs"] >= 5
+    docs = load_table(spark, sf_dir, "documents")
+    want = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s")
+    ).collect()[0]
+    assert sum(r["n_docs"] for r in rows) == want["n"]
+    assert sum(r["total_chars"] for r in rows) == want["s"]
+    # the fixture actually exercises suppression
+    assert any(r["lang"] == "__other__" for r in rows)
