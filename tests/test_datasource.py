@@ -143,3 +143,55 @@ def test_stream_reader_tails_new_files_exactly_once(spark, tmp_path):
     }
     # exactly-once: the count equals the distinct count
     assert spark.sql(f"SELECT * FROM {sink}").count() == len(rows)
+
+
+def test_stream_reader_recovers_from_checkpoint_exactly_once(spark, tmp_path):
+    """Kill the stream after it commits the first file, add a second
+    file while it is DOWN, restart from the same checkpoint: the
+    restarted query must deliver only the new file's rows (offsets
+    recovered, nothing re-read, nothing lost) — the exactly-once
+    recovery contract readBetweenOffsets exists for."""
+    import time
+    import uuid
+
+    d = tmp_path / "stream_recover"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    (d / "a_dump.txt").write_text(LINES_A, encoding="utf-8")
+
+    assert register(spark)
+
+    def start():
+        return (
+            spark.readStream.format("knlp_delimited")
+            .schema("korean string, hanjya string, examples string")
+            .option("path", str(d))
+            .option("sep", ":")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination()
+    first = spark.read.parquet(out_dir).count()
+    assert first == 2  # LINES_A rows committed
+
+    (d / "b_dump.txt").write_text(LINES_B, encoding="utf-8")  # arrives while down
+    q2 = start()
+    q2.awaitTermination()
+
+    rows = [tuple(r) for r in spark.read.parquet(out_dir).collect()]
+    assert len(rows) == 4  # 2 old (not re-read) + 2 new, no duplicates
+    assert sorted(rows) == sorted(
+        [
+            ("가", "家", "가족, 가정"),
+            ("간", "間", "시간:공간:기간"),
+            ("수학", "數學", "산수"),
+            ("nocolon", None, None),
+        ]
+    )
