@@ -350,9 +350,10 @@ def script_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "udf_langid",
-    oracle="""
+# Shared declarative mirror of the langid kernel: used verbatim by
+# the udf_langid oracle (byte-identical — snapshot-guarded) and
+# wrapped in an aggregation by the confusion-matrix oracle.
+_LANGID_ORACLE = """
     WITH t AS (
       SELECT doc_id, lang, text,
              len(regexp_extract_all(text, '[가-힣]'))    AS hangul,
@@ -378,8 +379,10 @@ def script_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_ko) THEN 'fr'
            ELSE 'ko' END AS lang_pred
     FROM s
-    """,
-)
+    """
+
+
+@query("udf_langid", oracle=_LANGID_ORACLE)
 def udf_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID pandas UDF applied to `documents.text` — upgraded
     from rows-only in round 5: the heuristic (`_langid_batch`) IS
@@ -596,4 +599,54 @@ def arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = docs.mapInArrow(per_batch, out_schema)
     return partials.groupBy("lang").agg(
         F.sum("n_docs").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+
+
+@query(
+    "langid_confusion",
+    oracle=f"""
+    WITH pred AS ({_LANGID_ORACLE}
+    )
+    SELECT lang AS gold, lang_pred AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(COUNT(*) * 1.0 /
+                 SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS gold_share
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation family: the confusion matrix of the language-ID
+    kernel against the gold `lang` label — (gold, pred) counts plus
+    each cell's share of its gold class (the per-class recall lives on
+    the diagonal). This is the eval table every classifier-shaped
+    pipeline stage owes its operators. On this corpus the matrix
+    surfaces a DATA finding, not a model one: every non-en gold class
+    throws ~90% of its mass onto pred=en, because the synthetic text
+    is English-like tokens regardless of its lang label — the label/
+    content mismatch a confusion matrix exists to expose before
+    anyone trains on the labels.
+
+    The prediction runs through the REAL pandas-UDF kernel; the
+    oracle re-derives it from the shared declarative mirror
+    (`_LANGID_ORACLE`, byte-identical to the udf_langid oracle) and
+    aggregates — so kernel drift AND aggregation both hash-gate. One
+    partial-aggregated groupBy over (gold, pred): ≤ |langs|² cells
+    cross the shuffle regardless of corpus size; the share window
+    runs on the cell table, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("gold"),
+        langid_udf()(F.col("text")).alias("pred"),
+    )
+    cells = pred.groupBy("gold", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("gold")
+    return cells.select(
+        "gold",
+        "pred",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("gold_share"),
     )

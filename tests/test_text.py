@@ -109,3 +109,32 @@ def test_arrow_batch_stats_partials_combine_exactly(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_langid_confusion_cells_partition_each_gold_class(spark, sf_dir):
+    """Shares within each gold class must sum to 1 and cell counts to
+    the class size — and the known testdata property (non-en text is
+    English-like despite its label) must show up as off-diagonal
+    mass, proving the eval table actually measures the data."""
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.text import langid_confusion
+
+    rows = langid_confusion(spark, sf_dir).collect()
+    sizes = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_gold: dict[str, list] = {}
+    for r in rows:
+        by_gold.setdefault(r["gold"], []).append(r)
+    assert set(by_gold) == set(sizes)
+    for gold, cells in by_gold.items():
+        assert sum(c["n_docs"] for c in cells) == sizes[gold]
+        assert abs(sum(c["gold_share"] for c in cells) - 1.0) < 1e-4
+    non_en = [r for r in rows if r["gold"] != "en" and r["pred"] == "en"]
+    assert non_en and all(r["gold_share"] > 0.5 for r in non_en)
