@@ -347,3 +347,30 @@ def test_aqe_splits_skewed_join_partitions_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_hints_flip_the_physical_strategy(spark, sf_dir):
+    """Strategy hints are the manual override when stats mislead the
+    planner (the 100 TB escape hatch): the same logical join must
+    plan as BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin
+    under the respective hint, all with identical results."""
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def plan_of(hinted):
+        df = o.join(hinted, o.o_custkey == hinted.c_custkey)
+        return df, df._jdf.queryExecution().executedPlan().toString()
+
+    base, base_plan = plan_of(c.hint("broadcast"))
+    _, merge_plan = plan_of(c.hint("merge"))
+    _, shuffle_plan = plan_of(c.hint("shuffle_hash"))
+    assert "BroadcastHashJoin" in base_plan
+    assert "SortMergeJoin" in merge_plan
+    assert "ShuffledHashJoin" in shuffle_plan
+    n = base.count()
+    for hint in ("merge", "shuffle_hash"):
+        assert o.join(c.hint(hint), o.o_custkey == c.c_custkey).count() == n
