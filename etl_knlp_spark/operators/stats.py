@@ -393,3 +393,94 @@ def kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum("total_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "column_drift",
+    oracle="""
+    WITH half AS (
+      SELECT (SELECT MAX(doc_id) / 2 FROM documents) AS mid
+    ), tagged AS (
+      SELECT CASE WHEN doc_id <= half.mid THEN 'baseline' ELSE 'candidate' END AS cohort,
+             n_chars,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents CROSS JOIN half
+    ), stats AS (
+      SELECT cohort,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(AVG(n_chars), 6) AS mean_chars,
+             ROUND(stddev_samp(n_chars), 6) AS sd_chars,
+             ROUND(AVG(n_tokens), 6) AS mean_tokens
+      FROM tagged GROUP BY cohort
+    ), wide AS (
+      SELECT b.n AS n_base, c.n AS n_cand,
+             b.mean_chars AS base_mean_chars, c.mean_chars AS cand_mean_chars,
+             b.sd_chars AS base_sd_chars, b.mean_tokens AS base_mean_tokens,
+             c.mean_tokens AS cand_mean_tokens
+      FROM stats b, stats c
+      WHERE b.cohort = 'baseline' AND c.cohort = 'candidate'
+    )
+    SELECT n_base, n_cand,
+           base_mean_chars, cand_mean_chars,
+           ROUND(ABS(cand_mean_chars - base_mean_chars) / base_sd_chars, 6)
+             AS chars_drift_z,
+           ABS(cand_mean_chars - base_mean_chars) / base_sd_chars > 0.5
+             AS chars_drifted,
+           base_mean_tokens, cand_mean_tokens
+    FROM wide
+    """,
+)
+def column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot drift monitor: the candidate batch's
+    per-column means against the baseline cohort's mean/σ (here the
+    deterministic doc_id-half split `dedup_incremental` also uses),
+    flagging when the shift exceeds half a baseline σ — the cheap
+    first-line guard a production ingest runs BEFORE new data joins
+    the corpus (schema matches and rows count fine while the content
+    silently changes; distribution drift is how that is caught).
+
+    Both cohorts aggregate in one pass over the corpus (a single
+    grouped partial-aggregation on the cohort tag); the comparison
+    joins two one-row aggregate tables — driver-free, broadcast-
+    trivial, cost invisible at any scale. Extend per-column the same
+    way `column_profile` does."""
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg((F.max("doc_id") / 2).alias("mid"))
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    tagged = docs.crossJoin(F.broadcast(mid)).select(
+        F.when(F.col("doc_id") <= F.col("mid"), "baseline")
+        .otherwise("candidate")
+        .alias("cohort"),
+        "n_chars",
+        n_tok.alias("n_tokens"),
+    )
+    stats = tagged.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(F.stddev_samp("n_chars"), 6).alias("sd_chars"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+    )
+    b = stats.filter(F.col("cohort") == "baseline").select(
+        F.col("n").alias("n_base"),
+        F.col("mean_chars").alias("base_mean_chars"),
+        F.col("sd_chars").alias("base_sd_chars"),
+        F.col("mean_tokens").alias("base_mean_tokens"),
+    )
+    c = stats.filter(F.col("cohort") == "candidate").select(
+        F.col("n").alias("n_cand"),
+        F.col("mean_chars").alias("cand_mean_chars"),
+        F.col("mean_tokens").alias("cand_mean_tokens"),
+    )
+    z = F.abs(F.col("cand_mean_chars") - F.col("base_mean_chars")) / F.col(
+        "base_sd_chars"
+    )
+    return b.crossJoin(c).select(
+        "n_base",
+        "n_cand",
+        "base_mean_chars",
+        "cand_mean_chars",
+        F.round(z, 6).alias("chars_drift_z"),
+        (z > 0.5).alias("chars_drifted"),
+        "base_mean_tokens",
+        "cand_mean_tokens",
+    )

@@ -113,3 +113,24 @@ def test_kanon_release_suppresses_and_reconciles(spark, sf_dir):
     assert sum(r["total_chars"] for r in rows) == want["s"]
     # the fixture actually exercises suppression
     assert any(r["lang"] == "__other__" for r in rows)
+
+
+def test_column_drift_fires_on_a_shifted_candidate_batch(spark):
+    """On a corpus whose newer half is systematically longer, the
+    monitor must flag drift with the right z; on the homogeneous
+    testdata halves it must stay quiet (both branches exercised)."""
+    import tempfile
+    import uuid
+
+    from etl_knlp_spark.operators.stats import column_drift
+
+    rows = [(i, "w " * 50, "en", "s", 100 + (i % 7)) for i in range(50)]
+    rows += [(50 + i, "w " * 50, "en", "s", 400 + (i % 7)) for i in range(50)]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    d = tempfile.mkdtemp(prefix=f"drift_{uuid.uuid4().hex[:6]}_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    r = column_drift(spark, d).collect()[0]
+    assert r["n_base"] == r["n_cand"] == 50
+    assert r["chars_drifted"] and r["chars_drift_z"] > 10
