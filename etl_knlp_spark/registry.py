@@ -98,11 +98,105 @@ _STALE_SINCE: dict[str, int] = {
 # this round (which can take the following round's slots). Prune
 # entries once their green row lands.
 _SWEEP_PRIORITY: set[str] = {
-    # stale-bumped in round 5 (semantics/oracle changed) and not yet
-    # re-evidenced — everything else from the round-2 missing list got
-    # its green row in r3/r4 and was pruned per the rule above.
-    "udf_tokenize", "dedup_ngram_jaccard",
+    # round-5 verdict "Next round #1": the 3 queries registered after
+    # the r5 sweep budget filled (never driver-evidenced) plus the 4
+    # events-family queries whose only green rows predate the driver's
+    # TIMESTAMP NANOS→MICROS testdata regeneration (those rows are also
+    # invalidated mechanically by the environment epoch below — the
+    # explicit priority pins them at the very head of the r6 sweep).
+    "collated_group", "corpus_funnel", "parameterized_sql",
+    "join_asof", "funnel_steps", "retention_cohort", "inter_event_gap",
 }
+
+# --- Environment-epoch staleness (round-5 verdict "Next round #2") ---
+#
+# `_STALE_SINCE` covers *semantics/oracle* changes, which are made by
+# hand alongside the change itself. But driver-side *environment*
+# changes (a testdata regeneration flipping a physical type, e.g. the
+# r4 events TIMESTAMP(NANOS)→TIMESTAMP(MICROS) flip) also de-value old
+# green rows — and nobody edits this file when the driver regenerates
+# parquet. So the staleness bar for environment drift is COMPUTED:
+# `table_fingerprints.json` records, per table, the pyarrow schema
+# fingerprint last reconciled and the round at which that fingerprint
+# became current (its epoch). At sweep time we re-fingerprint the live
+# testdata; a mismatch means the environment changed since the last
+# reconcile, and every query whose oracle touches that table is treated
+# as stale since the *next* round (all existing rows invalid). Running
+# `tools/update_epochs.py` reconciles the file after a detected drift.
+
+_FINGERPRINTS_PATH = __file__.replace("registry.py", "table_fingerprints.json")
+_SWEEP_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness SF
+
+
+def _live_fingerprint(sf_dir: str, table: str) -> str | None:
+    """md5 of the table's physical arrow schema (types incl. timestamp
+    unit — exactly what a regeneration flip changes). None if unreadable
+    (missing testdata: fall back to recorded state, never crash)."""
+    import hashlib
+
+    try:
+        import pyarrow.parquet as pa_pq
+
+        schema = pa_pq.read_schema(f"{sf_dir}/{table}.parquet")
+        # schema metadata (pandas index blob) churns without a real
+        # type change; fingerprint only name:type pairs.
+        sig = ";".join(f"{f.name}:{f.type}" for f in schema)
+        return hashlib.md5(sig.encode()).hexdigest()
+    except Exception:
+        return None
+
+
+def _environment_epochs(
+    sf_dir: str | None = None, fingerprints_path: str | None = None
+) -> dict[str, int]:
+    """table -> first round whose driver rows are still valid.
+
+    Recorded epoch when the live schema matches the reconciled
+    fingerprint; (max recorded CORRECTNESS round + 1) when it doesn't —
+    i.e. an unreconciled drift invalidates ALL existing evidence for
+    queries touching that table, pushing them to the sweep head.
+    """
+    import json
+
+    sf_dir = sf_dir or _SWEEP_SF_DIR
+    # Resolved at call time (not def time) so tests can monkeypatch the
+    # module attribute to simulate a drift.
+    fingerprints_path = fingerprints_path or _FINGERPRINTS_PATH
+    try:
+        with open(fingerprints_path) as f:
+            recorded = json.load(f)
+    except (OSError, ValueError):
+        recorded = {}
+    drift_epoch = None  # computed lazily: max CORRECTNESS round + 1
+    out: dict[str, int] = {}
+    for table, entry in recorded.items():
+        live = _live_fingerprint(sf_dir, table)
+        if live is None or live == entry["fingerprint"]:
+            out[table] = entry["epoch"]
+        else:
+            if drift_epoch is None:
+                rounds = [r for rows in _evidence_rounds().values() for r, _ in rows]
+                drift_epoch = max(rounds, default=0) + 1
+            out[table] = drift_epoch
+    return out
+
+
+def _tables_of(rq: "RegisteredQuery") -> frozenset[str]:
+    """Which testdata tables a query's evidence depends on, derived
+    from the oracle SQL text (every oracle names its tables as DuckDB
+    views). Oracle-less queries fall back to doc-text scan, else are
+    conservatively pinned to ALL tables (any drift invalidates)."""
+    import re
+
+    from .catalog import TABLES
+
+    text = rq.oracle if rq.oracle is not None else rq.doc
+    found = frozenset(
+        t for t in TABLES if re.search(rf"\b{t}\b", text or "")
+    )
+    if not found and rq.oracle is None:
+        return frozenset(TABLES)
+    return found
 
 
 def _evidence_rounds() -> dict[str, list[tuple[int, dict]]]:
@@ -130,9 +224,12 @@ def _evidence_rounds() -> dict[str, list[tuple[int, dict]]]:
 
 def _sweep_order() -> list[str]:
     evidence = _evidence_rounds()
+    env_epochs = _environment_epochs()
 
     def key(n: str) -> tuple[int, int]:
         min_round = _STALE_SINCE.get(n, 0)
+        for table in _tables_of(_REGISTRY[n]):
+            min_round = max(min_round, env_epochs.get(table, 0))
         rows = [(r, e) for r, e in evidence.get(n, []) if r >= min_round]
         has_oracle = _REGISTRY[n].oracle is not None
         valid = [

@@ -81,6 +81,69 @@ def test_stale_since_names_exist():
     assert not unknown, f"_STALE_SINCE names unknown queries: {unknown}"
 
 
+def test_environment_epoch_flip_reorders_sweep(tmp_path, monkeypatch):
+    """Round-5 verdict "Next round #2": a testdata regeneration that
+    flips a table's physical type must invalidate that table's driver
+    evidence MECHANICALLY — the sweep order should move every affected
+    query ahead of validly-evidenced ones without anyone editing
+    `_STALE_SINCE`. Simulate the flip by recording a bogus fingerprint
+    for `lineitem` and assert lineitem-touching queries jump the queue."""
+    registry._load_all()
+    baseline = registry._sweep_order()
+
+    fake = tmp_path / "table_fingerprints.json"
+    fake.write_text(json.dumps({
+        "lineitem": {"fingerprint": "not-the-live-schema", "epoch": 0},
+    }))
+    monkeypatch.setattr(registry, "_FINGERPRINTS_PATH", str(fake))
+    flipped = registry._sweep_order()
+
+    lineitem_queries = [
+        n for n, rq in registry._REGISTRY.items()
+        if "lineitem" in registry._tables_of(rq)
+    ]
+    assert lineitem_queries, "expected lineitem-touching queries"
+    # Every lineitem query must now sort ahead of every query that still
+    # has valid evidence and doesn't touch lineitem.
+    flipped_pos = {n: i for i, n in enumerate(flipped)}
+    max_lineitem = max(flipped_pos[n] for n in lineitem_queries)
+    evidenced_non_lineitem = [
+        n for n in baseline[60:]  # deep tail: valid evidence, untouched
+        if "lineitem" not in registry._tables_of(registry._REGISTRY[n])
+        and n not in registry._SWEEP_PRIORITY
+    ]
+    assert evidenced_non_lineitem
+    min_other = min(flipped_pos[n] for n in evidenced_non_lineitem)
+    assert max_lineitem < min_other, (
+        "simulated lineitem schema flip did not push lineitem-touching "
+        "queries ahead of validly-evidenced ones"
+    )
+    # And the drift epoch must be computed, not hand-maintained: the
+    # recorded epoch stays 0 in the file; only the live mismatch bumps.
+    env = registry._environment_epochs(fingerprints_path=str(fake))
+    assert env["lineitem"] > 0
+
+
+def test_live_fingerprint_tracks_physical_type(tmp_path):
+    """The fingerprint must change when a column's physical type flips
+    (the r4 NANOS→MICROS class of drift) and ignore metadata churn."""
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    us = pa.table({"ts": pa.array([1], type=pa.timestamp("us"))})
+    ns = pa.table({"ts": pa.array([1], type=pa.timestamp("ns"))})
+    meta = us.replace_schema_metadata({"pandas": "churned-blob"})
+    pa_pq.write_table(us, tmp_path / "t_us.parquet")
+    pa_pq.write_table(ns, tmp_path / "t_ns.parquet")
+    pa_pq.write_table(meta, tmp_path / "t_meta.parquet")
+    f_us = registry._live_fingerprint(str(tmp_path), "t_us")
+    f_ns = registry._live_fingerprint(str(tmp_path), "t_ns")
+    f_meta = registry._live_fingerprint(str(tmp_path), "t_meta")
+    assert f_us != f_ns
+    assert f_us == f_meta
+    assert registry._live_fingerprint(str(tmp_path), "absent") is None
+
+
 def test_value_hash_comparator_is_not_vacuous():
     """The correctness gate is only as good as its hash: prove the
     canonicalization catches the mutation classes it claims to —
