@@ -353,15 +353,24 @@ def mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM documents GROUP BY lang, source
     ), marked AS (
-      SELECT CASE WHEN n_docs >= 5 THEN lang ELSE '__other__' END AS lang,
-             CASE WHEN n_docs >= 5 THEN source ELSE '__other__' END AS source,
+      SELECT CASE WHEN n_docs >= 5 THEN
+               CASE WHEN starts_with(lang, '__other__')
+                    THEN '=' || lang ELSE lang END
+             ELSE '__other__' END AS lang,
+             CASE WHEN n_docs >= 5 THEN
+               CASE WHEN starts_with(source, '__other__')
+                    THEN '=' || source ELSE source END
+             ELSE '__other__' END AS source,
              n_docs, total_chars
       FROM g
+    ), released AS (
+      SELECT lang, source,
+             CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(total_chars) AS BIGINT) AS total_chars
+      FROM marked GROUP BY lang, source
     )
-    SELECT lang, source,
-           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
-           CAST(SUM(total_chars) AS BIGINT) AS total_chars
-    FROM marked GROUP BY lang, source
+    SELECT lang, source, n_docs, total_chars FROM released
+    WHERE NOT (lang = '__other__' AND n_docs < 5)
     """,
 )
 def kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,25 +382,47 @@ def kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic release mistake). The data-governance gate a corpus-stats
     endpoint runs before publishing anything about a 100 TB crawl.
 
+    Round-5 advisor hardening: the '__other__' bucket itself is held
+    to the same k — if the suppressed groups sum to fewer than k
+    members, publishing their combined row would still describe < k
+    individuals (with a known domain, a single suppressed group's
+    exact stats are recoverable), so the bucket is withheld and the
+    release deliberately stops reconciling to totals for that corpus
+    (complementary suppression: the guarantee outranks the
+    reconciliation convenience). And a GENUINE lang/source value that
+    collides with the sentinel is escaped with a '=' prefix (applied
+    to any published value starting with '__other__', so the escape is
+    injective and the sentinel can never be forged by data).
+
     Two partial-aggregated groupBys back to back — the second
     aggregates an already-group-sized table, so the corpus shuffles
     once; the k test never sees row-level data. Every suppression
     decision is deterministic and the oracle replays it exactly."""
     docs = load_table(spark, sf_dir, "documents")
+    k = 5
     g = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
-    small = F.col("n_docs") < 5
+    small = F.col("n_docs") < k
+
+    def esc(c: str):
+        return F.when(
+            F.col(c).startswith("__other__"), F.concat(F.lit("="), F.col(c))
+        ).otherwise(F.col(c))
+
     marked = g.select(
-        F.when(small, F.lit("__other__")).otherwise(F.col("lang")).alias("lang"),
-        F.when(small, F.lit("__other__")).otherwise(F.col("source")).alias("source"),
+        F.when(small, F.lit("__other__")).otherwise(esc("lang")).alias("lang"),
+        F.when(small, F.lit("__other__")).otherwise(esc("source")).alias("source"),
         "n_docs",
         "total_chars",
     )
-    return marked.groupBy("lang", "source").agg(
+    released = marked.groupBy("lang", "source").agg(
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum("total_chars").cast("bigint").alias("total_chars"),
+    )
+    return released.filter(
+        ~((F.col("lang") == "__other__") & (F.col("n_docs") < k))
     )
 
 

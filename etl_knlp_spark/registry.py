@@ -89,6 +89,9 @@ _STALE_SINCE: dict[str, int] = {
     "udf_tokenize": 5,
     "udf_langid": 5,
     "pagerank_links": 5,
+    # round 6 hardened kanon_release (sub-k '__other__' withheld,
+    # sentinel-collision escape) — oracle changed.
+    "kanon_release": 6,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

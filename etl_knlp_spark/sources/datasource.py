@@ -116,13 +116,19 @@ try:
     class DelimitedTextStreamReader(SimpleDataSourceStreamReader):
         """File-tailing micro-batch reader over a directory of
         delimited dumps: the streaming half of the connector (Spark 4
-        streaming Python Data Source API). An offset is the count of
-        files consumed from the lexicographically-sorted directory
-        listing — new dumps land with later names (the reference's
-        dated-dump convention), each micro-batch parses exactly the
-        files between two offsets, and `readBetweenOffsets` replays a
-        committed range deterministically, which is what makes
-        recovery exactly-once.
+        streaming Python Data Source API). Offsets are NAME-based, not
+        positional (round-5 advisor finding): an offset records the
+        last consumed basename plus the exact basenames of the batch it
+        terminates. `read` consumes files lexicographically greater
+        than `last` — new dumps land with later names (the reference's
+        dated-dump convention) — so deleting an already-consumed dump
+        (retention cleanup) can never shift indices into re-reads or
+        skips, and `readBetweenOffsets` replays a committed range by
+        its recorded basenames, raising loudly if any are missing
+        rather than silently substituting neighbors. A late-arriving
+        file that sorts BEFORE `last` violates the dated-dump contract
+        and is deliberately ignored (the positional scheme would have
+        corrupted the whole stream instead).
 
         Scale note: the *simple* stream reader parses on the driver by
         design (Spark prefetches and distributes the rows) — right for
@@ -138,35 +144,53 @@ try:
             self.sep = options.get("sep", ":")
             self.n_fields = len(schema.fields)
 
-        def _files(self) -> list[str]:
+        def _names(self) -> list[str]:
             return sorted(
-                os.path.join(self.path, f)
+                f
                 for f in os.listdir(self.path)
                 if not f.startswith(("_", "."))
             )
 
         def initialOffset(self):
-            return {"files": 0}
+            return {"last": "", "batch": []}
 
-        def _parse(self, files):
-            for fp in files:
-                with open(fp, encoding="utf-8") as fh:
+        def _parse(self, names):
+            for name in names:
+                with open(
+                    os.path.join(self.path, name), encoding="utf-8"
+                ) as fh:
                     for line in fh:
                         line = line.rstrip("\n")
                         if line:
                             yield _parse_line(line, self.sep, self.n_fields)
 
         def read(self, start):
-            files = self._files()
-            n0 = start["files"]
+            fresh = [n for n in self._names() if n > start["last"]]
+            last = fresh[-1] if fresh else start["last"]
             # list-iterator, not a generator: Spark's prefetch cache
             # copy.copy()s the iterator when a batch is re-served, and
             # generators aren't copyable
-            return iter(list(self._parse(files[n0:]))), {"files": len(files)}
+            return iter(list(self._parse(fresh))), {
+                "last": last,
+                "batch": fresh,
+            }
 
         def readBetweenOffsets(self, start, end):
-            files = self._files()
-            return iter(list(self._parse(files[start["files"] : end["files"]])))
+            # Replay exactly the basenames the committed end offset
+            # recorded. A missing file means committed data can no
+            # longer be reproduced — fail loudly, never approximate.
+            missing = [
+                n
+                for n in end["batch"]
+                if not os.path.exists(os.path.join(self.path, n))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"cannot replay committed micro-batch: source files "
+                    f"{missing} were deleted from {self.path} after being "
+                    "committed but before the sink finished with them"
+                )
+            return iter(list(self._parse(end["batch"])))
 
     class DelimitedTextDataSource(DataSource):
         """Usage:

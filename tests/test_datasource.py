@@ -195,3 +195,91 @@ def test_stream_reader_recovers_from_checkpoint_exactly_once(spark, tmp_path):
             ("nocolon", None, None),
         ]
     )
+
+
+def test_stream_offsets_survive_retention_deletion(spark, tmp_path):
+    """Round-5 advisor finding: positional offsets silently re-read or
+    skipped files when a consumed dump was deleted between restarts.
+    Name-based offsets must not care: delete the consumed first file
+    while the stream is down, drop a new one, restart — only the new
+    file's rows arrive, nothing re-read, nothing skipped."""
+    import os
+    import uuid
+
+    d = tmp_path / "stream_retention"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    (d / "a_dump.txt").write_text(LINES_A, encoding="utf-8")
+
+    assert register(spark)
+
+    def start():
+        return (
+            spark.readStream.format("knlp_delimited")
+            .schema("korean string, hanjya string, examples string")
+            .option("path", str(d))
+            .option("sep", ":")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 2
+
+    os.remove(d / "a_dump.txt")  # retention cleanup of the consumed dump
+    (d / "b_dump.txt").write_text(LINES_B, encoding="utf-8")
+    q2 = start()
+    q2.awaitTermination()
+
+    rows = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    assert rows == sorted(
+        [
+            ("가", "家", "가족, 가정"),
+            ("간", "間", "시간:공간:기간"),
+            ("수학", "數學", "산수"),
+            ("nocolon", None, None),
+        ]
+    )
+
+
+def test_stream_replay_fails_loudly_when_committed_file_missing(tmp_path):
+    """readBetweenOffsets replays the committed batch by recorded
+    basenames and must raise — not substitute neighbors — if one was
+    deleted after commit."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from etl_knlp_spark.sources.datasource import DelimitedTextDataSource
+
+    d = tmp_path / "replay"
+    d.mkdir()
+    (d / "a_dump.txt").write_text(LINES_A, encoding="utf-8")
+    schema = StructType([StructField(c, StringType()) for c in ("k", "h", "e")])
+    src = DelimitedTextDataSource(options={"path": str(d), "sep": ":"})
+    reader = src.simpleStreamReader(schema)
+
+    start = reader.initialOffset()
+    rows, end = reader.read(start)
+    assert end["last"] == "a_dump.txt" and end["batch"] == ["a_dump.txt"]
+    assert len(list(rows)) == 2
+
+    # replay works while the file exists...
+    assert len(list(reader.readBetweenOffsets(start, end))) == 2
+    # ...and fails loudly once it is gone
+    (d / "a_dump.txt").unlink()
+    with pytest.raises(FileNotFoundError, match="a_dump.txt"):
+        reader.readBetweenOffsets(start, end)
+
+    # a late file sorting BEFORE the consumed name is ignored by
+    # contract (dated-dump names are monotone); a later name is read
+    (d / "0_late.txt").write_text("x:y:z\n", encoding="utf-8")
+    rows2, end2 = reader.read(end)
+    assert list(rows2) == [] and end2["last"] == "a_dump.txt"
+    (d / "b_dump.txt").write_text("b1:b2:b3\n", encoding="utf-8")
+    rows3, end3 = reader.read(end2)
+    assert len(list(rows3)) == 1 and end3["batch"] == ["b_dump.txt"]

@@ -102,17 +102,74 @@ def test_kanon_release_suppresses_and_reconciles(spark, sf_dir):
     from etl_knlp_spark.operators.stats import kanon_release
 
     rows = kanon_release(spark, sf_dir).collect()
+    # EVERY released row — including the '__other__' bucket — meets k
     for r in rows:
-        if r["lang"] != "__other__":
-            assert r["n_docs"] >= 5
+        assert r["n_docs"] >= 5
     docs = load_table(spark, sf_dir, "documents")
     want = docs.agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s")
     ).collect()[0]
+    # reconciliation holds whenever the bucket was published (it is on
+    # the testdata fixture; if it were withheld, totals intentionally
+    # would not reconcile — covered by the withholding test below)
+    assert any(r["lang"] == "__other__" for r in rows)
     assert sum(r["n_docs"] for r in rows) == want["n"]
     assert sum(r["total_chars"] for r in rows) == want["s"]
-    # the fixture actually exercises suppression
-    assert any(r["lang"] == "__other__" for r in rows)
+
+
+def _write_docs(spark, rows):
+    import tempfile
+    import uuid
+
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    d = tempfile.mkdtemp(prefix=f"kanon_{uuid.uuid4().hex[:6]}_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_kanon_withholds_a_sub_k_other_bucket(spark):
+    """Round-5 advisor finding: if the suppressed groups sum to fewer
+    than k members, the '__other__' row itself describes < k
+    individuals and must be withheld, not published."""
+    from etl_knlp_spark.operators.stats import kanon_release
+
+    # one big publishable group + ONE singleton group → other-mass 1 < 5
+    rows = [(i, "t", "en", "web", 10) for i in range(20)]
+    rows.append((99, "t", "xx", "rare", 7))
+    got = kanon_release(spark, _write_docs(spark, rows)).collect()
+    assert {(r["lang"], r["source"]) for r in got} == {("en", "web")}
+    assert all(r["n_docs"] >= 5 for r in got)
+
+    # two sub-k groups summing to >= k → the bucket IS published
+    rows2 = [(i, "t", "en", "web", 10) for i in range(20)]
+    rows2 += [(100 + i, "t", "xx", "rare", 7) for i in range(3)]
+    rows2 += [(200 + i, "t", "yy", "rare", 9) for i in range(3)]
+    got2 = {
+        (r["lang"], r["source"]): r["n_docs"]
+        for r in kanon_release(spark, _write_docs(spark, rows2)).collect()
+    }
+    assert got2[("__other__", "__other__")] == 6
+    assert got2[("en", "web")] == 20
+
+
+def test_kanon_escapes_genuine_sentinel_collision(spark):
+    """A genuine lang/source literally named '__other__' (or extending
+    the sentinel) must not be confusable with the suppression bucket:
+    published values starting with '__other__' get a '=' prefix."""
+    from etl_knlp_spark.operators.stats import kanon_release
+
+    rows = [(i, "t", "__other__", "web", 10) for i in range(20)]
+    rows += [(100 + i, "t", "__other___", "web", 4) for i in range(6)]
+    rows.append((999, "t", "zz", "rare", 5))  # genuinely suppressed
+    got = {
+        (r["lang"], r["source"]): r["n_docs"]
+        for r in kanon_release(spark, _write_docs(spark, rows)).collect()
+    }
+    assert got[("=__other__", "web")] == 20  # genuine, escaped
+    assert got[("=__other___", "web")] == 6  # extended collision, escaped
+    assert ("__other__", "__other__") not in got  # 1 suppressed doc < k
 
 
 def test_column_drift_fires_on_a_shifted_candidate_batch(spark):
