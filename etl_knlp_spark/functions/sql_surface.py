@@ -332,11 +332,11 @@ WITH mixed AS (
          value
   FROM events
 )
-SELECT etype COLLATE UTF8_LCASE AS etype_ci,
+SELECT MIN(lower(etype)) AS etype_ci,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 2) AS total_value
 FROM mixed
-GROUP BY etype_ci
+GROUP BY etype COLLATE UTF8_LCASE
 """
 
 _COLLATED_ORACLE = """
@@ -362,15 +362,19 @@ def collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides the type, the shuffle hash-partitions on the collation key,
     and every comparison downstream inherits it (vs the lower()
     rewrite, which burns a projection and loses the original casing).
-    The oracle is the lower() rewrite, normalized on both sides so the
-    group keys hash identically."""
+    The emitted key is MIN(lower(etype)) — deterministic regardless of
+    which group member a partition sees first (round-5 advisor: a bare
+    representative's lowercase is partition-order-nondeterministic for
+    keys that case-fold equal but lowercase differently, e.g. Greek
+    final sigma). The oracle is the lower() rewrite; the mirror is
+    exact when lower() fully normalizes the collation class (all ASCII
+    keys — true of the events fixture and stated as the operator's
+    oracle contract; the Spark-side key is deterministic either way)."""
     df = run_sql(spark, sf_dir, _COLLATED_SQL)
-    # a collated string column hashes as its own value; normalize to
-    # lowercase for the comparator (collation metadata is engine-side)
     from pyspark.sql import functions as F
 
     return df.select(
-        F.lower(F.col("etype_ci").cast("string")).alias("etype_ci"),
+        F.col("etype_ci").cast("string").alias("etype_ci"),
         "n_events",
         "total_value",
     )

@@ -1767,10 +1767,14 @@ def edit_distance_dedup(
         .join(rep_text, "block_rep")
         .withColumn("edit_dist", ed)
         .withColumn(
+            # banded levenshtein(a, b, threshold) returns -1 whenever
+            # the true distance exceeds the threshold — it never
+            # returns a value above it, so `< 0` is the complete
+            # over-threshold test (round-5 advisor: a `> max_edits`
+            # disjunct here is unreachable and misleading).
             "is_kept",
             (F.col("doc_id") == F.col("block_rep"))
-            | (F.col("edit_dist") < 0)
-            | (F.col("edit_dist") > F.lit(max_edits)),
+            | (F.col("edit_dist") < 0),
         )
         .select(
             "doc_id",

@@ -570,6 +570,7 @@ def arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def per_batch(batches):
+        import numpy as np
         import pyarrow.compute as pc
 
         for batch in batches:
@@ -582,15 +583,23 @@ def arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "tok": toks.combine_chunks()
                         if isinstance(toks, pa.ChunkedArray)
                         else toks,
+                        # row counter independent of token-count
+                        # nullness: a NULL-text row must still count
+                        # toward n_docs, matching the oracle's
+                        # COUNT(*) (round-5 advisor — ('tok','count')
+                        # skipped null token values).
+                        "one": pa.array(
+                            np.ones(tbl.num_rows, dtype=np.int64)
+                        ),
                     }
                 )
                 .group_by("lang")
-                .aggregate([("tok", "sum"), ("tok", "count")])
+                .aggregate([("tok", "sum"), ("one", "sum")])
             )
             yield pa.RecordBatch.from_arrays(
                 [
                     part.column("lang").combine_chunks(),
-                    part.column("tok_count").cast(pa.int64()).combine_chunks(),
+                    part.column("one_sum").cast(pa.int64()).combine_chunks(),
                     part.column("tok_sum").cast(pa.int64()).combine_chunks(),
                 ],
                 names=["lang", "n_docs", "n_tokens"],

@@ -79,6 +79,26 @@ def test_udaf_geomean_matches_sql_identity(spark, sf_dir):
     assert all(r["udaf_matches"] for r in rows)
 
 
+def test_arrow_batch_stats_counts_null_text_rows(spark, tmp_path):
+    """Round-5 advisor finding: n_docs must be a true row count per
+    lang — a NULL-text row contributes to n_docs (and nothing to
+    n_tokens), exactly like the oracle's COUNT(*)."""
+    from etl_knlp_spark.operators.text import arrow_batch_stats
+
+    docs = spark.createDataFrame(
+        [(1, "two tokens", "en"), (2, None, "en"), (3, None, "fr")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    d = str(tmp_path / "nulltext")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {
+        r["lang"]: (r["n_docs"], r["n_tokens"])
+        for r in arrow_batch_stats(spark, d).collect()
+    }
+    assert got["en"] == (2, 2)
+    assert got["fr"][0] == 1
+
+
 def test_arrow_batch_stats_partials_combine_exactly(spark, sf_dir):
     """The mapInArrow per-batch partials must combine to exactly the
     whole-corpus per-lang counts regardless of batch boundaries —
