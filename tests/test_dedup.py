@@ -54,6 +54,35 @@ def test_minhash_finds_injected_near_dups(docs_with_dups):
     assert expected <= found
 
 
+def test_minhash_bucket_cap_bounds_pair_output(spark):
+    """Round-5 verdict #3: an over-cap LSH bucket (adversarial
+    duplicate multiplicity) must degrade from all-pairs to star
+    emission — O(m) output, every pair flagged capped, every member
+    still connected to the bucket representative — while under-cap
+    corpora keep exact all-pairs emission with capped=false."""
+    m = 12
+    rows = [(i, "alpha beta gamma delta epsilon zeta " * 4, "en", "s", 100)
+            for i in range(m)]
+    # distinct filler docs so only the duplicate group collides
+    rows += [(100 + i, f"filler{i} unique{i} words{i} here{i} now{i} end{i}",
+              "en", "s", 50) for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+
+    capped = minhash_candidates(docs, bucket_cap=4)
+    got = capped.select("doc_a", "doc_b", "capped").collect()
+    star = {(r["doc_a"], r["doc_b"]) for r in got}
+    # star output: m-1 pairs, not C(m,2)
+    assert star == {(0, i) for i in range(1, m)}
+    assert all(r["capped"] for r in got)
+
+    uncapped = minhash_candidates(docs, bucket_cap=256)
+    got2 = uncapped.select("doc_a", "doc_b", "capped").collect()
+    assert len(got2) == m * (m - 1) // 2
+    assert not any(r["capped"] for r in got2)
+
+
 def test_ngram_df_cap_drops_hot_grams(spark):
     """A stop-word bigram shared by every doc must NOT generate
     candidate pairs: without the document-frequency cap, 40 docs
