@@ -210,11 +210,14 @@ SHOWCASE = {
         "shuffles wholesale."
     ),
     "bm25_pruned": (
-        "BM25 against a term-bucketed postings index: the bucket IN "
+        "BM25 against a term-bucketed postings index, now via the "
+        "bm25_index_build/bm25_probe split APIs (the index is a "
+        "persisted caller-owned artifact; this plan is PROBE-ONLY — "
+        "no tokenization or build stage appears). The bucket IN "
         "predicate from the query terms lands in PartitionFilters — "
-        "probe I/O is |Q|/buckets of the index at any corpus size, "
-        "zero query-time tokenization. Same oracle as the scan path: "
-        "the driver verifies the index loses nothing."
+        "probe I/O is |Q|/buckets of the index at any corpus size. "
+        "Same oracle as the scan path: the driver verifies the index "
+        "loses nothing."
     ),
     "source_overlap": (
         "Cross-source overlap matrix off ONE shingle-keyed shuffle: "
