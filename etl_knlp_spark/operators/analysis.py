@@ -155,10 +155,11 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored GROUP BY lang
     """,
 )
-def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-threshold filter summary per language — the
-    keep/drop accounting step of a pretraining filter pipeline."""
-    docs = load_table(spark, sf_dir, "documents")
+def quality_scored(docs: DataFrame) -> DataFrame:
+    """Per-document quality score (lang, quality) — the shared scoring
+    core of `doc_quality_filter` and `quality_threshold_sweep`
+    (evaluation.py), kept in one place so both hash against the same
+    declarative mirror expression."""
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     base = docs.select("lang", "n_chars", toks.alias("toks"))
     n_tok = F.size("toks")
@@ -167,7 +168,14 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("n_chars") / 500.0, F.lit(1.0)) * 0.5
         + F.least(n_stop * 5.0 / n_tok, F.lit(1.0)) * 0.5
     )
-    scored = base.select("lang", quality.alias("quality"))
+    return base.select("lang", quality.alias("quality"))
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold filter summary per language — the
+    keep/drop accounting step of a pretraining filter pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_scored(docs)
     return scored.groupBy("lang").agg(
         F.count_if(F.col("quality") >= 0.5).alias("n_kept"),
         F.count(F.lit(1)).alias("n_total"),
@@ -557,9 +565,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "lm_perplexity_filter",
-    oracle="""
+_PPLX_ORACLE = """
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
@@ -585,8 +591,10 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN uni ON uni.w1 = b.w1
     CROSS JOIN voc
     GROUP BY b.doc_id
-    """,
-)
+    """
+
+
+@query("lm_perplexity_filter", oracle=_PPLX_ORACLE)
 def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style language-model quality scoring (SURVEY §2.12 text
     analysis): train an add-k-smoothed bigram LM on the corpus itself,

@@ -286,6 +286,7 @@ def _load_all() -> None:
         analysis,
         cogroup,
         dedup,
+        evaluation,
         events,
         graph,
         ivf,

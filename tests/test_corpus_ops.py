@@ -336,3 +336,65 @@ def test_dsir_upweights_target_domain_and_hashed_agrees(spark, sf_dir):
 
     plan = hashed_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # ratio table ships, tokens don't shuffle
+
+
+def test_eval_prf_summary_is_consistent_with_confusion(spark, sf_dir):
+    """P/R/F1 must reconcile with the confusion matrix: per-class tp
+    equals the diagonal cell, n_gold sums the gold row, and the ratio
+    algebra holds (f1 harmonic of p and r, 0 when both empty)."""
+    from etl_knlp_spark.operators.evaluation import eval_prf_summary
+    from etl_knlp_spark.operators.text import langid_confusion
+
+    prf = {r["cls"]: r for r in eval_prf_summary(spark, sf_dir).collect()}
+    cells = langid_confusion(spark, sf_dir).collect()
+    gold_n = {}
+    diag = {}
+    for c in cells:
+        gold_n[c["gold"]] = gold_n.get(c["gold"], 0) + c["n_docs"]
+        if c["gold"] == c["pred"]:
+            diag[c["gold"]] = c["n_docs"]
+    for cls, r in prf.items():
+        if cls in gold_n:
+            assert r["n_gold"] == gold_n[cls]
+        assert r["tp"] == diag.get(cls, 0)
+        if r["prec"] + r["rec"] > 0:
+            expect = 2 * r["prec"] * r["rec"] / (r["prec"] + r["rec"])
+            assert abs(r["f1"] - expect) < 1e-5
+        else:
+            assert r["f1"] == 0.0
+    # every gold class and every predicted class got a row
+    assert set(gold_n) <= set(prf)
+
+
+def test_threshold_sweeps_are_monotone_and_anchored(spark, sf_dir):
+    """Both sweep tables: n_kept is non-increasing in the threshold,
+    the lowest threshold keeps everything (keep_rate 1.0), and kept
+    counts at a spot-check threshold match a direct recount."""
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.analysis import quality_scored
+    from etl_knlp_spark.operators.evaluation import (
+        perplexity_threshold_sweep,
+        quality_threshold_sweep,
+    )
+
+    for sweep in (quality_threshold_sweep, perplexity_threshold_sweep):
+        rows = sorted(sweep(spark, sf_dir).collect(), key=lambda r: r["thr"])
+        assert len(rows) == 21
+        kept = [r["n_kept"] for r in rows]
+        assert kept == sorted(kept, reverse=True)
+        assert rows[0]["keep_rate"] == 1.0
+
+    # spot check: quality sweep at thr=0.5 equals the bucketized count
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import functions as F
+
+    direct = (
+        quality_scored(docs)
+        .filter(F.floor(F.col("quality") * 20) >= 10)
+        .count()
+    )
+    sweep_at = {
+        r["thr"]: r["n_kept"]
+        for r in quality_threshold_sweep(spark, sf_dir).collect()
+    }
+    assert sweep_at[0.5] == direct
