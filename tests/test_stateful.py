@@ -1,4 +1,6 @@
-"""applyInPandasWithState: state must accumulate across micro-batches."""
+"""Stateful streaming: applyInPandasWithState accumulation plus the
+transformWithStateInPandas typed twin (processor logic against a fake
+handle — the protobuf runner is absent in this image)."""
 
 from __future__ import annotations
 
@@ -112,3 +114,136 @@ def test_state_store_reader_matches_stream_beliefs(spark, sf_dir):
     meta = spark.read.format("state-metadata").load(ckpt)
     ops = {r["operatorName"] for r in meta.collect()}
     assert "stateStoreSave" in ops
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    """Minimal StatefulProcessorHandle stand-in: one named ValueState
+    plus a live-timer set, so the processor's timer discipline is
+    observable."""
+
+    def __init__(self):
+        self.states = {}
+        self.timers = set()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def registerTimer(self, ts):
+        self.timers.add(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.discard(ts)
+
+
+def test_typed_processor_merges_state_and_keeps_one_timer():
+    """RunningTotalsProcessor (the transformWithStateInPandas twin):
+    totals accumulate across handleInputRows calls, each batch leaves
+    exactly ONE live timer (the old one is deleted before re-arming),
+    and timer expiry clears the state without emitting."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import TimerValues
+    from etl_knlp_spark.streaming.stateful import RunningTotalsProcessor
+
+    proc = RunningTotalsProcessor(idle_timeout_ms=1000)
+    handle = _FakeHandle()
+    proc.init(handle)
+
+    out1 = list(
+        proc.handleInputRows(
+            (7,),
+            iter([pd.DataFrame({"value": [1.0, 2.0]})]),
+            TimerValues(currentProcessingTimeInMs=10_000),
+        )
+    )
+    assert out1[0].iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 2, "total_value": 3.0,
+    }
+    assert handle.timers == {11_000}
+
+    out2 = list(
+        proc.handleInputRows(
+            (7,),
+            iter([pd.DataFrame({"value": [4.0]}), pd.DataFrame({"value": [5.0]})]),
+            TimerValues(currentProcessingTimeInMs=20_000),
+        )
+    )
+    assert out2[0].iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 4, "total_value": 12.0,
+    }
+    # old timer deleted, new one armed: exactly one live timer
+    assert handle.timers == {21_000}
+    # state row carries the armed timer for the next batch's cleanup
+    assert handle.states["totals"].get() == (4, 12.0, 21_000)
+
+    from pyspark.sql.streaming.stateful_processor import ExpiredTimerInfo
+
+    expired = list(
+        proc.handleExpiredTimer(
+            (7,), TimerValues(currentProcessingTimeInMs=21_500),
+            ExpiredTimerInfo(expiryTimeInMs=21_000),
+        )
+    )
+    assert expired == []  # eviction emits nothing
+    assert not handle.states["totals"].exists()
+
+    # without a timeout configured, no timers are ever registered
+    proc2 = RunningTotalsProcessor()
+    handle2 = _FakeHandle()
+    proc2.init(handle2)
+    list(proc2.handleInputRows(
+        (1,), iter([pd.DataFrame({"value": [1.0]})]),
+        TimerValues(currentProcessingTimeInMs=5),
+    ))
+    assert handle2.timers == set()
+
+
+def test_auto_path_matches_declared_environment(spark, sf_dir):
+    """running_user_totals_auto must take the typed path exactly when
+    the protobuf runner is available, and its end-to-end totals must
+    match the batch aggregate either way (the oracle contract of
+    stream_stateful_totals_tws)."""
+    from etl_knlp_spark.streaming.stateful import (
+        stream_stateful_totals_tws,
+        tws_available,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        assert tws_available()
+    except ImportError:
+        assert not tws_available()
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in stream_stateful_totals_tws(spark, sf_dir).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
