@@ -33,31 +33,113 @@ def test_frame_sampling_expands_rows_deterministically(spark, sf_dir):
     )
 
 
-def test_decode_raises_without_codec_libs():
+def _encode_png(pixels, color_type, filters):
+    """Minimal PNG encoder for test vectors: applies the FORWARD
+    scanline filters (the decoder must invert them), so the round-trip
+    is a genuine two-sided check, not the decoder testing itself."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    bpp = ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raster = b""
+    for y, ftype in enumerate(filters):
+        row = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros_like(row)
+        out = np.zeros_like(row)
+        for x in range(len(row)):
+            a = row[x - bpp] if x >= bpp else 0
+            c = prev[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            if ftype == 0:
+                out[x] = row[x]
+            elif ftype == 1:
+                out[x] = (row[x] - a) & 0xFF
+            elif ftype == 2:
+                out[x] = (row[x] - b) & 0xFF
+            elif ftype == 3:
+                out[x] = (row[x] - ((a + b) >> 1)) & 0xFF
+            else:
+                out[x] = (row[x] - paeth(int(a), int(b), int(c))) & 0xFF
+        raster += bytes([ftype]) + bytes(out.astype(np.uint8))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_native_png_decode_roundtrips_every_filter():
+    """The pure-python PNG path (no pillow needed): pixel-exact
+    round-trip through all five scanline filters, grayscale and RGB."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, size=(5, 6), dtype=np.uint8)
+    png = _encode_png(gray, color_type=0, filters=[0, 1, 2, 3, 4])
+    got = decode_media(png, "image/png")
+    assert got.shape == (5, 6, 1)
+    assert (got[:, :, 0] == gray).all()
+
+    rgb = rng.randint(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    png_rgb = _encode_png(rgb, color_type=2, filters=[4, 3, 2, 1])
+    got_rgb = decode_media(png_rgb, "image/png")
+    assert (got_rgb == rgb).all()
+
+
+def test_native_png_decodes_a_real_world_file():
+    """A PNG from the OS image (not authored by this repo's encoder)
+    decodes to the dimensions its IHDR declares."""
+    import os
+    import struct
+
+    import pytest as _pytest
+
+    path = "/usr/share/doc/python3/_static/file.png"
+    if not os.path.exists(path):
+        _pytest.skip("no system PNG available")
+    payload = open(path, "rb").read()
+    w, h, depth, color, _, _, interlace = struct.unpack(
+        ">IIBBBBB", payload[16:29]
+    )
+    if depth != 8 or interlace != 0:
+        _pytest.skip("system PNG outside the native decoder's contract")
+    arr = decode_media(payload, "image/png")
+    assert arr.shape[0] == h and arr.shape[1] == w
+    assert arr.dtype.name == "uint8"
+
+
+def test_decode_raises_for_formats_without_codec():
     from etl_knlp_spark.operators import multimodal
 
     if multimodal._HAS_PIL:
-        pytest.skip("PIL installed — covered by test_real_image_decode")
+        pytest.skip("PIL installed — JPEG decodes for real")
     with pytest.raises(NotImplementedError, match="no decoder available"):
-        decode_media(b"\x89PNG", "image/png")
-
-
-def test_real_image_decode_when_pil_present():
-    """Where pillow exists the decode path is REAL: a 2x2 PNG decodes
-    to its pixel array and media_feature reflects actual intensities."""
-    from etl_knlp_spark.operators import multimodal
-
-    if not multimodal._HAS_PIL:
-        pytest.skip("pillow not installed in this environment")
-    import io
-
-    img = multimodal._PILImage.new("L", (2, 2), color=128)
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    arr = decode_media(buf.getvalue(), "image/png")
-    assert arr.shape == (2, 2)
-    feat = multimodal.media_feature(buf.getvalue(), "image/png", dim=4)
-    assert feat == pytest.approx([128 / 255.0] * 4)
+        decode_media(b"\xff\xd8\xff\xe0", "image/jpeg")
 
 
 def test_media_feature_falls_back_deterministically():
