@@ -587,10 +587,24 @@ def minhash_candidates(
     # buckets is explicitly surrendered — the flag says where. A pair
     # also found through any uncapped bucket (each doc hashes into
     # _N_BANDS bands) stays capped=false.
-    bucket_stats = banded.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("bsize"), F.min("doc_id").alias("brep")
+    # bucket size/rep as WINDOW aggregates, not a groupBy+join-back:
+    # the window's one exchange leaves `tagged` hash-partitioned on
+    # (band_idx, band_hash) — exactly the clustering the pair self-join
+    # needs — so both join sides and the star filter reuse it instead
+    # of paying a second stats shuffle (A/B'd at sf0.1: groupBy+join
+    # 1.39 s, this window form 1.27 s, uncapped r5 1.12 s — the ~0.15 s
+    # residue is the cap's one window sort, the price of bounded
+    # worst-case output).
+    from pyspark.sql import Window as _W
+
+    _wb = _W.partitionBy("band_idx", "band_hash")
+    tagged = banded.select(
+        "band_idx",
+        "band_hash",
+        "doc_id",
+        F.count(F.lit(1)).over(_wb).alias("bsize"),
+        F.min("doc_id").over(_wb).alias("brep"),
     )
-    tagged = banded.join(bucket_stats, ["band_idx", "band_hash"])
     small = tagged.filter(F.col("bsize") <= bucket_cap)
     a = small.select("band_idx", "band_hash", F.col("doc_id").alias("doc_a"))
     b = small.select("band_idx", "band_hash", F.col("doc_id").alias("doc_b"))
