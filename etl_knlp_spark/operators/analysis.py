@@ -134,6 +134,23 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_scored(docs: DataFrame) -> DataFrame:
+    """Per-document quality score (lang, quality) — the shared scoring
+    core of `doc_quality_filter` and `quality_threshold_sweep`
+    (evaluation.py), kept in one place so both hash against the same
+    declarative mirror expression."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("lang", "n_chars", toks.alias("toks"))
+    n_tok = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda x: x.isin("the", "a")))
+    quality = (
+        F.least(F.col("n_chars") / 500.0, F.lit(1.0)) * 0.5
+        + F.least(n_stop * 5.0 / n_tok, F.lit(1.0)) * 0.5
+    )
+    return base.select("lang", quality.alias("quality"))
+
+
+
 @query(
     "doc_quality_filter",
     oracle="""
@@ -155,22 +172,6 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored GROUP BY lang
     """,
 )
-def quality_scored(docs: DataFrame) -> DataFrame:
-    """Per-document quality score (lang, quality) — the shared scoring
-    core of `doc_quality_filter` and `quality_threshold_sweep`
-    (evaluation.py), kept in one place so both hash against the same
-    declarative mirror expression."""
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    base = docs.select("lang", "n_chars", toks.alias("toks"))
-    n_tok = F.size("toks")
-    n_stop = F.size(F.filter("toks", lambda x: x.isin("the", "a")))
-    quality = (
-        F.least(F.col("n_chars") / 500.0, F.lit(1.0)) * 0.5
-        + F.least(n_stop * 5.0 / n_tok, F.lit(1.0)) * 0.5
-    )
-    return base.select("lang", quality.alias("quality"))
-
-
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-threshold filter summary per language — the
     keep/drop accounting step of a pretraining filter pipeline."""
