@@ -879,6 +879,14 @@ def bm25_index_build(
     stats.withColumn("buckets", F.lit(buckets)).write.mode(
         "overwrite"
     ).parquet(f"{path}/stats")
+    # Completion marker written strictly AFTER both artifacts: cache
+    # guards gate on this, not on postings/_SUCCESS, so a crash
+    # between the two writes can never leave a half-built index that
+    # later runs treat as complete.
+    import os
+
+    with open(os.path.join(path, "_INDEX_COMPLETE"), "w") as fh:
+        fh.write(f"buckets={buckets}\n")
 
 
 def bm25_probe(spark: SparkSession, path: str, terms: list[str]) -> DataFrame:
@@ -921,7 +929,14 @@ def _bm25_cached_index_path(sf_dir: str) -> str:
     key = hashlib.md5(
         f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"etl_knlp_bm25_index_{key}")
+    # Per-user cache root (0700) rather than a predictable world-shared
+    # /tmp name: another local user can neither pre-create the path nor
+    # race the build (ADVICE r6 #1).
+    root = os.path.join(
+        tempfile.gettempdir(), f"etl_knlp_cache_{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return os.path.join(root, f"bm25_index_{key}")
 
 
 @query("bm25_pruned", oracle=_BM25_ORACLE)
@@ -951,7 +966,10 @@ def bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     path = _bm25_cached_index_path(sf_dir)
-    if not os.path.exists(f"{path}/postings/_SUCCESS"):
+    # Gate on the marker written AFTER both artifacts (postings then
+    # stats), never on postings/_SUCCESS alone: a crash between the
+    # two writes must look like "not built" (ADVICE r6 #1).
+    if not os.path.exists(f"{path}/_INDEX_COMPLETE"):
         bm25_index_build(load_table(spark, sf_dir, "documents"), path)
     return bm25_probe(spark, path, list(_BM25_TERMS))
 

@@ -132,6 +132,11 @@ def _decode_png(payload: bytes):
     pos, idat, header, palette = 8, [], None, None
     while pos + 12 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        # guard against truncation BEFORE slicing: a short final chunk
+        # must raise the contract's ValueError, not struct.error from
+        # unpacking a <4-byte CRC slice (ADVICE r6 #4)
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
@@ -140,6 +145,8 @@ def _decode_png(payload: bytes):
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("malformed IHDR chunk")
             header = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
@@ -156,8 +163,14 @@ def _decode_png(payload: bytes):
             "native PNG decode covers 8-bit non-interlaced; "
             "16-bit/Adam7 need pillow"
         )
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    raw = zlib.decompress(b"".join(idat))
+    _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    if color not in _CHANNELS:  # unknown color type: ValueError, not KeyError
+        raise ValueError(f"invalid PNG color type {color}")
+    channels = _CHANNELS[color]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG raster size mismatch")
@@ -191,7 +204,10 @@ def _decode_png(payload: bytes):
     if color == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
-        arr = palette[arr[:, :, 0]]
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        arr = palette[idx]
     return arr
 
 

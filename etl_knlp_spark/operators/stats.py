@@ -354,11 +354,11 @@ def mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY lang, source
     ), marked AS (
       SELECT CASE WHEN n_docs >= 5 THEN
-               CASE WHEN starts_with(lang, '__other__')
+               CASE WHEN starts_with(lang, '__other__') OR starts_with(lang, '=')
                     THEN '=' || lang ELSE lang END
              ELSE '__other__' END AS lang,
              CASE WHEN n_docs >= 5 THEN
-               CASE WHEN starts_with(source, '__other__')
+               CASE WHEN starts_with(source, '__other__') OR starts_with(source, '=')
                     THEN '=' || source ELSE source END
              ELSE '__other__' END AS source,
              n_docs, total_chars
@@ -390,9 +390,11 @@ def kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     release deliberately stops reconciling to totals for that corpus
     (complementary suppression: the guarantee outranks the
     reconciliation convenience). And a GENUINE lang/source value that
-    collides with the sentinel is escaped with a '=' prefix (applied
-    to any published value starting with '__other__', so the escape is
-    injective and the sentinel can never be forged by data).
+    collides with the sentinel is escaped with a '=' prefix, applied
+    to any published value starting with '__other__' OR '=' — the
+    second clause is what makes the mapping injective (a genuine
+    '=__other__' would otherwise collide with escaped '__other__';
+    ADVICE r6 #2) — so the sentinel can never be forged by data.
 
     Two partial-aggregated groupBys back to back — the second
     aggregates an already-group-sized table, so the corpus shuffles
@@ -407,9 +409,15 @@ def kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = F.col("n_docs") < k
 
     def esc(c: str):
-        return F.when(
-            F.col(c).startswith("__other__"), F.concat(F.lit("="), F.col(c))
-        ).otherwise(F.col(c))
+        # Escape anything starting with '__other__' OR '=' — escaping
+        # only the sentinel prefix is NOT injective (a genuine
+        # '=__other__' would collide with the escaped form of a genuine
+        # '__other__' and the second groupBy would silently merge two
+        # distinct groups; ADVICE r6 #2). With '=' also escaped, any
+        # published value starting with '=' is provably an escape
+        # (strip one '=' to recover) and the sentinel cannot be forged.
+        needs = F.col(c).startswith("__other__") | F.col(c).startswith("=")
+        return F.when(needs, F.concat(F.lit("="), F.col(c))).otherwise(F.col(c))
 
     marked = g.select(
         F.when(small, F.lit("__other__")).otherwise(esc("lang")).alias("lang"),

@@ -90,8 +90,10 @@ _STALE_SINCE: dict[str, int] = {
     "udf_langid": 5,
     "pagerank_links": 5,
     # round 6 hardened kanon_release (sub-k '__other__' withheld,
-    # sentinel-collision escape) — oracle changed.
-    "kanon_release": 6,
+    # sentinel-collision escape); round 7 made the escape injective
+    # (values starting with '=' also escaped — ADVICE r6 #2), changing
+    # the oracle again.
+    "kanon_release": 7,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
@@ -101,14 +103,12 @@ _STALE_SINCE: dict[str, int] = {
 # this round (which can take the following round's slots). Prune
 # entries once their green row lands.
 _SWEEP_PRIORITY: set[str] = {
-    # round-5 verdict "Next round #1": the 3 queries registered after
-    # the r5 sweep budget filled (never driver-evidenced) plus the 4
-    # events-family queries whose only green rows predate the driver's
-    # TIMESTAMP NANOS→MICROS testdata regeneration (those rows are also
-    # invalidated mechanically by the environment epoch below — the
-    # explicit priority pins them at the very head of the r6 sweep).
-    "collated_group", "corpus_funnel", "parameterized_sql",
-    "join_asof", "funnel_steps", "retention_cohort", "inter_event_gap",
+    # round 7: kanon_release's oracle changed again (injective escape,
+    # ADVICE r6 #2) so its r6 green row is invalid — re-evidence first.
+    # (The r6 priority cohort — collated_group/corpus_funnel/
+    # parameterized_sql/join_asof + the 3 events queries — all landed
+    # their green rows in the r6 sweep and were pruned.)
+    "kanon_release",
 }
 
 # --- Environment-epoch staleness (round-5 verdict "Next round #2") ---

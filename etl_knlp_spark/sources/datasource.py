@@ -154,6 +154,26 @@ try:
         def initialOffset(self):
             return {"last": "", "batch": []}
 
+        @staticmethod
+        def _check_offset(off):
+            """Reject pre-round-6 positional offsets ({"files": N})
+            with a clear error instead of a KeyError('last') deep in
+            read/readBetweenOffsets (ADVICE r6 #3). The positional
+            scheme can't be translated safely: it counted a listing
+            whose membership may have changed (retention deletions are
+            exactly what it mis-handled), so the only sound recovery is
+            a fresh checkpoint."""
+            if "files" in off and "last" not in off:
+                raise ValueError(
+                    "incompatible checkpoint: offset uses the legacy "
+                    "positional format {'files': N}; the knlp_delimited "
+                    "stream now records name-based offsets and cannot "
+                    "safely resume a positional checkpoint (the file "
+                    "count no longer identifies which files were read). "
+                    "Start the query with a fresh checkpointLocation."
+                )
+            return off
+
         def _parse(self, names):
             for name in names:
                 with open(
@@ -165,6 +185,7 @@ try:
                             yield _parse_line(line, self.sep, self.n_fields)
 
         def read(self, start):
+            start = self._check_offset(start)
             fresh = [n for n in self._names() if n > start["last"]]
             last = fresh[-1] if fresh else start["last"]
             # list-iterator, not a generator: Spark's prefetch cache
@@ -176,6 +197,7 @@ try:
             }
 
         def readBetweenOffsets(self, start, end):
+            end = self._check_offset(end)
             # Replay exactly the basenames the committed end offset
             # recorded. A missing file means committed data can no
             # longer be reproduced — fail loudly, never approximate.

@@ -245,6 +245,41 @@ def test_bm25_build_probe_split_is_rebuild_free(spark, sf_dir, tmp_path):
     # stats artifact carries the scorer constants + bucket count
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     assert stats["n_docs"] > 0 and stats["buckets"] == 32
+    # completion marker written strictly after both artifacts — the
+    # cache guard's gate (ADVICE r6 #1)
+    marker = f"{path}/_INDEX_COMPLETE"
+    assert os.path.exists(marker)
+    assert os.stat(marker).st_mtime_ns >= os.stat(success).st_mtime_ns
+    assert (
+        os.stat(marker).st_mtime_ns
+        >= os.stat(f"{path}/stats/_SUCCESS").st_mtime_ns
+    )
+
+
+def test_bm25_half_built_index_is_rebuilt(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r6 #1: a crash between the postings write and the stats
+    write must read as 'not built'. Simulate it by deleting the stats
+    dir + marker while postings/_SUCCESS survives, then drive the
+    cached entry — it must rebuild rather than fail on {path}/stats."""
+    import os
+    import shutil
+
+    from etl_knlp_spark.operators import analysis as an
+
+    path = str(tmp_path / "bm25_half")
+    an.bm25_index_build(
+        __import__("etl_knlp_spark.catalog", fromlist=["load_table"]).load_table(
+            spark, sf_dir, "documents"
+        ),
+        path,
+    )
+    shutil.rmtree(f"{path}/stats")
+    os.remove(f"{path}/_INDEX_COMPLETE")
+    assert os.path.exists(f"{path}/postings/_SUCCESS")  # the half-built state
+    monkeypatch.setattr(an, "_bm25_cached_index_path", lambda _sf: path)
+    rows = an.bm25_pruned(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert os.path.exists(f"{path}/_INDEX_COMPLETE")
 
 
 def test_source_overlap_is_a_valid_jaccard_matrix(spark, sf_dir):

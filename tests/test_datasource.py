@@ -283,3 +283,25 @@ def test_stream_replay_fails_loudly_when_committed_file_missing(tmp_path):
     (d / "b_dump.txt").write_text("b1:b2:b3\n", encoding="utf-8")
     rows3, end3 = reader.read(end2)
     assert len(list(rows3)) == 1 and end3["batch"] == ["b_dump.txt"]
+
+
+def test_stream_rejects_legacy_positional_checkpoint(tmp_path):
+    """ADVICE r6 #3: a pre-round-6 checkpoint recorded positional
+    offsets ({"files": N}); resuming from one must raise a clear
+    'incompatible checkpoint' error, not KeyError('last')."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from etl_knlp_spark.sources.datasource import DelimitedTextDataSource
+
+    d = tmp_path / "legacy"
+    d.mkdir()
+    (d / "a_dump.txt").write_text("x:y:z\n", encoding="utf-8")
+    schema = StructType([StructField(c, StringType()) for c in ("k", "h", "e")])
+    src = DelimitedTextDataSource(options={"path": str(d), "sep": ":"})
+    reader = src.simpleStreamReader(schema)
+
+    legacy = {"files": 1}
+    with pytest.raises(ValueError, match="incompatible checkpoint"):
+        reader.read(legacy)
+    with pytest.raises(ValueError, match="incompatible checkpoint"):
+        reader.readBetweenOffsets(reader.initialOffset(), legacy)

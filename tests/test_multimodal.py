@@ -323,3 +323,79 @@ def test_y4m_decode_and_real_frame_sampling(spark):
     assert bytes(rows[0]["frame_bytes"]) == y0
     assert bytes(rows[1]["frame_bytes"]) == y1
     assert all(r["n_bytes"] == 8 for r in rows)
+
+
+def test_png_corrupt_inputs_raise_contract_errors_only():
+    """ADVICE r6 #4: every corrupt-payload failure mode must surface as
+    ValueError (or NotImplementedError), never KeyError / IndexError /
+    struct.error — decode_media's batch error handling only catches the
+    contract types."""
+    import struct
+    import zlib
+
+    from etl_knlp_spark.operators.multimodal import _decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    # 1. invalid IHDR color type (5 is not a PNG color type)
+    ihdr_bad_color = struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0)
+    raster = zlib.compress(b"\x00\x01\x02" * 2)
+    bad_color = (
+        sig
+        + chunk(b"IHDR", ihdr_bad_color)
+        + chunk(b"IDAT", raster)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="color type"):
+        _decode_png(bad_color)
+
+    # 2. palette index beyond PLTE length
+    ihdr_pal = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    plte = bytes([10, 20, 30])  # a single palette entry (index 0 only)
+    idx_raster = zlib.compress(b"\x00" + bytes([0, 5]))  # index 5 invalid
+    bad_palette = (
+        sig
+        + chunk(b"IHDR", ihdr_pal)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", idx_raster)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        _decode_png(bad_palette)
+
+    # 3. truncated chunk: declared length overruns the payload, so the
+    # CRC slice would be short — must be ValueError, not struct.error
+    ihdr_gray2 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    trunc = (
+        sig
+        + chunk(b"IHDR", ihdr_gray2)
+        + struct.pack(">I", 100)  # claims 100 bytes...
+        + b"IDAT"
+        + b"x" * 20  # ...but only 20 follow
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_png(trunc)
+
+    # 4. malformed IHDR (wrong length)
+    short_ihdr = sig + chunk(b"IHDR", b"\x00" * 8) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR"):
+        _decode_png(short_ihdr)
+
+    # 5. corrupt IDAT deflate stream (valid CRC, garbage zlib payload)
+    ihdr_gray = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bad_idat = (
+        sig
+        + chunk(b"IHDR", ihdr_gray)
+        + chunk(b"IDAT", b"not deflate data")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT"):
+        _decode_png(bad_idat)

@@ -14,36 +14,57 @@ from etl_knlp_spark import registry
 SNAPSHOT = os.path.join(os.path.dirname(__file__), "oracle_snapshot.json")
 
 
-def _current() -> dict[str, tuple[str | None, int]]:
+def _fn_md5(fn) -> str | None:
+    import inspect
+
+    try:
+        return hashlib.md5(inspect.getsource(fn).encode()).hexdigest()
+    except (OSError, TypeError):
+        return None
+
+
+def _current() -> dict[str, tuple[str | None, str | None, int]]:
     registry._load_all()
     return {
         name: (
             hashlib.md5(rq.oracle.encode()).hexdigest() if rq.oracle else None,
+            _fn_md5(rq.fn),
             registry._STALE_SINCE.get(name, 0),
         )
         for name, rq in registry._REGISTRY.items()
     }
 
 
-def test_oracle_change_requires_stale_since_bump():
-    """Any oracle edit must come with a `_STALE_SINCE` move AND a
-    snapshot regeneration (tools/snapshot_oracles.py) in the same
-    change — a changed oracle with an unmoved staleness bar means old
-    driver rows validate semantics that no longer exist."""
+def test_oracle_or_fn_change_requires_stale_since_bump():
+    """Any oracle OR query-function edit must come with a
+    `_STALE_SINCE` move AND a snapshot regeneration
+    (tools/snapshot_oracles.py) in the same change — a changed oracle
+    with an unmoved staleness bar means old driver rows validate
+    semantics that no longer exist, and (round-6 verdict #2) a changed
+    Spark-side function under an UNCHANGED oracle is the same hazard:
+    the r6 `quality_scored` decorator-capture bug proved an edit near
+    registration can change what runs while the oracle hash stays
+    put."""
     with open(SNAPSHOT) as f:
         snap = json.load(f)
     cur = _current()
     offenders = []
-    for name, (md5, stale) in cur.items():
+    for name, (md5, fmd5, stale) in cur.items():
         old = snap.get(name)
         if old is None:
             continue  # new query this round: no prior evidence to invalidate
-        if md5 != old["oracle_md5"] and stale <= old["stale_since"]:
+        oracle_changed = md5 != old["oracle_md5"]
+        fn_changed = (
+            old.get("fn_md5") is not None
+            and fmd5 is not None
+            and fmd5 != old["fn_md5"]
+        )
+        if (oracle_changed or fn_changed) and stale <= old["stale_since"]:
             offenders.append(name)
     assert not offenders, (
-        f"oracle changed without a _STALE_SINCE bump for {offenders}; "
-        "bump etl_knlp_spark/registry.py:_STALE_SINCE and rerun "
-        "tools/snapshot_oracles.py"
+        f"oracle or function source changed without a _STALE_SINCE bump "
+        f"for {offenders}; bump etl_knlp_spark/registry.py:_STALE_SINCE "
+        "and rerun tools/snapshot_oracles.py"
     )
 
 
@@ -62,14 +83,15 @@ def test_snapshot_is_in_sync_for_unchanged_oracles():
     )
     drifted = [
         name
-        for name, (md5, stale) in cur.items()
+        for name, (md5, fmd5, stale) in cur.items()
         if name in snap
         and md5 == snap[name]["oracle_md5"]
+        and fmd5 == snap[name].get("fn_md5")
         and stale != snap[name]["stale_since"]
     ]
     assert not drifted, (
-        f"_STALE_SINCE moved without an oracle change being snapshotted "
-        f"for {drifted}; rerun tools/snapshot_oracles.py"
+        f"_STALE_SINCE moved without an oracle/function change being "
+        f"snapshotted for {drifted}; rerun tools/snapshot_oracles.py"
     )
 
 
@@ -175,3 +197,45 @@ def test_value_hash_comparator_is_not_vacuous():
     # sensitive to a dropped/duplicated row even at equal length... 
     mutated = pd.concat([base.iloc[:2], base.iloc[1:2]]).reset_index(drop=True)
     assert vo.value_hash(mutated) != h
+
+
+def test_audit_goes_red_on_unbumped_function_edit(tmp_path, monkeypatch):
+    """Done-criterion for round-6 verdict #2: simulate a Spark-side
+    function edit with an unchanged oracle and an unmoved stale bar —
+    the offender logic must flag it; and the same edit WITH a bump must
+    pass. Runs the real audit against a doctored snapshot."""
+    with open(SNAPSHOT) as f:
+        snap = json.load(f)
+    cur = _current()
+    # pick any oracled query that has both hashes snapshotted
+    name = next(
+        n for n, (md5, fmd5, _) in cur.items()
+        if md5 is not None and fmd5 is not None and snap.get(n, {}).get("fn_md5")
+    )
+    doctored = dict(snap)
+    doctored[name] = dict(snap[name], fn_md5="0" * 32)  # pretend source moved
+
+    def offenders(s):
+        out = []
+        for n, (md5, fmd5, stale) in cur.items():
+            old = s.get(n)
+            if old is None:
+                continue
+            oracle_changed = md5 != old["oracle_md5"]
+            fn_changed = (
+                old.get("fn_md5") is not None
+                and fmd5 is not None
+                and fmd5 != old["fn_md5"]
+            )
+            if (oracle_changed or fn_changed) and stale <= old["stale_since"]:
+                out.append(n)
+        return out
+
+    assert name in offenders(doctored), (
+        "an unbumped function-source edit was NOT flagged"
+    )
+    bumped = dict(doctored)
+    bumped[name] = dict(doctored[name], stale_since=cur[name][2] - 1)
+    assert name not in offenders(bumped), (
+        "a properly bumped function-source edit was still flagged"
+    )
