@@ -826,14 +826,14 @@ def _bm25_scored(tf: DataFrame, stats: DataFrame) -> DataFrame:
     return scored.select("doc_id", F.round("s", 6).alias("bm25"))
 
 
-def _bm25_score(tf: DataFrame, stats: DataFrame) -> DataFrame:
-    """Top-10 tail over `_bm25_scored` — used by both the scan path
+def _bm25_score(tf: DataFrame, stats: DataFrame, limit: int = 10) -> DataFrame:
+    """Top-k tail over `_bm25_scored` — used by both the scan path
     and the index-probe path (TakeOrderedAndProject, never a global
     sort)."""
     return (
         _bm25_scored(tf, stats)
         .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(10)
+        .limit(limit)
     )
 
 
@@ -889,8 +889,10 @@ def bm25_index_build(
         fh.write(f"buckets={buckets}\n")
 
 
-def bm25_probe(spark: SparkSession, path: str, terms: list[str]) -> DataFrame:
-    """Top-10 BM25 probe against a `bm25_index_build` artifact:
+def bm25_probe(
+    spark: SparkSession, path: str, terms: list[str], limit: int = 10
+) -> DataFrame:
+    """Top-k (default 10) BM25 probe against a `bm25_index_build` artifact:
     reads ONLY the term buckets the query hashes to (PartitionFilters
     directory pruning — the probe-only plan is pinned in PLANS.md and
     test_plans) plus the one-row stats table. No tokenization, no
@@ -910,7 +912,7 @@ def bm25_probe(spark: SparkSession, path: str, terms: list[str]) -> DataFrame:
     tf = stored.filter(
         F.col("bucket").isin(bucket_ids) & F.col("term").isin(*terms)
     ).select("doc_id", "term", "tf", "dl")
-    return _bm25_score(tf, stats_full.select("n_docs", "avgdl"))
+    return _bm25_score(tf, stats_full.select("n_docs", "avgdl"), limit=limit)
 
 
 def _bm25_cached_index_path(sf_dir: str) -> str:
@@ -1340,6 +1342,93 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sem_rank",
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+def _registered_oracle(name: str) -> str:
+    """Reuse an already-registered query's oracle verbatim — for
+    variants whose results are identical BY CONSTRUCTION to an
+    existing query (index-probed vs scan-path retrieval), so the
+    driver hash-verifies that the probe loses nothing."""
+    from ..registry import _REGISTRY
+
+    return _REGISTRY[name].oracle
+
+
+@query(
+    "hybrid_retrieval_rrf_pruned",
+    oracle=None,  # bound right below via register-time lookup
+)
+def hybrid_retrieval_rrf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`hybrid_retrieval_rrf` with its lexical branch swapped for the
+    INDEX-PROBED path — the swap the scan-path docstring promises:
+    rank lists are the stable interface, so the combiner is untouched.
+    The lexical leg probes the persisted bucketed postings artifact
+    (`bm25_index_build` → `bm25_probe` at depth 20: PartitionFilters
+    directory pruning, |Q|/buckets of the index read, zero
+    tokenization at query time); the semantic leg is the same exact
+    cosine ranking. Results are identical to `hybrid_retrieval_rrf`
+    by construction, so it registers the same oracle — the driver
+    hash-verifies the probe-composed stack end to end.
+
+    At 100 TB this is the shape the retrieval tier actually serves:
+    both branches read indexes, nothing rescans the corpus, and the
+    fusion joins two ≤20-row lists."""
+    import os
+
+    path = _bm25_cached_index_path(sf_dir)
+    if not os.path.exists(f"{path}/_INDEX_COMPLETE"):
+        bm25_index_build(load_table(spark, sf_dir, "documents"), path)
+    from pyspark.sql import Window
+
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = (
+        bm25_probe(spark, path, list(_BM25_TERMS), limit=_RRF_DEPTH)
+        .withColumn("rank", F.row_number().over(w_lex))
+        .select("doc_id", F.col("rank").alias("lex_rank"))
+    )
+
+    from ..functions.vector import as_double, dot, l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    sim = dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
+    w_sem = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_sim", F.round(sim, 6))
+        .withColumn("rank", F.row_number().over(w_sem))
+        .filter(F.col("rank") <= _RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        "lex_rank",
+        "sem_rank",
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+# Bind the shared oracle AFTER both registrations exist: identical
+# results by construction (probe ≡ scan), one oracle string.
+import dataclasses as _dc  # noqa: E402
+
+from ..registry import _REGISTRY as _REG  # noqa: E402
+
+_REG["hybrid_retrieval_rrf_pruned"] = _dc.replace(
+    _REG["hybrid_retrieval_rrf_pruned"],
+    oracle=_registered_oracle("hybrid_retrieval_rrf"),
+)
 
 
 _DSIR_TARGET_LANG = "en"

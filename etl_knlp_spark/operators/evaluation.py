@@ -79,7 +79,13 @@ def eval_prf_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one (gold, pred) partial-aggregated groupBy over the corpus
     — ≤ |langs|² cells shuffle; the three per-class pivots and joins
-    run on the cell table."""
+    run on the cell table. The cell table is localCheckpointed: it
+    feeds three aggregation branches (n_gold / n_pred / tp), and
+    without the checkpoint Catalyst re-runs the corpus scan AND the
+    pandas-UDF prediction once per branch (the round-7 plan audit
+    caught FOUR ArrowEvalPython nodes over three full scans — the
+    expensive kernel ran 4× for one evaluation). Materialized once,
+    the corpus is scanned once and every branch reads ≤|langs|² rows."""
     docs = load_table(spark, sf_dir, "documents")
     cells = (
         docs.select(
@@ -88,6 +94,7 @@ def eval_prf_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("gold", "pred")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
     )
     g = cells.groupBy(F.col("gold").alias("cls")).agg(
         F.sum("n").cast("bigint").alias("n_gold")

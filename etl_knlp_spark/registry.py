@@ -94,6 +94,10 @@ _STALE_SINCE: dict[str, int] = {
     # (values starting with '=' also escaped — ADVICE r6 #2), changing
     # the oracle again.
     "kanon_release": 7,
+    # round 7 localCheckpointed the confusion-cell table (the corpus
+    # was being scanned 3× and the langid UDF run 4× — one scan per
+    # aggregation branch); output identical, function source changed.
+    "eval_prf_summary": 7,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
@@ -104,11 +108,15 @@ _STALE_SINCE: dict[str, int] = {
 # entries once their green row lands.
 _SWEEP_PRIORITY: set[str] = {
     # round 7: kanon_release's oracle changed again (injective escape,
-    # ADVICE r6 #2) so its r6 green row is invalid — re-evidence first.
+    # ADVICE r6 #2) and eval_prf_summary's plan was fixed (cell-table
+    # checkpoint), so their r6 green rows are invalid — re-evidence
+    # first, along with the new round-7 registration.
     # (The r6 priority cohort — collated_group/corpus_funnel/
     # parameterized_sql/join_asof + the 3 events queries — all landed
     # their green rows in the r6 sweep and were pruned.)
     "kanon_release",
+    "eval_prf_summary",
+    "hybrid_retrieval_rrf_pruned",
 }
 
 # --- Environment-epoch staleness (round-5 verdict "Next round #2") ---

@@ -374,3 +374,43 @@ def test_join_hints_flip_the_physical_strategy(spark, sf_dir):
     n = base.count()
     for hint in ("merge", "shuffle_hash"):
         assert o.join(c.hint(hint), o.o_custkey == c.c_custkey).count() == n
+
+
+def test_eval_prf_scans_corpus_once_through_checkpointed_cells(plans):
+    """Round-7 plan audit: eval_prf_summary's three aggregation
+    branches (n_gold / n_pred / tp) must read the localCheckpointed
+    confusion-cell table — before the checkpoint, Catalyst re-ran the
+    corpus scan AND the langid pandas UDF once per branch (three full
+    scans, four ArrowEvalPython nodes for one evaluation)."""
+    p = plans("eval_prf_summary")
+    # every branch reads the materialized ≤|langs|² cell table
+    assert "ExistingRDD" in p
+    # no branch rescans the corpus or re-runs the prediction kernel
+    assert "Scan parquet" not in p
+    assert "ArrowEvalPython" not in p and "EvalPython" not in p
+
+
+def test_hybrid_pruned_probes_index_and_never_tokenizes(spark):
+    """The probe-composed hybrid stack: its lexical branch must read
+    only the probed term buckets (PartitionFilters directory pruning,
+    same subtree as bm25_pruned) and must NOT tokenize the corpus —
+    no explode over a token array anywhere in the plan; the final
+    fusion is a bounded top-k, not a global sort."""
+    import re
+
+    from etl_knlp_spark.operators.analysis import (
+        hybrid_retrieval_rrf,
+        hybrid_retrieval_rrf_pruned,
+    )
+
+    pruned = hybrid_retrieval_rrf_pruned(spark, SF)
+    # identical results to the scan-path hybrid — the swap loses nothing
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, hybrid_retrieval_rrf(spark, SF).collect())
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*IN", plan), (
+        "expected bucket IN (...) PartitionFilters on the postings scan"
+    )
+    assert "Generate explode" not in plan  # zero query-time tokenization
+    assert "TakeOrderedAndProject" in plan

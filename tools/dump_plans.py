@@ -262,6 +262,28 @@ SHOWCASE = {
         "(registered, oracled) shuffles on the gram key instead — the "
         "hash is what buys the broadcast."
     ),
+    "eval_prf_summary": (
+        "Classifier evaluation as ONE grouped pass: the confusion "
+        "matrix aggregates map-side to ≤|langs|² cells and is "
+        "localCheckpointed (the ExistingRDD below), so the corpus is "
+        "scanned — and the pandas-UDF prediction run — exactly once; "
+        "the three per-class aggregation branches (n_gold / n_pred / "
+        "tp) and their joins all read the materialized cell table. "
+        "Before the checkpoint Catalyst re-ran the scan per branch: "
+        "the round-7 audit of this plan found three full corpus scans "
+        "and FOUR ArrowEvalPython nodes for one evaluation."
+    ),
+    "hybrid_retrieval_rrf_pruned": (
+        "The index-probed hybrid retrieval stack: the lexical branch "
+        "reads ONLY the probed term buckets of the persisted postings "
+        "artifact (PartitionFilters directory pruning — same subtree "
+        "as bm25_pruned) instead of tokenizing the corpus; the "
+        "semantic branch broadcasts the query vector and bounds "
+        "ranking with TakeOrderedAndProject; the RRF fusion joins two "
+        "≤20-row rank lists. Nothing rescans the corpus — the shape a "
+        "100 TB retrieval tier actually serves, hash-verified "
+        "identical to the scan-path `hybrid_retrieval_rrf`."
+    ),
     "arrow_batch_stats": (
         "mapInArrow partial aggregation: the Python stage (ArrowEvalPython-"
         "free MapInArrow node) emits per-batch (lang, count, tokens) "
