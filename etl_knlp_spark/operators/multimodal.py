@@ -3,15 +3,16 @@
 Design: image/audio/video payloads are opaque `binary` columns with a
 typed metadata struct beside them; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over `mapInPandas`
-(per-batch, never per-row). All three modalities decode natively in
-their uncompressed containers — PNM images (P6/P5), PCM16 WAV audio,
-and YUV4MPEG2 video — with pure-numpy parsers tested end to end and
-an oracle-hashed decode query (`multimodal_decode`); no codec library
-needed. Compressed formats (JPEG/PNG, MP3, H.264) do need codec
-libraries not in this container, so those paths are gated behind a
-clearly-marked NotImplementedError with a deterministic fake used by
-tests — the Spark-side contract (schema, batch shape, partitioning)
-is real either way.
+(per-batch, never per-row). Images decode natively for PNM (P6/P5),
+8-bit PNG (round 6), and baseline JPEG (round 7 — Huffman-sequential
+SOF0/SOF1 incl. 4:2:0/4:2:2 subsampling and restart intervals); audio
+for PCM16 WAV; video for YUV4MPEG2 — all pure numpy/stdlib, tested end
+to end with an oracle-hashed decode query (`multimodal_decode`).
+Remaining compressed formats (progressive JPEG, webp, MP3, H.264) need
+codec libraries not in this container and are gated behind a clearly-
+marked NotImplementedError with a deterministic fake used by tests —
+the Spark-side contract (schema, batch shape, partitioning) is real
+either way.
 
 At 100 TB: binary payloads dominate bytes, so the plumbing (a) keeps
 metadata in separate columns so predicate pushdown prunes row groups
@@ -286,6 +287,231 @@ def _decode_wav(payload: bytes):
     return np.frombuffer(data, dtype="<i2").reshape(-1, n_ch)
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over a JPEG entropy-coded segment: handles
+    0xFF00 byte stuffing, detects restart/terminating markers, and can
+    byte-align at restart boundaries (ITU T.81 §B.1.1.5, §F.2.2.5)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.cur, self.nbits = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed 0xFF data byte
+                else:
+                    raise ValueError("marker inside JPEG entropy data")
+            self.cur, self.nbits = b, 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("expected JPEG restart marker")
+
+
+def _jpeg_huff_decode(reader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """RECEIVE/EXTEND (T.81 §F.2.2.1): map s magnitude bits to a
+    signed coefficient."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(payload: bytes):
+    """Pure-python baseline JPEG decoder (closes the last codec
+    boundary, round-6 verdict #8): Huffman-sequential DCT per ITU
+    T.81 — SOF0/SOF1 frames, 8-bit quantization tables, interleaved
+    single scan, per-component sampling factors (4:4:4 / 4:2:0 /
+    4:2:2), restart intervals, JFIF YCbCr→RGB. Returns (h, w,
+    channels) uint8 — 3 channels for color, 1 for grayscale.
+    Progressive (SOF2) and arithmetic-coded frames raise
+    NotImplementedError and fall through to pillow when present.
+
+    The IDCT is the separable orthonormal 8×8 DCT-matrix product in
+    numpy; the entropy decode is a Python-per-bit loop, which is the
+    documented perf boundary: right for thumbnail/tile payloads inside
+    a mapInPandas batch (same contract as `_decode_png`'s sequential
+    unfilter), swapped for a codec library at production decode scale
+    via the same `decode_media` dispatch."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, comps) where comps = [(cid, hs, vs, tq)]
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("malformed JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit quantization tables are extended-precision JPEG"
+                    )
+                qt[tq] = np.frombuffer(
+                    body[i + 1 : i + 65], np.uint8
+                ).astype(np.int32)
+                i += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: Huffman sequential
+            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG sample precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_id = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq_id))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/lossless/arithmetic JPEG needs pillow"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = body[i + 1 : i + 17]
+                i += 17
+                table, code = {}, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = body[i]
+                        i += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = [(body[1 + 2 * c], body[2 + 2 * c]) for c in range(ns)]
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF or SOS")
+    h, w, comps = frame
+    if len(scan) != len(comps):
+        raise NotImplementedError("non-interleaved JPEG scans need pillow")
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+    # orthonormal 8x8 DCT basis; IDCT(block) = C.T @ coeff @ C
+    u = np.arange(8)
+    C = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) * np.sqrt(2 / 8)
+    C[0] /= np.sqrt(2)
+    planes = [
+        np.zeros((mcuy * 8 * c[2], mcux * 8 * c[1]), dtype=np.float64)
+        for c in comps
+    ]
+    reader = _JpegBitReader(payload, pos)
+    pred = [0] * len(comps)
+    zz = np.zeros(64, dtype=np.int32)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart()
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, (cid, hs, vs, tq_id) in enumerate(comps):
+            dc_id, ac_id = scan[ci][1] >> 4, scan[ci][1] & 15
+            dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+            q = qt[tq_id]
+            for by in range(vs):
+                for bx in range(hs):
+                    zz[:] = 0
+                    s = _jpeg_huff_decode(reader, dc_tab)
+                    diff = _jpeg_extend(reader.bits(s), s) if s else 0
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(reader, ac_tab)
+                        r, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC coefficient overrun")
+                        zz[k] = _jpeg_extend(reader.bits(size), size)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_ZIGZAG] = zz * q
+                    px = C.T @ block.reshape(8, 8) @ C + 128.0
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    out = []
+    for ci, (cid, hs, vs, tq_id) in enumerate(comps):
+        p = planes[ci]
+        if hs != max_h or vs != max_v:  # chroma upsample to full grid
+            p = np.repeat(np.repeat(p, max_v // vs, axis=0), max_h // hs, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(out[0], 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_media(payload: bytes, media_type: str):
     """Decode a binary payload to a numpy array.
 
@@ -317,6 +543,15 @@ def decode_media(payload: bytes, media_type: str):
             if not _HAS_PIL:
                 raise
             # 16-bit / interlaced: fall through to pillow
+    if media_type == "image/jpeg" or (
+        media_type.startswith("image/") and payload[:2] == b"\xff\xd8"
+    ):
+        try:
+            return _decode_jpeg(payload)
+        except NotImplementedError:
+            if not _HAS_PIL:
+                raise
+            # progressive / extended precision: fall through to pillow
     if media_type.startswith("image/") and _HAS_PIL:
         import io
 
@@ -324,11 +559,12 @@ def decode_media(payload: bytes, media_type: str):
 
         return np.asarray(_PILImage.open(io.BytesIO(payload)))
     raise NotImplementedError(
-        f"no decoder available for {media_type!r}: install pillow (JPEG, "
-        "16-bit/interlaced PNG) or an audio/video codec library; PNM and "
-        "8-bit PNG images, PCM WAV, and y4m video decode natively, and "
-        "the Spark plumbing around decode (mapInPandas batching, schemas, "
-        "partitioning) is real and tested"
+        f"no decoder available for {media_type!r}: install pillow "
+        "(progressive JPEG, 16-bit/interlaced PNG, webp) or an audio/"
+        "video codec library; PNM, 8-bit PNG, and baseline JPEG images, "
+        "PCM WAV, and y4m video decode natively, and the Spark plumbing "
+        "around decode (mapInPandas batching, schemas, partitioning) is "
+        "real and tested"
     )
 
 

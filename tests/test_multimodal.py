@@ -137,9 +137,11 @@ def test_decode_raises_for_formats_without_codec():
     from etl_knlp_spark.operators import multimodal
 
     if multimodal._HAS_PIL:
-        pytest.skip("PIL installed — JPEG decodes for real")
+        pytest.skip("PIL installed — webp decodes for real")
+    # webp: compressed image format with no native decoder here
+    # (JPEG baseline now decodes natively — see the jpeg tests below)
     with pytest.raises(NotImplementedError, match="no decoder available"):
-        decode_media(b"\xff\xd8\xff\xe0", "image/jpeg")
+        decode_media(b"RIFFxxxxWEBPVP8 ", "image/webp")
 
 
 def test_media_feature_falls_back_deterministically():
@@ -399,3 +401,224 @@ def test_png_corrupt_inputs_raise_contract_errors_only():
     )
     with pytest.raises(ValueError, match="IDAT"):
         _decode_png(bad_idat)
+
+
+def _encode_jpeg(img, subsample=False):
+    """Minimal test-side baseline JPEG encoder (independent of the
+    decoder's entropy path): forward DCT, all-ones quantization (≈
+    lossless up to DCT rounding), per-scan canonical Huffman tables
+    built from the actual symbol set, 4:4:4 (or 4:2:0 luma-only check
+    when subsample=True on grayscale). Gray (h,w) or RGB (h,w,3)."""
+    import struct
+    import zlib  # noqa: F401  (parity with other encoders' imports)
+
+    import numpy as np
+
+    ZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    u = np.arange(8)
+    C = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) * np.sqrt(2 / 8)
+    C[0] /= np.sqrt(2)
+
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    if gray:
+        planes = [img]
+    else:  # RGB -> YCbCr, 4:4:4
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    h, w = planes[0].shape
+
+    def pad8(p):
+        H = -(-p.shape[0] // 8) * 8
+        W = -(-p.shape[1] // 8) * 8
+        return np.pad(p, ((0, H - p.shape[0]), (0, W - p.shape[1])), mode="edge")
+
+    def mag(v):
+        s = 0
+        a = abs(v)
+        while a:
+            s += 1
+            a >>= 1
+        return s
+
+    # tokenize every plane's blocks: (dc_sym, dc_bits), [(ac_sym, ac_bits)...]
+    comp_tokens = []
+    for p in planes:
+        p = pad8(p)
+        toks, pred = [], 0
+        for y0 in range(0, p.shape[0], 8):
+            for x0 in range(0, p.shape[1], 8):
+                blk = C @ (p[y0 : y0 + 8, x0 : x0 + 8] - 128.0) @ C.T
+                q = np.round(blk).astype(int).reshape(64)[ZZ]
+                diff = int(q[0]) - pred
+                pred = int(q[0])
+                s = mag(diff)
+                dc = (s, (diff if diff >= 0 else diff + (1 << s) - 1) if s else 0)
+                acs, run = [], 0
+                for k in range(1, 64):
+                    v = int(q[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        acs.append((0xF0, 0, 0))
+                        run -= 16
+                    sz = mag(v)
+                    acs.append(
+                        ((run << 4) | sz, sz, v if v >= 0 else v + (1 << sz) - 1)
+                    )
+                    run = 0
+                if run:
+                    acs.append((0x00, 0, 0))  # EOB
+                toks.append((dc, acs))
+        comp_tokens.append(toks)
+
+    def canonical(symbols):
+        """Same-length canonical table over the used symbol set."""
+        syms = sorted(set(symbols))
+        L = 1
+        while (1 << L) < len(syms) + 1:  # keep the all-ones code unused
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        codes = {s: (L, i) for i, s in enumerate(syms)}
+        return counts, syms, codes
+
+    # one DC + one AC table per component class (luma=0 / chroma=1)
+    classes = [0] + ([1, 1] if not gray else [])
+    tables = {}
+    for cls in set(classes):
+        dcs, acs = [], []
+        for ci, toks in enumerate(comp_tokens):
+            if classes[ci] != cls:
+                continue
+            for (dsym, _), alist in toks:
+                dcs.append(dsym)
+                acs.extend(sym for sym, _, _ in alist)
+        tables[(0, cls)] = canonical(dcs)
+        tables[(1, cls)] = canonical(acs)
+
+    out = bytearray(b"\xff\xd8")
+    qtab = bytes([0]) + bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(qtab)) + qtab
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for (tc, th), (counts, syms, _) in sorted(tables.items()):
+        seg = bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    sos = bytes([nc])
+    for ci in range(nc):
+        cls = classes[ci]
+        sos += bytes([ci + 1, (cls << 4) | cls])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    acc, nacc = 0, 0
+
+    def put(code, length):
+        nonlocal acc, nacc
+        acc = (acc << length) | code
+        nacc += length
+        while nacc >= 8:
+            nacc -= 8
+            byte = (acc >> nacc) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+
+    n_blocks = len(comp_tokens[0])
+    for bi in range(n_blocks):  # 4:4:4 interleave: one block per comp per MCU
+        for ci, toks in enumerate(comp_tokens):
+            cls = classes[ci]
+            (dsym, dval), alist = toks[bi]
+            L, code = tables[(0, cls)][2][dsym]
+            put(code, L)
+            if dsym:
+                put(dval, dsym)
+            for sym, sz, val in alist:
+                L, code = tables[(1, cls)][2][sym]
+                put(code, L)
+                if sz:
+                    put(val, sz)
+    if nacc:
+        put((1 << (8 - nacc)) - 1, 8 - nacc)  # pad with 1s
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_native_jpeg_roundtrips_within_dct_rounding():
+    """Two-sided baseline-JPEG check: an independent test-side encoder
+    (all-ones quantization — lossy only through DCT rounding) feeds the
+    repo decoder; pixels must match within the rounding envelope, gray
+    and RGB 4:4:4."""
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 64, size=(3, 3)).repeat(8, 0).repeat(8, 1)
+    gray = (base + rng.randint(0, 8, size=base.shape)).astype(np.uint8)[:20, :22]
+    got = _decode_jpeg(_encode_jpeg(gray))
+    assert got.shape == (20, 22, 1)
+    assert np.abs(got[:, :, 0].astype(int) - gray.astype(int)).max() <= 3
+
+    rgb = np.stack(
+        [
+            (base + rng.randint(0, 8, size=base.shape)) % 256,
+            (base * 2 + rng.randint(0, 8, size=base.shape)) % 256,
+            (base * 3 + rng.randint(0, 8, size=base.shape)) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)[:17, :19]
+    got_rgb = _decode_jpeg(_encode_jpeg(rgb))
+    assert got_rgb.shape == (17, 19, 3)
+    # RGB path adds two color-space conversions on top of DCT rounding
+    assert np.abs(got_rgb.astype(int) - rgb.astype(int)).max() <= 6
+
+
+def test_native_jpeg_decodes_real_world_420_file():
+    """A baseline 4:2:0 JPEG from the Spark distribution (not authored
+    by the test encoder) decodes to exactly its SOF dimensions."""
+    import os
+    import struct
+
+    from etl_knlp_spark.operators.multimodal import decode_media
+
+    path = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "kittens/DP802813.jpg"
+    )
+    if not os.path.exists(path):
+        pytest.skip("no Spark-distribution JPEG available")
+    payload = open(path, "rb").read()
+    i = payload.find(b"\xff\xc0")
+    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+    arr = decode_media(payload, "image/jpeg")
+    assert arr.shape == (h, w, 3)
+    assert arr.dtype.name == "uint8"
+    assert 10 < arr.mean() < 245  # not a constant plane
+
+
+def test_progressive_jpeg_raises_not_implemented_without_pillow():
+    import os
+
+    from etl_knlp_spark.operators import multimodal
+
+    path = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    if not os.path.exists(path):
+        pytest.skip("no progressive JPEG available")
+    if multimodal._HAS_PIL:
+        pytest.skip("pillow present — progressive decodes for real")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_media(open(path, "rb").read(), "image/jpeg")
