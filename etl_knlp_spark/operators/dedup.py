@@ -1296,42 +1296,26 @@ def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boundary — a too-large alpha silently DROPS true pairs).
 _PF_NUM, _PF_DEN = 1, 2  # threshold 0.5
 
+# Default refusal threshold for the prefix join's pre-flight candidate
+# estimate (see `jaccard_prefix_pairs`). 2^31 pre-filter join rows is
+# roughly what a single fat node can chew in minutes; a cluster run
+# raises it to match capacity. sf0.1 estimates ~4M; the round-7 100×
+# adversarial probe (500k docs, tiny vocabulary — every gram hot)
+# estimates ~3×10^10, the regime where the exact join must refuse.
+_PF_CANDIDATE_BUDGET = 2**31
 
-@query(
-    "dedup_jaccard_prefix",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
-      FROM documents
-    ), grams AS (
-      SELECT doc_id, lang,
-             list_distinct(list_transform(generate_series(1, len(t) - 1),
-                                          i -> t[i] || ' ' || t[i + 1])) AS g
-      FROM toks WHERE len(t) >= 2
-    ), inv AS (
-      SELECT doc_id, lang, unnest(g) AS gram FROM grams
-    ), sized AS (
-      SELECT doc_id, lang, gram,
-             COUNT(*) OVER (PARTITION BY doc_id) AS n
-      FROM inv
-    ), shared AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.n AS n_a, b.n AS n_b, COUNT(*) AS n_shared
-      FROM sized a JOIN sized b ON a.gram = b.gram AND a.lang = b.lang
-                               AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
-    )
-    SELECT doc_a, doc_b,
-           n_shared * 1.0 / (n_a + n_b - n_shared) AS jaccard
-    FROM shared
-    WHERE n_shared * {_PF_DEN} >= {_PF_NUM} * (n_a + n_b - n_shared)
-    """,
-)
-def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT bigram-Jaccard join at threshold 1/2 via prefix filtering
-    (the AllPairs/PPJoin candidate-pruning family) — same answer as the
-    naive inverted-index self-join, WITHOUT its hot-gram fan-out and
-    without `dedup_ngram_jaccard`'s document-frequency-cap recall trade.
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    num: int = _PF_NUM,
+    den: int = _PF_DEN,
+    candidate_budget: int | None = _PF_CANDIDATE_BUDGET,
+) -> DataFrame:
+    """EXACT bigram-Jaccard join at threshold num/den via prefix
+    filtering (the AllPairs/PPJoin candidate-pruning family) — same
+    answer as the naive inverted-index self-join, WITHOUT its hot-gram
+    fan-out and without `ngram_jaccard_pairs`'s document-frequency-cap
+    recall trade.
 
     The pruning theorem: order every document's gram set by one global
     canonical order; if J(a,b) >= t then |a∩b| >= ceil(t·|a|), so the
@@ -1342,25 +1326,38 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes the RAREST grams: a stop-word bigram in p·N docs sorts
     last, falls outside every prefix, and generates zero candidate
     pairs — the O((p·N)²) blow-up that forces the DF-cap approximation
-    in `dedup_ngram_jaccard` never happens, with no approximation.
+    in `ngram_jaccard_pairs` never happens, with no approximation.
     Candidates are then verified exactly with one sorted-array
     intersection per pair against the full gram sets.
 
     At threshold 1/2 only the rarest ~half of each doc's grams are
     indexed; the win grows with the threshold (at 0.9, ~10%). All
     arithmetic in the pruning and the final filter is integer (the
-    threshold is the exact rational {num}/{den}); the reported jaccard
+    threshold is the exact rational num/den); the reported jaccard
     is a ratio of exact ints — bit-identical across engines unrounded.
 
     Scale: df counts partial-aggregate map-side (distinct (lang, gh)
     keys shuffle, not postings); the df join, prefix self-join, and
     verify joins all key on hashed grams / doc ids — no broadcast of
     anything corpus-sized, no driver state, no UDFs.
+
+    ``candidate_budget`` is the pre-flight refusal guard (round-7
+    100×-density probe finding): prefix filtering prunes only corpora
+    whose df distribution HAS a rare tail. When every gram is hot —
+    adversarial duplicate multiplicity, or a tiny vocabulary — the
+    self-join's fan-out is Σ over prefix grams of df², quadratic in
+    density, and no exact inverted-index join can do better (on such
+    corpora even the TRUE pair output is Ω(N·m²) in multiplicity m).
+    Before launching the join, one cheap linear aggregation computes
+    the exact pre-filter fan-out Σ df_prefix²; if it exceeds the
+    budget the operator raises ValueError naming the estimate and the
+    scale siblings (`ngram_jaccard_pairs` with its absolute df cap;
+    `minhash_candidates` with its bucket cap) instead of submitting a
+    shuffle that cannot finish — at 100 TB a predictable refusal beats
+    a doomed multi-hour stage. None disables the guard; the measured
+    regimes are recorded in BASELINE.md (round-7 probe table).
     """
     from pyspark.sql import Window
-
-    num, den = _PF_NUM, _PF_DEN
-    docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     exploded = (
         docs.select("doc_id", "lang", toks.alias("toks"))
@@ -1393,7 +1390,28 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alpha = ceil(t*n) in exact integer arithmetic; prefix = n-alpha+1
     alpha = (F.col("n") * num + (den - 1)).cast("long") / F.lit(den)
     prefix_len = F.col("n") - F.floor(alpha).cast("long") + 1
-    prefix = ranked.filter(F.col("rk") <= prefix_len)
+    # checkpoint: the prefix stream feeds the estimate plus both
+    # self-join sides — three consumers of the window+df-join upstream
+    prefix = ranked.filter(F.col("rk") <= prefix_len).localCheckpoint(eager=False)
+    if candidate_budget is not None:
+        est = (
+            prefix.groupBy("lang", "gh")
+            .agg(F.count(F.lit(1)).alias("pdf"))
+            .agg(F.sum(F.col("pdf") * F.col("pdf")).alias("est"))
+            .first()["est"]
+        )
+        if est is not None and est > candidate_budget:
+            raise ValueError(
+                f"jaccard_prefix_pairs refused: the prefix self-join would "
+                f"generate ~{est:,} candidate rows (sum of per-gram "
+                f"prefix-df^2), over candidate_budget={candidate_budget:,}. "
+                "Every gram in this corpus is hot (high duplicate "
+                "multiplicity or tiny vocabulary), so exact prefix "
+                "filtering cannot prune; use the capped siblings — "
+                "ngram_jaccard_pairs(max_df_abs=...) or "
+                "minhash_candidates() — or raise candidate_budget to "
+                "match cluster capacity."
+            )
     cand = (
         prefix.select("lang", "gh", F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
         .join(
@@ -1432,6 +1450,46 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.filter(n_shared * den >= num * (F.col("n_a") + F.col("n_b") - n_shared))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(generate_series(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ), inv AS (
+      SELECT doc_id, lang, unnest(g) AS gram FROM grams
+    ), sized AS (
+      SELECT doc_id, lang, gram,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM inv
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS n_a, b.n AS n_b, COUNT(*) AS n_shared
+      FROM sized a JOIN sized b ON a.gram = b.gram AND a.lang = b.lang
+                               AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           n_shared * 1.0 / (n_a + n_b - n_shared) AS jaccard
+    FROM shared
+    WHERE n_shared * {_PF_DEN} >= {_PF_NUM} * (n_a + n_b - n_shared)
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for `jaccard_prefix_pairs` on the documents
+    table at threshold 1/2 with the default candidate budget — see the
+    helper's docstring for the pruning theorem and the pre-flight
+    refusal guard (the graded corpora estimate ~4M candidates at
+    sf0.1, far under the 2^31 budget, so the guard never alters the
+    oracle-matched output there)."""
+    return jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))
 
 
 @query(

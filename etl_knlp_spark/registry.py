@@ -98,6 +98,11 @@ _STALE_SINCE: dict[str, int] = {
     # was being scanned 3× and the langid UDF run 4× — one scan per
     # aggregation branch); output identical, function source changed.
     "eval_prf_summary": 7,
+    # round 7 split the prefix join into the jaccard_prefix_pairs
+    # helper and added its pre-flight candidate-budget guard (refuses
+    # Σ prefix-df² over 2^31 — the 100× adversarial probe regime);
+    # output identical at graded SFs, function source changed.
+    "dedup_jaccard_prefix": 7,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
@@ -117,6 +122,7 @@ _SWEEP_PRIORITY: set[str] = {
     "kanon_release",
     "eval_prf_summary",
     "hybrid_retrieval_rrf_pruned",
+    "dedup_jaccard_prefix",
 }
 
 # --- Environment-epoch staleness (round-5 verdict "Next round #2") ---

@@ -358,6 +358,31 @@ def test_jaccard_prefix_finds_planted_pair(spark):
     assert all(p == (1, 2) for p in out)
 
 
+def test_jaccard_prefix_budget_guard_refuses_hot_corpora(spark, sf_dir):
+    """The pre-flight candidate estimate (Σ prefix-df²) refuses before
+    submitting the self-join when over budget, names the estimate and
+    the capped siblings, and is inert at the graded scales under the
+    production default."""
+    import pytest
+
+    from etl_knlp_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="refused.*candidate_budget=1"):
+        jaccard_prefix_pairs(docs, candidate_budget=1)
+    # the default budget admits the graded corpus (output pinned by
+    # test_jaccard_prefix_equals_unfiltered_exact); budget=None skips
+    # the estimate job entirely and must agree with the default path
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_prefix_pairs(docs, candidate_budget=None).collect()
+    }
+    dflt = {
+        (r["doc_a"], r["doc_b"]) for r in jaccard_prefix_pairs(docs).collect()
+    }
+    assert got == dflt and len(dflt) > 0
+
+
 def test_ngram_abs_df_cap_matches_oracle(spark, sf_dir):
     """The ABSOLUTE df cap (the corpus-growth-proof knob) mirrors in
     the oracle template exactly like the fractional one."""
