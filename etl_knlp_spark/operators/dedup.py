@@ -2031,3 +2031,146 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("inner_doc"),
         )
     )
+
+
+# ---- Exact duplicated-substring spans (ExactSubstr tier) ------------------
+
+_SUBSTR_MIN_TOKENS = 8
+
+
+def duplicated_spans(docs: DataFrame, min_len: int = _SUBSTR_MIN_TOKENS) -> DataFrame:
+    """Maximal duplicated token spans of length >= ``min_len`` — the
+    SUB-document dedup tier (Lee et al. 2022's ExactSubstr finding:
+    much of web-corpus duplication is repeated boilerplate SPANS inside
+    otherwise-distinct documents, which document-level dedup never
+    sees). Emits one row per maximal span: (doc_id, span_start,
+    span_end, span_len) in 1-based token positions, ready for the
+    span-removal rewrite or for repetition accounting.
+
+    Spark-first reduction instead of suffix arrays: a duplicated span
+    of length >= L contains only duplicated L-token shingles, and any
+    L-shingle occurring at >= 2 corpus positions witnesses a
+    duplicated span — so (1) explode each doc into its L-shingle
+    positions, hashing the shingle text to a long (xxhash64: 8-byte
+    shuffle keys, not strings; collisions could only ADD a false
+    position at ~2^-64 per pair, disclosed), (2) keep positions whose
+    shingle occurs >= 2 times corpus-wide (map-side partial count,
+    one shuffle keyed by hash), (3) merge overlapping positions into
+    maximal spans per doc with the gaps-and-islands window (equal
+    interval lengths make the lag test exact: a new island starts
+    when the gap to the previous start >= L).
+
+    At 100 TB: the shingle stream is O(corpus tokens) thin rows, the
+    dup filter is one count shuffle + one hash join (no self-join —
+    cost is independent of duplication density, unlike the pairwise
+    family above), and the window partitions by doc_id, whose group
+    size is bounded by document length. The span output is at most
+    O(corpus tokens / L) rows. Suffix arrays find arbitrary-length
+    matches >= L too — this shingle reduction finds exactly the same
+    spans (every maximal duplicated span >= L is a maximal island of
+    duplicated L-shingle starts) with only joins and windows.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sh = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= min_len)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(min_len) + 1)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.expr(
+                f"xxhash64(concat_ws(' ', slice(toks, i, {min_len})))"
+            ).alias("sh"),
+        )
+        # two consumers (dup-count aggregate + the position join):
+        # materialize the thin (doc_id, i, sh) stream once instead of
+        # scanning + exploding the corpus twice (same pattern as
+        # capped_postings; the executed plan showed 2 full scans)
+        .localCheckpoint(eager=False)
+    )
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .filter(F.col("ct") > 1)
+        .select("sh")
+    )
+    hits = sh.join(dup, "sh").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    islands = hits.withColumn(
+        "new_isl",
+        F.when(F.col("i") - F.lag("i").over(w) < min_len, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "isl",
+        F.sum("new_isl").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            (F.max("i") + min_len - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+@query(
+    "dedup_substring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, i, array_to_string(t[i:i+{_SUBSTR_MIN_TOKENS}-1], ' ') AS s
+      FROM toks,
+           LATERAL unnest(generate_series(1, len(t) - {_SUBSTR_MIN_TOKENS} + 1))
+           AS g(i)
+      WHERE len(t) >= {_SUBSTR_MIN_TOKENS}
+    ), dup AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) > 1
+    ), hits AS (
+      SELECT doc_id, i FROM sh WHERE s IN (SELECT s FROM dup)
+    ), flagged AS (
+      SELECT doc_id, i,
+             CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                      < {_SUBSTR_MIN_TOKENS}
+                  THEN 0 ELSE 1 END AS new_isl
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, i,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS isl
+      FROM flagged
+    )
+    SELECT doc_id,
+           MIN(i) AS span_start,
+           MAX(i) + {_SUBSTR_MIN_TOKENS} - 1 AS span_end,
+           MAX(i) + {_SUBSTR_MIN_TOKENS} - MIN(i) AS span_len
+    FROM isl
+    GROUP BY doc_id, isl
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for `duplicated_spans` on the documents table at
+    the production minimum span length (8 tokens). The DuckDB oracle
+    mirrors the shingle/island construction on the raw shingle STRINGS
+    (no hash), so a Spark-side xxhash64 collision would hash-mismatch
+    the sweep — the hash is an oracle-checked optimization, not a
+    semantic approximation."""
+    return duplicated_spans(load_table(spark, sf_dir, "documents"))

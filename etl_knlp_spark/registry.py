@@ -123,6 +123,7 @@ _SWEEP_PRIORITY: set[str] = {
     "eval_prf_summary",
     "hybrid_retrieval_rrf_pruned",
     "dedup_jaccard_prefix",
+    "dedup_substring",
 }
 
 # --- Environment-epoch staleness (round-5 verdict "Next round #2") ---

@@ -383,6 +383,40 @@ def test_jaccard_prefix_budget_guard_refuses_hot_corpora(spark, sf_dir):
     assert got == dflt and len(dflt) > 0
 
 
+def test_duplicated_spans_merges_maximal_islands(spark):
+    """ExactSubstr reduction on a planted corpus: a 12-token span
+    shared by two docs reports once per doc as ONE maximal span (not
+    five overlapping 8-shingles); within-doc repetition counts; a
+    unique doc emits nothing."""
+    from etl_knlp_spark.operators.dedup import duplicated_spans
+
+    boiler = " ".join(f"b{i}" for i in range(12))  # 12-token shared span
+    rep = " ".join(f"r{i}" for i in range(8))  # 8-token self-repeat
+    rows = [
+        (1, boiler + " " + " ".join(f"u1x{j}" for j in range(10))),
+        (2, " ".join(f"u2x{j}" for j in range(5)) + " " + boiler),
+        (3, rep + " mid1 mid2 mid3 mid4 mid5 mid6 mid7 mid8 " + rep),
+        (4, " ".join(f"u4x{j}" for j in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in duplicated_spans(docs, min_len=8).collect()
+    }
+    # doc 1: span covers tokens 1..12; doc 2: tokens 6..17
+    assert out[1] == (1, 12, 12)
+    assert out[2] == (6, 17, 12)
+    # doc 3 repeats an 8-gram at positions 1 and 17 — two islands,
+    # but only one row each since groupBy collapses… both spans exact:
+    rows3 = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, min_len=8).collect()
+        if r["doc_id"] == 3
+    )
+    assert rows3 == [(1, 8), (17, 24)]
+    assert 4 not in out
+
+
 def test_ngram_abs_df_cap_matches_oracle(spark, sf_dir):
     """The ABSOLUTE df cap (the corpus-growth-proof knob) mirrors in
     the oracle template exactly like the fractional one."""
