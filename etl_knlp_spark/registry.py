@@ -124,6 +124,7 @@ _SWEEP_PRIORITY: set[str] = {
     "hybrid_retrieval_rrf_pruned",
     "dedup_jaccard_prefix",
     "dedup_substring",
+    "warc_roundtrip",
 }
 
 # --- Environment-epoch staleness (round-5 verdict "Next round #2") ---
@@ -320,7 +321,7 @@ def _load_all() -> None:
         textprep,
     )
     from .functions import scalar, skew, sql_surface  # noqa: F401
-    from .sources import layout  # noqa: F401
+    from .sources import layout, warc  # noqa: F401
     from .plans import corpus, dimension, tpch  # noqa: F401
     from .streaming import cdc, joins, stateful, windows  # noqa: F401
 
