@@ -414,3 +414,20 @@ def test_hybrid_pruned_probes_index_and_never_tokenizes(spark):
     )
     assert "Generate explode" not in plan  # zero query-time tokenization
     assert "TakeOrderedAndProject" in plan
+
+
+def test_substring_spans_have_no_self_join_and_one_window_sort(plans):
+    """dedup_substring's cost must stay independent of duplication
+    density: the shingle stream joins a COUNT>1 dup set (a plain
+    equi-join — never a shingle-stream self-join that would fan out
+    df² like the pairwise family) and the island merge is one window
+    pass; the checkpointed shingle stream (ExistingRDD) feeds both
+    consumers so the corpus is scanned/exploded once."""
+    p = plans("dedup_substring")
+    assert "ExistingRDD" in p  # checkpointed shingle stream reused
+    assert "Scan parquet" not in p  # ...instead of two corpus scans
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    # exactly one aggregation pair (dup count) + one span groupBy —
+    # partials run map-side in both
+    assert p.count("Window") == 2  # lag flag + running island sum
+    assert "SortMergeJoin" not in p or "BroadcastHashJoin" in p

@@ -291,6 +291,18 @@ SHOWCASE = {
         "rows — the map-side-combine shape that keeps a Python kernel "
         "viable inside a 100 TB scan."
     ),
+    "dedup_substring": (
+        "ExactSubstr spans without suffix arrays: the checkpointed "
+        "shingle stream (ExistingRDD — one scan + explode feeds both "
+        "the dup-count aggregate and the position join) is filtered "
+        "by a COUNT>1 semi-side whose aggregation partials run "
+        "map-side, then ONE window pass per doc merges positions "
+        "into maximal spans. No self-join anywhere — cost is "
+        "independent of duplication density, unlike the pairwise "
+        "dedup family; the dup-set join side is unbounded so it is "
+        "deliberately NOT hinted broadcast (AQE picks broadcast at "
+        "small SFs, shuffled-hash at corpus scale)."
+    ),
 }
 
 
