@@ -2038,6 +2038,36 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_MIN_TOKENS = 8
 
 
+def _shingle_stream(docs: DataFrame, min_len: int) -> DataFrame:
+    """The checkpointed (doc_id, i, sh) L-shingle position stream both
+    substring operators consume: shingle text hashed to a long
+    (xxhash64 — 8-byte shuffle keys; both registered oracles rehash
+    from RAW strings, so a collision hash-mismatches the sweep) and
+    materialized once per run because every consumer feeds it to two
+    or more plan subtrees (the un-checkpointed form scanned + exploded
+    the corpus once per subtree)."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= min_len)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(min_len) + 1)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.expr(
+                f"xxhash64(concat_ws(' ', slice(toks, i, {min_len})))"
+            ).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def duplicated_spans(docs: DataFrame, min_len: int = _SUBSTR_MIN_TOKENS) -> DataFrame:
     """Maximal duplicated token spans of length >= ``min_len`` — the
     SUB-document dedup tier (Lee et al. 2022's ExactSubstr finding:
@@ -2072,30 +2102,7 @@ def duplicated_spans(docs: DataFrame, min_len: int = _SUBSTR_MIN_TOKENS) -> Data
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    sh = (
-        docs.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= min_len)
-        .select(
-            "doc_id",
-            "toks",
-            F.explode(
-                F.sequence(F.lit(1), F.size("toks") - F.lit(min_len) + 1)
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            "i",
-            F.expr(
-                f"xxhash64(concat_ws(' ', slice(toks, i, {min_len})))"
-            ).alias("sh"),
-        )
-        # two consumers (dup-count aggregate + the position join):
-        # materialize the thin (doc_id, i, sh) stream once instead of
-        # scanning + exploding the corpus twice (same pattern as
-        # capped_postings; the executed plan showed 2 full scans)
-        .localCheckpoint(eager=False)
-    )
+    sh = _shingle_stream(docs, min_len)
     dup = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("ct"))
@@ -2174,3 +2181,113 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sweep — the hash is an oracle-checked optimization, not a
     semantic approximation."""
     return duplicated_spans(load_table(spark, sf_dir, "documents"))
+
+
+def substring_rewrite(docs: DataFrame, min_len: int = _SUBSTR_MIN_TOKENS) -> DataFrame:
+    """Keep-first ExactSubstr CUT (the rewrite step Lee et al. 2022
+    apply after finding duplicated substrings): every occurrence of a
+    duplicated ``min_len``-shingle except its canonical first one —
+    lexicographic minimum (doc_id, position) — marks its covered
+    tokens for removal; the canonical occurrence survives, so exactly
+    one copy of each duplicated span remains in the corpus. Emits per
+    doc: total tokens, removed tokens, and the md5 of the cleaned
+    (space-rejoined) text. Where kept and removed shingles overlap,
+    removal wins — deterministic over-cutting at overlap boundaries,
+    the standard trade of span cutting.
+
+    Spark-first: canonical occurrences fall out of ONE window
+    (row_number over the shingle-hash partitions ordered by
+    (doc_id, i) — no groupBy + join-back), removal positions explode
+    each mark into its <= min_len covered token slots (O(min_len ×
+    marks) thin rows), and a left join tags the posexploded token
+    stream. Every stage is linear in corpus tokens — like
+    `duplicated_spans` there is no self-join, so cost is independent
+    of duplication density. The cleaned text is re-assembled only as
+    a digest (array_sort(collect_list) is doc-bounded); a production
+    rewrite would write the filtered token stream itself.
+    """
+    from pyspark.sql import Window
+
+    sh = _shingle_stream(docs, min_len)
+    w = Window.partitionBy("sh").orderBy("doc_id", "i")
+    removed = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(min_len - 1))
+            ).alias("pos"),
+        )
+        .dropDuplicates(["doc_id", "pos"])
+        .withColumn("removed", F.lit(True))
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    positions = docs.select(
+        "doc_id", F.posexplode(toks).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    tagged = positions.join(removed, ["doc_id", "pos"], "left")
+    kept_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("removed").isNull(), F.struct("pos", "tok"))
+                )
+            ),
+            lambda x: x["tok"],
+        ),
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("removed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.md5(kept_text).alias("clean_md5"),
+    )
+
+
+@query(
+    "dedup_substring_rewrite",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM toks, LATERAL unnest(generate_series(1, len(t))) AS g(i)
+    ), sh AS (
+      SELECT doc_id, i, array_to_string(t[i:i+{_SUBSTR_MIN_TOKENS}-1], ' ') AS s
+      FROM toks,
+           LATERAL unnest(generate_series(1, len(t) - {_SUBSTR_MIN_TOKENS} + 1))
+           AS g(i)
+      WHERE len(t) >= {_SUBSTR_MIN_TOKENS}
+    ), marked AS (
+      SELECT doc_id, i,
+             ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, i) AS rn
+      FROM sh
+    ), removed AS (
+      SELECT DISTINCT m.doc_id, m.i + o.off AS pos
+      FROM marked m,
+           LATERAL unnest(generate_series(0, {_SUBSTR_MIN_TOKENS} - 1)) AS o(off)
+      WHERE m.rn > 1
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(
+             string_agg(p.tok, ' ' ORDER BY p.pos) FILTER (WHERE r.pos IS NULL),
+             '')) AS clean_md5
+    FROM pos p
+    LEFT JOIN removed r ON r.doc_id = p.doc_id AND r.pos = p.pos
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for `substring_rewrite` on the documents table:
+    the keep-first cut at the production span length (8 tokens). The
+    oracle rebuilds the canonical-occurrence choice, the positional
+    removal set, and the cleaned-text digest from raw shingle strings
+    — the full rewrite semantics hash-verify, not just the counts."""
+    return substring_rewrite(load_table(spark, sf_dir, "documents"))

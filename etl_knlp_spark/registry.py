@@ -124,6 +124,7 @@ _SWEEP_PRIORITY: set[str] = {
     "hybrid_retrieval_rrf_pruned",
     "dedup_jaccard_prefix",
     "dedup_substring",
+    "dedup_substring_rewrite",
     "warc_roundtrip",
 }
 

@@ -417,6 +417,31 @@ def test_duplicated_spans_merges_maximal_islands(spark):
     assert 4 not in out
 
 
+def test_substring_rewrite_keeps_first_occurrence_only(spark):
+    """Keep-first cut semantics: the canonical (lowest doc_id,
+    position) copy of a duplicated span survives, every other copy's
+    tokens are removed; docs without duplication are untouched."""
+    import hashlib
+
+    from etl_knlp_spark.operators.dedup import substring_rewrite
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    u1 = " ".join(f"u1x{j}" for j in range(10))
+    u2 = " ".join(f"u2x{j}" for j in range(10))
+    rows = [
+        (1, boiler + " " + u1),  # canonical copy: kept in full
+        (2, u2 + " " + boiler),  # later copy: boiler removed
+        (3, " ".join(f"u3x{j}" for j in range(30))),  # untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_rewrite(docs, min_len=8).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1]["n_removed"] == 0 and out[1]["clean_md5"] == md5(rows[0][1])
+    assert out[2]["n_removed"] == 10 and out[2]["clean_md5"] == md5(u2)
+    assert out[3]["n_removed"] == 0 and out[3]["clean_md5"] == md5(rows[2][1])
+    assert out[2]["n_tokens"] == 20
+
+
 def test_ngram_abs_df_cap_matches_oracle(spark, sf_dir):
     """The ABSOLUTE df cap (the corpus-growth-proof knob) mirrors in
     the oracle template exactly like the fractional one."""
