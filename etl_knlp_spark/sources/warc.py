@@ -126,8 +126,14 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     (`https://corpus.invalid/{lang}/{doc_id}`); records whose URI does
     not match the corpus scheme surface with NULL doc_id/lang rather
     than being silently dropped."""
+    import glob as _glob
+
     import pandas as pd
 
+    if not _glob.glob(os.path.join(path, "*.warc.gz")):
+        # an empty crawl drop is a normal steady-state condition (no
+        # shards landed this cycle) — empty frame, not a path error
+        return spark.createDataFrame([], _READ_SCHEMA)
     files = spark.read.format("binaryFile").load(os.path.join(path, "*.warc.gz"))
 
     def parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -75,6 +75,18 @@ def test_write_read_distributed_roundtrip(spark, tmp_path):
     assert len(list((tmp_path / "w").glob("*.warc.gz"))) >= 1
 
 
+def test_read_empty_drop_returns_empty_frame(spark, tmp_path):
+    """A shard directory with no .warc.gz files (an empty crawl cycle)
+    reads as an empty typed frame, not a path error."""
+    d = tmp_path / "empty"
+    d.mkdir()
+    df = read_warc(spark, str(d))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "lang", "warc_type", "target_uri", "text",
+    ]
+
+
 def test_foreign_uri_surfaces_null_identity(spark, tmp_path):
     """A crawl record whose URI is not the corpus scheme still parses —
     with NULL doc_id/lang — instead of being silently dropped."""
