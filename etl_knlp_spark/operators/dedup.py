@@ -2038,16 +2038,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_MIN_TOKENS = 8
 
 
-def _shingle_stream(docs: DataFrame, min_len: int) -> DataFrame:
-    """The checkpointed (doc_id, i, sh) L-shingle position stream both
-    substring operators consume: shingle text hashed to a long
-    (xxhash64 — 8-byte shuffle keys; both registered oracles rehash
-    from RAW strings, so a collision hash-mismatches the sweep) and
-    materialized once per run because every consumer feeds it to two
-    or more plan subtrees (the un-checkpointed form scanned + exploded
-    the corpus once per subtree)."""
+def _shingle_stream(
+    docs: DataFrame, min_len: int, checkpoint: bool = True
+) -> DataFrame:
+    """The (doc_id, i, sh) L-shingle position stream both substring
+    operators consume: shingle text hashed to a long (xxhash64 —
+    8-byte shuffle keys; both registered oracles rehash from RAW
+    strings, so a collision hash-mismatches the sweep).
+    ``checkpoint`` materializes it once for consumers that feed it to
+    two or more plan subtrees (`duplicated_spans`: the dup-count
+    aggregate + the position join — un-checkpointed, the corpus was
+    scanned and exploded once per subtree); `substring_rewrite` feeds
+    it to a single window and passes False."""
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    return (
+    stream = (
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= min_len)
         .select(
@@ -2064,8 +2068,8 @@ def _shingle_stream(docs: DataFrame, min_len: int) -> DataFrame:
                 f"xxhash64(concat_ws(' ', slice(toks, i, {min_len})))"
             ).alias("sh"),
         )
-        .localCheckpoint(eager=False)
     )
+    return stream.localCheckpoint(eager=False) if checkpoint else stream
 
 
 def duplicated_spans(docs: DataFrame, min_len: int = _SUBSTR_MIN_TOKENS) -> DataFrame:
@@ -2208,7 +2212,7 @@ def substring_rewrite(docs: DataFrame, min_len: int = _SUBSTR_MIN_TOKENS) -> Dat
     """
     from pyspark.sql import Window
 
-    sh = _shingle_stream(docs, min_len)
+    sh = _shingle_stream(docs, min_len, checkpoint=False)
     w = Window.partitionBy("sh").orderBy("doc_id", "i")
     removed = (
         sh.withColumn("rn", F.row_number().over(w))

@@ -163,11 +163,17 @@ def write_warc(df: DataFrame, path: str) -> int:
     (doc_id, lang, text required) as `resource` records into one
     `.warc.gz` shard under ``path`` (one gzip member per record —
     the Common Crawl layout `read_warc` consumes). Returns the record
-    count. Shard names come from the task partition id, so a re-run
-    overwrites rather than accumulates."""
+    count. Idempotent: existing shards under ``path`` are cleared
+    first (shard names come from task partition ids, so without the
+    clear a re-run with FEWER partitions would leave stale orphan
+    shards beside the fresh ones)."""
+    import glob as _glob
+
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
+    for stale in _glob.glob(os.path.join(path, "*.warc.gz")):
+        os.remove(stale)
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext

@@ -75,6 +75,19 @@ def test_write_read_distributed_roundtrip(spark, tmp_path):
     assert len(list((tmp_path / "w").glob("*.warc.gz"))) >= 1
 
 
+def test_write_is_idempotent_across_repartitioning(spark, tmp_path):
+    """A re-run with fewer partitions must not leave stale orphan
+    shards from the wider first run."""
+    wide = spark.createDataFrame(
+        [(i, "en", f"text {i}") for i in range(8)],
+        "doc_id long, lang string, text string",
+    ).repartition(8)
+    assert write_warc(wide, str(tmp_path / "w")) == 8
+    narrow = wide.limit(2).repartition(1)
+    assert write_warc(narrow, str(tmp_path / "w")) == 2
+    assert read_warc(spark, str(tmp_path / "w")).count() == 2
+
+
 def test_read_empty_drop_returns_empty_frame(spark, tmp_path):
     """A shard directory with no .warc.gz files (an empty crawl cycle)
     reads as an empty typed frame, not a path error."""
