@@ -485,52 +485,31 @@ def _shingle_sets(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def minhash_candidates(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    # Default far above the graded corpora's duplicate multiplicity
-    # (max exact multiplicity at sf0.1 is 2) yet low enough that a
-    # hostile-density corpus (the 100-way-multiplicity 100× probe)
-    # degrades to O(m) star output instead of wedging on C(m,2) pairs.
-    bucket_cap: int = 32,
+def minhash_band_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Candidate near-dup pairs via MinHash banding (the scalable path).
+    """The (doc_id, band_idx, band_hash) LSH band table — word-3-gram
+    shingles hashed to longs → 32 derived minhashes (xxhash64(h, j),
+    no per-permutation string hashing) → 8 bands of 4. This is the
+    artifact a production ingest PERSISTS as its near-dup signature
+    index: `minhash_candidates` self-joins it for full-corpus dedup,
+    `incremental_minhash_screen` probes a new batch against the stored
+    history copy without recomputing historical signatures.
 
-    word-3-gram shingles hashed to longs → 32 derived minhashes
-    (xxhash64(h, j), no per-permutation string hashing) → 8 bands of
-    4 → docs colliding on any (band_idx, band_hash) become candidates.
-    The band self-join is NARROW — only (band, doc_id) shuffles, never
-    the shingle sets; shingle-hash sets re-join onto the (few)
-    surviving candidate pairs for exact-Jaccard verification, as two
-    broadcast-able hash joins. Probability of candidacy ≈
-    1-(1-j^4)^8 for true Jaccard j (≥0.9 dups are caught w.p. >99.9%).
-    """
-    # Both the shingle sets and the banded signatures feed TWO join
-    # sides each; without checkpoints each side re-runs the whole
-    # build (scan → explode → 32-min signature aggregate — the
-    # dominant cost at corpus scale — twice). Lazy localCheckpoints
-    # materialize each stream once; output bit-identical, 1.08× at
-    # sf0.1 where fixed costs dominate, and the saving approaches 2×
-    # of the signature build as the corpus grows.
-    shingled = _shingle_sets(docs, text_col, id_col).localCheckpoint(eager=False)
-    # signature: explode → 32 codegen'd min-aggregates.
-    #
-    # NOTE the explode is over the cheap index sequence, not over the
-    # shingle-hash array: Catalyst collapses a preceding projection INTO
-    # Generate, so an inlined array-building expression would re-evaluate
-    # per OUTPUT row (~60× the work — measured 20× slower at sf0.1).
-    # Min is duplicate-insensitive, so no array_distinct is needed here.
-    #
-    # Shuffle ordering (round-4 measurement): WITHOUT the explicit
-    # doc_id repartition below, the groupBy's partial aggregation runs
-    # on token-hash-partitioned data and the exchange carries one
-    # 32-long partial row per (doc × source partition) — larger than
-    # the raw (doc_id, h) token stream itself. Repartitioning the thin
-    # token stream by doc_id FIRST makes the aggregate partition-local:
-    # one exchange total, measurably faster at sf0.1 (interleaved A/B),
-    # identical output — and the win grows with partition count, since
-    # the partial-row volume scales as docs × partitions.
+    NOTE the explode is over the cheap index sequence, not over the
+    shingle-hash array: Catalyst collapses a preceding projection INTO
+    Generate, so an inlined array-building expression would re-evaluate
+    per OUTPUT row (~60× the work — measured 20× slower at sf0.1).
+    Min is duplicate-insensitive, so no array_distinct is needed.
+
+    Shuffle ordering (round-4 measurement): WITHOUT the explicit
+    doc_id repartition, the groupBy's partial aggregation runs on
+    token-hash-partitioned data and the exchange carries one 32-long
+    partial row per (doc × source partition) — larger than the raw
+    (doc_id, h) token stream itself. Repartitioning the thin token
+    stream by doc_id FIRST makes the aggregate partition-local: one
+    exchange total, identical output, and the win grows with
+    partition count."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     exploded = (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
@@ -566,14 +545,47 @@ def minhash_candidates(
         )
         for b in range(_N_BANDS)
     ]
-    banded = (
+    return (
         sig_tbl.select("doc_id", F.explode(F.array(*band_structs)).alias("band"))
         .select(
             "doc_id",
             F.col("band.band_idx").alias("band_idx"),
             F.col("band.band_hash").alias("band_hash"),
         )
-        .localCheckpoint(eager=False)
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    # Default far above the graded corpora's duplicate multiplicity
+    # (max exact multiplicity at sf0.1 is 2) yet low enough that a
+    # hostile-density corpus (the 100-way-multiplicity 100× probe)
+    # degrades to O(m) star output instead of wedging on C(m,2) pairs.
+    bucket_cap: int = 32,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding (the scalable path).
+
+    word-3-gram shingles hashed to longs → 32 derived minhashes
+    (xxhash64(h, j), no per-permutation string hashing) → 8 bands of
+    4 → docs colliding on any (band_idx, band_hash) become candidates.
+    The band self-join is NARROW — only (band, doc_id) shuffles, never
+    the shingle sets; shingle-hash sets re-join onto the (few)
+    surviving candidate pairs for exact-Jaccard verification, as two
+    broadcast-able hash joins. Probability of candidacy ≈
+    1-(1-j^4)^8 for true Jaccard j (≥0.9 dups are caught w.p. >99.9%).
+    """
+    # Both the shingle sets and the banded signatures feed TWO join
+    # sides each; without checkpoints each side re-runs the whole
+    # build (scan → explode → 32-min signature aggregate — the
+    # dominant cost at corpus scale — twice). Lazy localCheckpoints
+    # materialize each stream once; output bit-identical, 1.08× at
+    # sf0.1 where fixed costs dominate, and the saving approaches 2×
+    # of the signature build as the corpus grows.
+    shingled = _shingle_sets(docs, text_col, id_col).localCheckpoint(eager=False)
+    banded = minhash_band_signatures(docs, text_col, id_col).localCheckpoint(
+        eager=False
     )
     # Per-bucket pair cap (round-5 verdict #3): a bucket of m members
     # emits m·(m-1)/2 pairs — quadratic in duplicate MULTIPLICITY, so
@@ -1528,9 +1540,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint table is the only state the ingest keeps (32-byte
     digests, ~corpus-distinct rows), it never rescans historical
     text, and the new batch shuffles only its digests. The same shape
-    extends to near-dup screening by swapping the digest for MinHash
-    band keys (`minhash_candidates`) against a persisted signature
-    table. Emits every new doc with its dup verdict and the earliest
+    extends to NEAR-dup screening by swapping the digest for MinHash
+    band keys against the persisted signature table —
+    `incremental_minhash_screen` / `dedup_incremental_minhash` are
+    that extension. Emits every new doc with its dup verdict and the earliest
     historical doc it duplicates (NULL when novel)."""
     docs = load_table(spark, sf_dir, "documents")
     normalized = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
@@ -2295,3 +2308,152 @@ def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal set, and the cleaned-text digest from raw shingle strings
     — the full rewrite semantics hash-verify, not just the counts."""
     return substring_rewrite(load_table(spark, sf_dir, "documents"))
+
+
+def incremental_minhash_screen(
+    history: DataFrame, new: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Near-dup screening of a NEW batch against the HISTORICAL corpus
+    — the MinHash extension `dedup_incremental`'s digest join promises:
+    history is signature-indexed ONCE (`minhash_band_signatures`, the
+    persisted artifact), and each ingest batch probes it without
+    rescanning historical text. Emits every new doc with
+    (is_near_dup, dup_of) where dup_of is the smallest verified
+    historical partner (NULL when novel).
+
+    Bounded by construction: the historical band table collapses to
+    ONE representative (min doc_id) per (band_idx, band_hash) bucket
+    before the probe join, so each new doc meets at most
+    `_N_BANDS` (8) candidates regardless of historical duplicate
+    density — the screen asks "is this a near-dup of ANYTHING in
+    history", which one witness per colliding bucket answers; pairwise
+    completeness is the full-corpus operators' job. Candidates verify
+    with exact shingle-set Jaccard, so every flag is TRUE at the
+    threshold (the LSH stage only costs recall, measured through the
+    `dedup_incremental_minhash` contract)."""
+    hist_buckets = (
+        minhash_band_signatures(history)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.min("doc_id").alias("hist_id"))
+    )
+    new_bands = minhash_band_signatures(new).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        new_bands.join(hist_buckets, ["band_idx", "band_hash"])
+        .select("new_id", "hist_id")
+        .dropDuplicates(["new_id", "hist_id"])
+    )
+    new_sets = _shingle_sets(new, "text", "doc_id").select(
+        F.col("doc_id").alias("new_id"), F.col("shingle_hashes").alias("sh_n")
+    )
+    hist_sets = _shingle_sets(history, "text", "doc_id").select(
+        F.col("doc_id").alias("hist_id"), F.col("shingle_hashes").alias("sh_h")
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_h"))
+    union = F.size(F.array_union("sh_n", "sh_h"))
+    dups = (
+        cand.join(new_sets, "new_id")
+        .join(hist_sets, "hist_id")
+        .filter(inter * 1.0 / union >= threshold)
+        .groupBy("new_id")
+        .agg(F.min("hist_id").alias("dup_of"))
+        .withColumnRenamed("new_id", "doc_id")
+    )
+    return new.select("doc_id").join(dups, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").isNotNull().alias("is_near_dup"),
+        "dup_of",
+    )
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle="""
+    WITH cut AS (
+      SELECT MAX(doc_id) / 2 AS cut FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks WHERE len(t) >= 3
+    ), inv AS (
+      SELECT doc_id, unnest(g) AS gram FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id
+    ), pairs AS (
+      SELECT n.doc_id AS new_id, h.doc_id AS hist_id, COUNT(*) AS ns
+      FROM inv n JOIN inv h ON n.gram = h.gram
+      CROSS JOIN cut
+      WHERE n.doc_id >= cut.cut AND h.doc_id < cut.cut
+      GROUP BY 1, 2
+    ), true_dups AS (
+      SELECT DISTINCT p.new_id
+      FROM pairs p
+      JOIN sizes sn ON sn.doc_id = p.new_id
+      JOIN sizes sh2 ON sh2.doc_id = p.hist_id
+      WHERE ns * 1.0 / (sn.n + sh2.n - ns) >= 0.7
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM documents CROSS JOIN cut WHERE doc_id >= cut.cut) AS n_new,
+           CAST((SELECT COUNT(*) FROM true_dups) AS BIGINT) AS n_true_dup_new,
+           TRUE AS subset_ok,
+           TRUE AS recall_ok
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assertion contract over `incremental_minhash_screen` on the
+    deterministic history/new split of `documents` (doc_id below/above
+    half the max key — same split as `dedup_incremental`): n_new and
+    the true cross-corpus near-dup count are data-derived (DuckDB
+    recomputes both from raw string shingles through an independent
+    inverted-index plan), subset_ok asserts every screen flag is a
+    true >= 0.7 near-dup (the exact verify stage makes false
+    positives impossible — a FALSE here is an implementation bug),
+    recall_ok asserts the banded probe found >= 70%% of truly
+    duplicated new docs (measured 1.0 at the graded SFs — testdata
+    dups are high-Jaccard, where per-pair candidacy is > 0.999)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cut = docs.agg((F.max("doc_id") / 2).alias("cut"))
+    d = docs.crossJoin(F.broadcast(cut))
+    hist = d.filter(F.col("doc_id") < F.col("cut")).drop("cut")
+    new = d.filter(F.col("doc_id") >= F.col("cut")).drop("cut")
+    screened = incremental_minhash_screen(hist, new, 0.7)
+
+    # independent exact truth: inverted-index cross join (posting-list
+    # plan — deliberately different from the banded+array-set screen)
+    def _inv(side: DataFrame, label: str) -> DataFrame:
+        s = _shingle_sets(side, "text", "doc_id")
+        return s.select(
+            F.col("doc_id").alias(label), F.explode("shingle_hashes").alias("h")
+        )
+
+    inv_n, inv_h = _inv(new, "new_id"), _inv(hist, "hist_id")
+    sizes_n = inv_n.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_n"))
+    sizes_h = inv_h.groupBy("hist_id").agg(F.count(F.lit(1)).alias("n_h"))
+    shared = (
+        inv_n.join(inv_h, "h")
+        .groupBy("new_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .join(sizes_n, "new_id")
+        .join(sizes_h, "hist_id")
+    )
+    jac = F.col("ns") * 1.0 / (F.col("n_n") + F.col("n_h") - F.col("ns"))
+    truth = (
+        shared.filter(jac >= 0.7)
+        .select(F.col("new_id").alias("doc_id"))
+        .dropDuplicates()
+        .withColumn("is_true", F.lit(1))
+    )
+    both = screened.join(truth, "doc_id", "left")
+    flagged = F.col("is_near_dup").cast("int")
+    is_true = F.coalesce(F.col("is_true"), F.lit(0))
+    return both.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new"),
+        F.sum(is_true).cast("bigint").alias("n_true_dup_new"),
+        (F.sum(flagged * (1 - is_true)) == 0).alias("subset_ok"),
+        (F.sum(flagged * is_true) >= F.sum(is_true) * 0.7).alias("recall_ok"),
+    )

@@ -125,6 +125,7 @@ _SWEEP_PRIORITY: set[str] = {
     "dedup_jaccard_prefix",
     "dedup_substring",
     "dedup_substring_rewrite",
+    "dedup_incremental_minhash",
     "warc_roundtrip",
 }
 

@@ -417,6 +417,34 @@ def test_duplicated_spans_merges_maximal_islands(spark):
     assert 4 not in out
 
 
+def test_incremental_minhash_screen_flags_only_true_dups(spark):
+    """Planted split: a new doc that near-duplicates history is
+    flagged with the right partner; a novel new doc is not; an
+    intra-batch (new-new) duplicate is NOT flagged — the screen is
+    strictly vs history."""
+    from etl_knlp_spark.operators.dedup import incremental_minhash_screen
+
+    base = " ".join(f"w{i}" for i in range(40))
+    novel = " ".join(f"n{i}" for i in range(40))
+    batch_dup = " ".join(f"m{i}" for i in range(40))
+    hist = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"h{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base + " tail"), (11, novel), (12, batch_dup), (13, batch_dup)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_minhash_screen(hist, new, 0.7).collect()
+    }
+    assert out[10]["is_near_dup"] and out[10]["dup_of"] == 1
+    assert not out[11]["is_near_dup"] and out[11]["dup_of"] is None
+    assert not out[12]["is_near_dup"] and not out[13]["is_near_dup"]
+    assert len(out) == 4  # every new doc reports, flagged or not
+
+
 def test_substring_rewrite_keeps_first_occurrence_only(spark):
     """Keep-first cut semantics: the canonical (lowest doc_id,
     position) copy of a duplicated span survives, every other copy's
