@@ -1564,3 +1564,144 @@ def dsir_importance_hashed(
             F.round(F.sum("log_ratio"), 6).alias("importance"),
         )
     )
+
+
+# ---- BPE merge training (iterative, full oracle) --------------------------
+
+_BPE_N_MERGES = 8
+
+
+def _bpe_oracle(n_merges: int = _BPE_N_MERGES) -> str:
+    """DuckDB oracle that replays the ENTIRE BPE training loop as
+    chained CTEs — one (pairs → argmax → merge) stage per step, on the
+    same ' '-separated symbol-state strings and the same double-pass
+    literal replace as the Spark loop, so this iterative operator gets
+    a FULL value oracle rather than an assertion contract."""
+    parts = [
+        """v0 AS MATERIALIZED (
+      SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS state,
+             CAST(c AS BIGINT) AS c
+      FROM (SELECT word, COUNT(*) AS c
+            FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+                  FROM documents)
+            GROUP BY word)
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT syms[i] AS l, syms[i+1] AS r, SUM(c) AS cnt
+      FROM (SELECT string_split(trim(state), ' ') AS syms, c FROM v{p}),
+           LATERAL unnest(generate_series(1, len(syms) - 1)) AS g(i)
+      WHERE len(syms) >= 2
+      GROUP BY 1, 2
+    ), m{k} AS MATERIALIZED (
+      SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+    ), v{k} AS MATERIALIZED (
+      SELECT replace(replace(state,
+               ' ' || (SELECT l FROM m{k}) || ' ' || (SELECT r FROM m{k}) || ' ',
+               ' ' || (SELECT l FROM m{k}) || (SELECT r FROM m{k}) || ' '),
+               ' ' || (SELECT l FROM m{k}) || ' ' || (SELECT r FROM m{k}) || ' ',
+               ' ' || (SELECT l FROM m{k}) || (SELECT r FROM m{k}) || ' ') AS state,
+             c
+      FROM v{p}
+    )"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS step, l AS left_sym, r AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + unions
+
+
+def bpe_train_merges_df(
+    spark: SparkSession, docs: DataFrame, n_merges: int = _BPE_N_MERGES
+) -> DataFrame:
+    """Train ``n_merges`` BPE merge rules (Sennrich et al. 2016) at
+    corpus scale. The loop runs on the VOCABULARY (word → count), not
+    the corpus — the same 4-6-order reduction `bpe_pair_counts`
+    documents — with each word held as a ' '-separated symbol-state
+    string. Per step: adjacent-pair counts weighted by word frequency
+    (one groupBy), deterministic argmax (ORDER BY count DESC, left,
+    right — a ONE-ROW driver sync per step, the bounded-iteration
+    pattern of `pagerank`), then the merge applied corpus-wide as a
+    double-pass literal string replace.
+
+    The double-pass replace IS greedy left-to-right BPE merging: a
+    single non-overlapping replace of ' l r ' consumes the shared
+    boundary space between back-to-back occurrences and skips every
+    second one in a chain (' l r l r ' → ' lr l r '); the missed
+    occurrences are never adjacent to each other, so one further pass
+    catches them all. Both engines use the exact same construction,
+    which is why this ITERATIVE operator carries a full value oracle
+    (`_bpe_oracle` replays the loop as chained CTEs) instead of an
+    assertion contract.
+
+    At 100 TB: vocabulary states are the only iterated data (millions
+    of short rows); each step is one partial-aggregated groupBy + a
+    map-only rewrite, lineage truncated per step with localCheckpoint;
+    the argmax collects exactly one row per step."""
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.concat_ws(" ", F.split(F.col("word"), "")),
+                F.lit(" "),
+            ).alias("state"),
+            "c",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("state")), " ")
+        pairs = (
+            vocab.select(syms.alias("syms"), "c")
+            .filter(F.size("syms") >= 2)
+            .select(
+                "c",
+                "syms",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("syms") - F.lit(1))
+                ).alias("i"),
+            )
+            .select(
+                F.expr("element_at(syms, i)").alias("l"),
+                F.expr("element_at(syms, i + 1)").alias("r"),
+                "c",
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("c").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).first()
+        if top is None:
+            break
+        l, r, cnt = top["l"], top["r"], top["cnt"]
+        merges.append((step, l, r, int(cnt)))
+        pat, repl = F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+        vocab = vocab.select(
+            F.replace(F.replace(F.col("state"), pat, repl), pat, repl).alias(
+                "state"
+            ),
+            "c",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for `bpe_train_merges_df` on the documents table:
+    8 learned merge rules with their pair counts, hash-verified
+    against the oracle's full CTE replay of the training loop."""
+    return bpe_train_merges_df(
+        spark, load_table(spark, sf_dir, "documents")
+    )

@@ -127,6 +127,7 @@ _SWEEP_PRIORITY: set[str] = {
     "dedup_substring_rewrite",
     "dedup_incremental_minhash",
     "warc_roundtrip",
+    "bpe_train_merges",
 }
 
 # --- Environment-epoch staleness (round-5 verdict "Next round #2") ---

@@ -433,3 +433,61 @@ def test_threshold_sweeps_are_monotone_and_anchored(spark, sf_dir):
         for r in quality_threshold_sweep(spark, sf_dir).collect()
     }
     assert sweep_at[0.5] == direct
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """The distributed BPE loop (vocab states + double-pass replace)
+    must equal a straightforward pure-python greedy BPE trainer on a
+    planted corpus, step for step — including the (count DESC, left,
+    right) tie-break and chain merges like 'aaaa'."""
+    from collections import Counter
+
+    from etl_knlp_spark.operators.analysis import bpe_train_merges_df
+
+    texts = [
+        "banana banana banana bandana",
+        "aaaa aaaa baaa",
+        "banana aaaa",
+    ]
+
+    def reference(texts, n):
+        vocab = Counter()
+        for t in texts:
+            for w in t.strip().lower().split():
+                vocab[tuple(w)] += 1
+        merges = []
+        for step in range(1, n + 1):
+            pairs = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            if not pairs:
+                break
+            (l, r), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((step, l, r, cnt))
+            new_vocab = Counter()
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] += c
+            vocab = new_vocab
+        return merges
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train_merges_df(spark, docs, n_merges=6)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == reference(texts, 6)
