@@ -431,3 +431,41 @@ def test_substring_spans_have_no_self_join_and_one_window_sort(plans):
     # partials run map-side in both
     assert p.count("Window") == 2  # lag flag + running island sum
     assert "SortMergeJoin" not in p or "BroadcastHashJoin" in p
+
+
+def test_warc_read_is_scan_plus_parse_with_zero_exchanges(spark, tmp_path):
+    """Crawl ingestion is embarrassingly parallel: binaryFile scan →
+    MapInPandas, nothing else — any Exchange appearing here is a
+    regression."""
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.sources.warc import read_warc, write_warc
+
+    d = str(tmp_path / "w")
+    write_warc(load_table(spark, SF, "documents"), d)
+    p = read_warc(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_incremental_screen_collapses_history_before_probe(spark):
+    """The historical band table must aggregate to one representative
+    per bucket BEFORE the probe join (candidates bounded at 8 per new
+    doc at any historical density), and no pair self-join may appear."""
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.dedup import incremental_minhash_screen
+
+    docs = load_table(spark, SF, "documents")
+    cut = docs.agg((F.max("doc_id") / 2).alias("cut"))
+    d = docs.crossJoin(F.broadcast(cut))
+    out = incremental_minhash_screen(
+        d.filter(F.col("doc_id") < F.col("cut")).drop("cut"),
+        d.filter(F.col("doc_id") >= F.col("cut")).drop("cut"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only cartesian is the harness's own one-row `cut` broadcast
+    # (two splits of one table); the screen itself contributes none
+    assert plan.count("CartesianProduct") <= 2
+    # the bucket collapse is a min() aggregate keyed by the band pair
+    assert "min(doc_id" in plan and "band_hash" in plan
