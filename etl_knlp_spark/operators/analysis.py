@@ -1571,15 +1571,17 @@ def dsir_importance_hashed(
 _BPE_N_MERGES = 8
 
 
-def _bpe_oracle(n_merges: int = _BPE_N_MERGES) -> str:
-    """DuckDB oracle that replays the ENTIRE BPE training loop as
-    chained CTEs — one (pairs → argmax → merge) stage per step, on the
-    same ' '-separated symbol-state strings and the same double-pass
-    literal replace as the Spark loop, so this iterative operator gets
-    a FULL value oracle rather than an assertion contract."""
+def _bpe_cte_chain(n_merges: int = _BPE_N_MERGES) -> str:
+    """The shared WITH-clause body replaying the BPE training loop as
+    materialized chained CTEs (inlined CTEs would expand the documents
+    scan ~9^n-fold) — one (pairs → argmax → merge) stage per step, on
+    the same ' '-separated symbol-state strings and the same
+    double-pass literal replace as the Spark loop. `v{n}` is the final
+    per-word state table (word, state, c); `m{k}` the step-k merge."""
     parts = [
         """v0 AS MATERIALIZED (
-      SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS state,
+      SELECT word,
+             ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS state,
              CAST(c AS BIGINT) AS c
       FROM (SELECT word, COUNT(*) AS c
             FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
@@ -1599,7 +1601,7 @@ def _bpe_oracle(n_merges: int = _BPE_N_MERGES) -> str:
     ), m{k} AS MATERIALIZED (
       SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
     ), v{k} AS MATERIALIZED (
-      SELECT replace(replace(state,
+      SELECT word, replace(replace(state,
                ' ' || (SELECT l FROM m{k}) || ' ' || (SELECT r FROM m{k}) || ' ',
                ' ' || (SELECT l FROM m{k}) || (SELECT r FROM m{k}) || ' '),
                ' ' || (SELECT l FROM m{k}) || ' ' || (SELECT r FROM m{k}) || ' ',
@@ -1608,12 +1610,38 @@ def _bpe_oracle(n_merges: int = _BPE_N_MERGES) -> str:
       FROM v{p}
     )"""
         )
+    return ", ".join(parts)
+
+
+def _bpe_oracle(n_merges: int = _BPE_N_MERGES) -> str:
+    """Full value oracle for `bpe_train_merges` (see `_bpe_cte_chain`)."""
     unions = " UNION ALL ".join(
         f"SELECT {k} AS step, l AS left_sym, r AS right_sym, "
         f"CAST(cnt AS BIGINT) AS pair_count FROM m{k}"
         for k in range(1, n_merges + 1)
     )
-    return "WITH " + ", ".join(parts) + " " + unions
+    return "WITH " + _bpe_cte_chain(n_merges) + " " + unions
+
+
+def _bpe_tokenize_oracle(n_merges: int = _BPE_N_MERGES) -> str:
+    """Full value oracle for `bpe_tokenize`: the same loop replay, then
+    every document's words join the FINAL state table and the symbol
+    counts aggregate per doc."""
+    return (
+        "WITH "
+        + _bpe_cte_chain(n_merges)
+        + f"""
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(trim(v.state), ' '))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+          FROM documents) d
+    JOIN v{n_merges} v ON v.word = d.word
+    GROUP BY d.doc_id
+    """
+    )
 
 
 def bpe_train_merges_df(
@@ -1643,6 +1671,16 @@ def bpe_train_merges_df(
     of short rows); each step is one partial-aggregated groupBy + a
     map-only rewrite, lineage truncated per step with localCheckpoint;
     the argmax collects exactly one row per step."""
+    merges, _ = _bpe_loop(docs, n_merges)
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def _bpe_loop(docs: DataFrame, n_merges: int):
+    """Run the distributed BPE loop; returns (merge rows, final vocab
+    DataFrame (word, state, c)) — the state table `bpe_tokenize` joins
+    the corpus against (and the mirror of the oracle's v{n} CTE)."""
     words = docs.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
     )
@@ -1650,6 +1688,7 @@ def bpe_train_merges_df(
         words.groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .select(
+            "word",
             F.concat(
                 F.lit(" "),
                 F.concat_ws(" ", F.split(F.col("word"), "")),
@@ -1687,14 +1726,13 @@ def bpe_train_merges_df(
         merges.append((step, l, r, int(cnt)))
         pat, repl = F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
         vocab = vocab.select(
+            "word",
             F.replace(F.replace(F.col("state"), pat, repl), pat, repl).alias(
                 "state"
             ),
             "c",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "step int, left_sym string, right_sym string, pair_count long"
-    )
+    return merges, vocab
 
 
 @query("bpe_train_merges", oracle=_bpe_oracle())
@@ -1704,4 +1742,32 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the oracle's full CTE replay of the training loop."""
     return bpe_train_merges_df(
         spark, load_table(spark, sf_dir, "documents")
+    )
+
+
+@query("bpe_tokenize", oracle=_bpe_tokenize_oracle())
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained merges: the corpus word stream joins the
+    final per-word state table (the loop's last vocab — one row per
+    distinct word, exactly what a production tokenizer persists) and
+    per-doc word/BPE-token counts aggregate out. The scale shape of
+    tokenizer APPLICATION: the corpus never re-runs the merge loop —
+    it pays one join against a vocabulary-sized table (broadcastable
+    for real vocabularies) plus a map-side symbol count. Oracle
+    replays the training CTE chain and the same join, so subword
+    counts hash-verify end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = _bpe_loop(docs, _BPE_N_MERGES)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    )
+    n_sym = F.size(F.split(F.trim(F.col("state")), " "))
+    return (
+        words.join(vocab.select("word", "state"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(n_sym).cast("long").alias("n_bpe_tokens"),
+        )
     )

@@ -103,6 +103,11 @@ _STALE_SINCE: dict[str, int] = {
     # Σ prefix-df² over 2^31 — the 100× adversarial probe regime);
     # output identical at graded SFs, function source changed.
     "dedup_jaccard_prefix": 7,
+    # round 7 (same session as registration): the oracle's CTE chain
+    # gained the word column so bpe_tokenize can share it — merge
+    # output identical, oracle string changed; no driver rows predate
+    # the change but the audit bar is mechanical.
+    "bpe_train_merges": 7,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
@@ -128,6 +133,7 @@ _SWEEP_PRIORITY: set[str] = {
     "dedup_incremental_minhash",
     "warc_roundtrip",
     "bpe_train_merges",
+    "bpe_tokenize",
 }
 
 # --- Environment-epoch staleness (round-5 verdict "Next round #2") ---
