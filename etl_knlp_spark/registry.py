@@ -134,6 +134,7 @@ _SWEEP_PRIORITY: set[str] = {
     "warc_roundtrip",
     "bpe_train_merges",
     "bpe_tokenize",
+    "avro_roundtrip",
 }
 
 # --- Environment-epoch staleness (round-5 verdict "Next round #2") ---
@@ -330,7 +331,7 @@ def _load_all() -> None:
         textprep,
     )
     from .functions import scalar, skew, sql_surface  # noqa: F401
-    from .sources import layout, warc  # noqa: F401
+    from .sources import avro, layout, warc  # noqa: F401
     from .plans import corpus, dimension, tpch  # noqa: F401
     from .streaming import cdc, joins, stateful, windows  # noqa: F401
 
