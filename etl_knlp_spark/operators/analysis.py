@@ -1573,11 +1573,25 @@ _BPE_N_MERGES = 8
 
 def _bpe_cte_chain(n_merges: int = _BPE_N_MERGES) -> str:
     """The shared WITH-clause body replaying the BPE training loop as
-    materialized chained CTEs (inlined CTEs would expand the documents
-    scan ~9^n-fold) — one (pairs → argmax → merge) stage per step, on
-    the same ' '-separated symbol-state strings and the same
-    double-pass literal replace as the Spark loop. `v{n}` is the final
-    per-word state table (word, state, c); `m{k}` the step-k merge."""
+    chained CTEs (materialized — inlined CTEs would expand the
+    documents scan ~9^n-fold) — one (pairs → argmax → merge) stage per
+    step on ' '-separated symbol-state strings. `v{n}` is the final
+    per-word state table (word, state, c); `m{k}` the step-k merge.
+
+    The merge stage applies the pair by LEFTMOST-ITERATED literal
+    substitution: a recursive CTE replaces the first ' l r '
+    occurrence (pure strpos/substr surgery — no regex, no
+    non-overlapping-scan pitfalls) until none remains, and arg_max
+    over the iteration counter picks each word's fixpoint. Repeatedly
+    merging the leftmost adjacent pair is exactly greedy
+    left-to-right BPE (a merge can never create a new (l, r)
+    adjacency, since l+r differs in length from both l and r), so
+    this mirrors the Spark loop's fold — two INDEPENDENT
+    constructions of the same semantics, property-pinned equal in
+    test_properties. A single one-pass replace() is NOT equivalent:
+    it consumes the shared boundary space of back-to-back occurrences
+    and pairs runs of >= 5 identical symbols differently (caught by
+    the hypothesis sweep)."""
     parts = [
         """v0 AS MATERIALIZED (
       SELECT word,
@@ -1599,15 +1613,24 @@ def _bpe_cte_chain(n_merges: int = _BPE_N_MERGES) -> str:
       WHERE len(syms) >= 2
       GROUP BY 1, 2
     ), m{k} AS MATERIALIZED (
-      SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+      SELECT l, r, cnt,
+             ' ' || l || ' ' || r || ' ' AS pat,
+             ' ' || l || r || ' ' AS rep
+      FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+    ), r{k} AS (
+      SELECT word, state, c, 0 AS it FROM v{p}
+      UNION ALL
+      SELECT word,
+             substr(state, 1, strpos(state, (SELECT pat FROM m{k})) - 1)
+               || (SELECT rep FROM m{k})
+               || substr(state, strpos(state, (SELECT pat FROM m{k}))
+                                + len((SELECT pat FROM m{k}))),
+             c, it + 1
+      FROM r{k}
+      WHERE strpos(state, (SELECT pat FROM m{k})) > 0
     ), v{k} AS MATERIALIZED (
-      SELECT word, replace(replace(state,
-               ' ' || (SELECT l FROM m{k}) || ' ' || (SELECT r FROM m{k}) || ' ',
-               ' ' || (SELECT l FROM m{k}) || (SELECT r FROM m{k}) || ' '),
-               ' ' || (SELECT l FROM m{k}) || ' ' || (SELECT r FROM m{k}) || ' ',
-               ' ' || (SELECT l FROM m{k}) || (SELECT r FROM m{k}) || ' ') AS state,
-             c
-      FROM v{p}
+      SELECT word, arg_max(state, it) AS state, MAX(c) AS c
+      FROM r{k} GROUP BY word
     )"""
         )
     return ", ".join(parts)
@@ -1620,7 +1643,7 @@ def _bpe_oracle(n_merges: int = _BPE_N_MERGES) -> str:
         f"CAST(cnt AS BIGINT) AS pair_count FROM m{k}"
         for k in range(1, n_merges + 1)
     )
-    return "WITH " + _bpe_cte_chain(n_merges) + " " + unions
+    return "WITH RECURSIVE " + _bpe_cte_chain(n_merges) + " " + unions
 
 
 def _bpe_tokenize_oracle(n_merges: int = _BPE_N_MERGES) -> str:
@@ -1628,7 +1651,7 @@ def _bpe_tokenize_oracle(n_merges: int = _BPE_N_MERGES) -> str:
     every document's words join the FINAL state table and the symbol
     counts aggregate per doc."""
     return (
-        "WITH "
+        "WITH RECURSIVE "
         + _bpe_cte_chain(n_merges)
         + f"""
     SELECT d.doc_id,
@@ -1724,12 +1747,29 @@ def _bpe_loop(docs: DataFrame, n_merges: int):
             break
         l, r, cnt = top["l"], top["r"], top["cnt"]
         merges.append((step, l, r, int(cnt)))
-        pat, repl = F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+        # greedy left-to-right merge as a HOF fold over the symbol
+        # array — textbook BPE, incl. runs of identical symbols
+        # ('a a a a a' -> 'aa aa a', where a non-overlapping string
+        # replace would pair differently; see _bpe_cte_chain). The
+        # oracle realizes the same semantics through an independent
+        # construction (leftmost-iterated substitution).
+        folded = F.aggregate(
+            F.split(F.trim(F.col("state")), " "),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(l + r))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
         vocab = vocab.select(
             "word",
-            F.replace(F.replace(F.col("state"), pat, repl), pat, repl).alias(
-                "state"
-            ),
+            F.concat(
+                F.lit(" "), F.concat_ws(" ", folded), F.lit(" ")
+            ).alias("state"),
             "c",
         ).localCheckpoint()
     return merges, vocab

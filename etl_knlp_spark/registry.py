@@ -103,11 +103,14 @@ _STALE_SINCE: dict[str, int] = {
     # Σ prefix-df² over 2^31 — the 100× adversarial probe regime);
     # output identical at graded SFs, function source changed.
     "dedup_jaccard_prefix": 7,
-    # round 7 (same session as registration): the oracle's CTE chain
-    # gained the word column so bpe_tokenize can share it — merge
-    # output identical, oracle string changed; no driver rows predate
-    # the change but the audit bar is mechanical.
+    # round 7 (same session as registration): the oracle CTE chain
+    # gained the word column (bpe_tokenize shares it), then the merge
+    # stage was rebuilt as leftmost-iterated substitution after the
+    # hypothesis sweep showed non-overlapping replace pairs identical-
+    # symbol runs >= 5 differently than greedy BPE; no driver rows
+    # predate the changes but the audit bar is mechanical.
     "bpe_train_merges": 7,
+    "bpe_tokenize": 7,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

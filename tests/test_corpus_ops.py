@@ -448,6 +448,9 @@ def test_bpe_train_matches_pure_python_reference(spark):
         "banana banana banana bandana",
         "aaaa aaaa baaa",
         "banana aaaa",
+        # odd-length identical-symbol run: the case where a
+        # non-overlapping string replace diverges from greedy BPE
+        "aaaaa aaaaa aaaaa",
     ]
 
     def reference(texts, n):

@@ -290,3 +290,82 @@ def test_edit_star_decisions_match_reference_dp(spark, texts):
         want_d = 0 if i == rep else (true_d if true_d <= 8 else -1)
         assert r["edit_dist"] == want_d
         assert r["is_kept"] == (i == rep or true_d > 8)
+
+
+# ---------------------------------------------- BPE double-replace ≡ greedy
+
+_bpe_syms = st.sampled_from(["a", "b", "c", "ab", "bc"])
+
+
+@given(
+    seq=st.lists(_bpe_syms, min_size=0, max_size=12),
+    pair=st.tuples(_bpe_syms, _bpe_syms),
+)
+@settings(max_examples=500, deadline=None)
+def test_bpe_leftmost_substitution_equals_greedy_fold(seq, pair):
+    """The core claim behind bpe_train_merges' full oracle: the
+    oracle's merge construction — replace the LEFTMOST ' l r '
+    occurrence, repeat until none remains (the recursive-CTE strpos/
+    substr surgery) — equals greedy left-to-right pair merging (the
+    Spark loop's fold), including boundary-sharing runs ('a a a a a')
+    and merged symbols that spell like their parts ('ab' vs 'a'+'b').
+    This sweep is what exposed that a plain non-overlapping
+    str.replace (even iterated) is NOT equivalent: it consumes the
+    shared boundary space in runs of >= 5 identical symbols and pairs
+    them differently ('aa a aa' vs greedy's 'aa aa a')."""
+    l, r = pair
+    state = " " + " ".join(seq) + " " if seq else "  "
+    pat, repl = f" {l} {r} ", f" {l}{r} "
+    while (i := state.find(pat)) != -1:  # the oracle's construction
+        state = state[:i] + repl + state[i + len(pat):]
+    got = state.split()
+
+    out, i = [], 0  # the Spark loop's fold
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    assert got == out
+
+
+# ------------------------------------------------------- avro codec
+
+_avro_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+        st.text(max_size=20),
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, width=64),
+        ),
+        st.booleans(),
+    ),
+    max_size=30,
+)
+
+
+@given(rows=_avro_rows)
+@settings(max_examples=300, deadline=None)
+def test_avro_codec_roundtrips_arbitrary_rows(rows, tmp_path_factory):
+    """Pure-python OCF codec: any (nullable int64, unicode string,
+    nullable double, bool) row set survives write→read bit-exactly —
+    zigzag extremes, empty strings, ±inf, empty files."""
+    from etl_knlp_spark.sources.avro import read_ocf, write_ocf
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "a", "type": ["null", "long"]},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": ["null", "double"]},
+            {"name": "d", "type": "boolean"},
+        ],
+    }
+    f = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    assert write_ocf(iter(rows), schema, f) == len(rows)
+    _, got = read_ocf(open(f, "rb").read())
+    assert got == rows
