@@ -882,11 +882,24 @@ def bm25_index_build(
     # Completion marker written strictly AFTER both artifacts: cache
     # guards gate on this, not on postings/_SUCCESS, so a crash
     # between the two writes can never leave a half-built index that
-    # later runs treat as complete.
-    import os
+    # later runs treat as complete. The marker goes through Hadoop's
+    # FileSystem API — the parquet artifacts do, so a driver-local
+    # open() would break the caller-owned-path contract for any
+    # non-local scheme (s3a://, hdfs://) after the expensive writes
+    # already succeeded.
+    fs, marker = _hadoop_fs_path(docs.sparkSession, f"{path}/_INDEX_COMPLETE")
+    out = fs.create(marker, True)
+    out.writeBytes(f"buckets={buckets}\n")
+    out.close()
 
-    with open(os.path.join(path, "_INDEX_COMPLETE"), "w") as fh:
-        fh.write(f"buckets={buckets}\n")
+
+def _hadoop_fs_path(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for any URI scheme Spark itself can write —
+    the marker read/write must resolve paths the same way the parquet
+    writers do."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
 
 def bm25_probe(
@@ -932,12 +945,23 @@ def _bm25_cached_index_path(sf_dir: str) -> str:
         f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
     # Per-user cache root (0700) rather than a predictable world-shared
-    # /tmp name: another local user can neither pre-create the path nor
-    # race the build (ADVICE r6 #1).
+    # /tmp name (ADVICE r6 #1). makedirs(exist_ok=True) alone would
+    # accept a pre-created attacker-owned directory at the predictable
+    # name, so verify ownership and strip group/other bits after the
+    # call — a pre-planted root fails loudly instead of serving a
+    # poisoned index.
     root = os.path.join(
         tempfile.gettempdir(), f"etl_knlp_cache_{os.getuid()}"
     )
     os.makedirs(root, mode=0o700, exist_ok=True)
+    st_root = os.stat(root)
+    if st_root.st_uid != os.getuid():
+        raise ValueError(
+            f"cache root {root} is owned by uid {st_root.st_uid}, not us — "
+            "refusing to build or trust an index there"
+        )
+    if st_root.st_mode & 0o077:
+        os.chmod(root, 0o700)
     return os.path.join(root, f"bm25_index_{key}")
 
 
@@ -965,13 +989,13 @@ def bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     `bm25_probe` (reads only the probed buckets + stats). This entry
     composes them through a per-corpus cached path, so repeated runs
     against an unchanged corpus are probe-only — no rebuild."""
-    import os
-
     path = _bm25_cached_index_path(sf_dir)
     # Gate on the marker written AFTER both artifacts (postings then
     # stats), never on postings/_SUCCESS alone: a crash between the
-    # two writes must look like "not built" (ADVICE r6 #1).
-    if not os.path.exists(f"{path}/_INDEX_COMPLETE"):
+    # two writes must look like "not built" (ADVICE r6 #1). Checked
+    # through the same Hadoop FS resolution the build writes with.
+    fs, marker = _hadoop_fs_path(spark, f"{path}/_INDEX_COMPLETE")
+    if not fs.exists(marker):
         bm25_index_build(load_table(spark, sf_dir, "documents"), path)
     return bm25_probe(spark, path, list(_BM25_TERMS))
 

@@ -555,6 +555,13 @@ def minhash_band_signatures(
     )
 
 
+# Buckets above this row count bypass the collect_list pair emitter
+# for streaming star aggregates (see minhash_candidates) — 64k members
+# ≈ a 0.5 MB array row, far below executor limits, while anything
+# larger risks the multi-GB single-row regime.
+_GIANT_BUCKET_ROWS = 65536
+
+
 def minhash_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -609,7 +616,31 @@ def minhash_candidates(
     # at sf0.1: window form 1.35 s, this form 1.02 s, r5 uncapped
     # 1.12 s — the cap is now FREE vs r5. Bit-identical output pinned
     # in test_dedup (under-cap exact-pairs equality + star semantics).
-    grouped = banded.groupBy("band_idx", "band_hash").agg(
+    #
+    # GIANT-bucket escape hatch (round-7 review): collect_list
+    # materializes a bucket's whole membership in ONE aggregate row,
+    # so a degenerate bucket (10^8 identical docs) would OOM the very
+    # aggregate the cap exists to protect — the regime the r6 window
+    # form streamed. Buckets above `_GIANT_BUCKET_ROWS` are therefore
+    # routed around the array form entirely: their star emission needs
+    # only a streaming min() plus a join back (both partial-aggregated,
+    # no giant rows). The routing set is per-BUCKET keys — tiny by
+    # construction — and broadcast; on ordinary corpora it is empty and
+    # both side plans collapse to no-ops. Output is bit-identical:
+    # every giant bucket is far above bucket_cap, so the HOF form would
+    # have emitted exactly this star set.
+    giant_floor = max(bucket_cap, _GIANT_BUCKET_ROWS)
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    giant_keys = bucket_sizes.filter(F.col("bn") > giant_floor).select(
+        "band_idx", "band_hash"
+    )
+    normal = banded.join(
+        F.broadcast(giant_keys), ["band_idx", "band_hash"], "left_anti"
+    )
+    giant = banded.join(F.broadcast(giant_keys), ["band_idx", "band_hash"])
+    grouped = normal.groupBy("band_idx", "band_hash").agg(
         F.array_sort(F.collect_list("doc_id")).alias("m")
     )
     emit = F.expr(
@@ -625,9 +656,22 @@ def minhash_candidates(
         END
         """
     )
+    giant_reps = giant.groupBy("band_idx", "band_hash").agg(
+        F.min("doc_id").alias("rep")
+    )
+    giant_star = (
+        giant.join(giant_reps, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(True).alias("capped"),
+        )
+    )
     pairs = (
         grouped.select(F.explode(emit).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.capped")
+        .unionByName(giant_star)
         .groupBy("doc_a", "doc_b")
         .agg((F.min(F.col("capped").cast("int")) == 1).alias("capped"))
     )

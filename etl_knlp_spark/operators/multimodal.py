@@ -401,6 +401,8 @@ def _decode_jpeg(payload: bytes):
                     raise NotImplementedError(
                         "16-bit quantization tables are extended-precision JPEG"
                     )
+                if i + 65 > len(body):
+                    raise ValueError("truncated JPEG DQT segment")
                 qt[tq] = np.frombuffer(
                     body[i + 1 : i + 65], np.uint8
                 ).astype(np.int32)
@@ -409,6 +411,8 @@ def _decode_jpeg(payload: bytes):
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG sample precision")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF segment")
             comps = []
             for c in range(nc):
                 cid, hv, tq_id = body[6 + 3 * c : 9 + 3 * c]
@@ -421,9 +425,13 @@ def _decode_jpeg(payload: bytes):
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
                 tc, th = body[i] >> 4, body[i] & 15
                 counts = body[i + 1 : i + 17]
                 i += 17
+                if i + sum(counts) > len(body):
+                    raise ValueError("JPEG DHT declares more symbols than present")
                 table, code = {}, 0
                 for length in range(1, 17):
                     for _ in range(counts[length - 1]):
@@ -433,9 +441,13 @@ def _decode_jpeg(payload: bytes):
                     code <<= 1
                 huff[(tc, th)] = table
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
-            ns = body[0]
+            ns = body[0] if body else 0
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS segment")
             scan = [(body[1 + 2 * c], body[2 + 2 * c]) for c in range(ns)]
             pos = pos + 2 + seglen
             break
@@ -445,6 +457,27 @@ def _decode_jpeg(payload: bytes):
     h, w, comps = frame
     if len(scan) != len(comps):
         raise NotImplementedError("non-interleaved JPEG scans need pillow")
+    # match scan component selectors to frame components BY ID (a scan
+    # may order or reference components differently than the frame —
+    # positional assignment would swap tables and decode garbage), and
+    # validate every referenced table id up front so corrupt payloads
+    # fail with the contract error class, not KeyError
+    scan_by_cs = {cs: td for cs, td in scan}
+    if len(scan_by_cs) != len(scan):
+        raise ValueError("duplicate JPEG scan component selector")
+    comp_tds = []
+    for cid, hs, vs, tq_id in comps:
+        if cid not in scan_by_cs:
+            raise ValueError(
+                f"JPEG scan references no tables for frame component {cid}"
+            )
+        td = scan_by_cs[cid]
+        dc_id, ac_id = td >> 4, td & 15
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("JPEG scan references an undefined Huffman table")
+        if tq_id not in qt:
+            raise ValueError("JPEG frame references an undefined quant table")
+        comp_tds.append((dc_id, ac_id))
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
     mcux = -(-w // (8 * max_h))
@@ -466,7 +499,7 @@ def _decode_jpeg(payload: bytes):
             pred = [0] * len(comps)
         my, mx = divmod(m, mcux)
         for ci, (cid, hs, vs, tq_id) in enumerate(comps):
-            dc_id, ac_id = scan[ci][1] >> 4, scan[ci][1] & 15
+            dc_id, ac_id = comp_tds[ci]
             dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
             q = qt[tq_id]
             for by in range(vs):
@@ -503,7 +536,8 @@ def _decode_jpeg(payload: bytes):
             p = np.repeat(np.repeat(p, max_v // vs, axis=0), max_h // hs, axis=1)
         out.append(p[:h, :w])
     if len(out) == 1:
-        return np.clip(out[0], 0, 255).astype(np.uint8)[:, :, None]
+        # round like the color path (truncation biased gray darker)
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)[:, :, None]
     y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],

@@ -417,6 +417,35 @@ def test_duplicated_spans_merges_maximal_islands(spark):
     assert 4 not in out
 
 
+def test_minhash_giant_bucket_route_is_bit_identical(spark, monkeypatch):
+    """Buckets above the giant threshold bypass collect_list for
+    streaming star aggregates; the emitted (pair, capped) set must be
+    identical either way — here a 40-member bucket (> bucket_cap=32)
+    is forced down both paths by moving the threshold around it."""
+    from etl_knlp_spark.operators import dedup as D
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(40)] + [(100, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+
+    def pairs_with(threshold):
+        monkeypatch.setattr(D, "_GIANT_BUCKET_ROWS", threshold)
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["capped"])
+            for r in D.minhash_candidates(docs)
+            .select("doc_a", "doc_b", "capped")
+            .collect()
+        )
+
+    via_hof = pairs_with(65536)  # 40-member bucket stays on collect_list
+    via_stream = pairs_with(8)  # giant_floor=max(32,8) → routes giant
+    assert via_hof == via_stream and len(via_stream) == 39
+    assert all(capped for _, _, capped in via_stream)
+    assert all(a == 0 for a, _, _ in via_stream)  # star rep = min doc_id
+
+
 def test_incremental_minhash_screen_flags_only_true_dups(spark):
     """Planted split: a new doc that near-duplicates history is
     flagged with the right partner; a novel new doc is not; an

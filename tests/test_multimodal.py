@@ -622,3 +622,47 @@ def test_progressive_jpeg_raises_not_implemented_without_pillow():
         pytest.skip("pillow present — progressive decodes for real")
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_media(open(path, "rb").read(), "image/jpeg")
+
+
+def test_jpeg_corrupt_inputs_raise_contract_errors_only():
+    """Corrupt JPEG payloads must fail with ValueError (or
+    NotImplementedError for gated features), never KeyError/
+    IndexError/struct.error — the same contract as _decode_png."""
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(5)
+    ok = _encode_jpeg(rng.randint(0, 255, size=(16, 16)).astype(np.uint8))
+
+    def seg(marker):
+        i = ok.find(marker)
+        assert i >= 0
+        return i
+
+    cases = []
+    # SOS references an undefined huffman table (tables are 0; point at 3)
+    i = seg(b"\xff\xda")
+    bad = bytearray(ok)
+    bad[i + 6] = 0x33
+    cases.append(bytes(bad))
+    # frame references an undefined quant table
+    i = seg(b"\xff\xc0")
+    bad = bytearray(ok)
+    bad[i + 13] = 7  # component 1's Tq
+    cases.append(bytes(bad))
+    # scan component selector matches no frame component
+    i = seg(b"\xff\xda")
+    bad = bytearray(ok)
+    bad[i + 5] = 99
+    cases.append(bytes(bad))
+    # truncated DHT: declare 255 symbols of length 1
+    i = seg(b"\xff\xc4")
+    bad = bytearray(ok)
+    bad[i + 5] = 255
+    cases.append(bytes(bad))
+    # truncated entropy stream
+    cases.append(ok[:-8] + b"\xff\xd9")
+    for payload in cases:
+        with pytest.raises((ValueError, NotImplementedError)):
+            _decode_jpeg(payload)
