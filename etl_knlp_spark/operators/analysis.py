@@ -1234,9 +1234,9 @@ _RRF_K = 60
 _RRF_DEPTH = 20
 
 
-@query(
-    "hybrid_retrieval_rrf",
-    oracle=f"""
+# Shared by the scan-path and index-probed hybrid queries: identical
+# results by construction (probe ≡ scan), one oracle string.
+_HYBRID_RRF_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
@@ -1290,8 +1290,50 @@ _RRF_DEPTH = 20
     )
     SELECT doc_id, rrf, lex_rank, sem_rank
     FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
-    """,
-)
+    """
+
+
+def _rrf_fuse(spark: SparkSession, sf_dir: str, lex: DataFrame) -> DataFrame:
+    """The semantic branch + RRF combiner both hybrid queries share:
+    takes any lexical rank list (doc_id, lex_rank) — rank lists are
+    the stable interface, so scan-path and index-probed lexical legs
+    compose with the identical tail (previously duplicated ~40 lines
+    that could silently diverge)."""
+    from pyspark.sql import Window
+
+    from ..functions.vector import as_double, dot, l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    e = e.withColumn("nrm", l2_norm(F.col("emb")))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    sim = dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
+    w_sem = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_sim", F.round(sim, 6))
+        .withColumn("rank", F.row_number().over(w_sem))
+        .filter(F.col("rank") <= _RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        "lex_rank",
+        "sem_rank",
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@query("hybrid_retrieval_rrf", oracle=_HYBRID_RRF_ORACLE)
 def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via Reciprocal Rank Fusion: the lexical list
     (BM25 over the fixed term set, identical score expression to
@@ -1335,53 +1377,10 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _RRF_DEPTH)
         .select("doc_id", F.col("rank").alias("lex_rank"))
     )
-
-    from ..functions.vector import as_double, dot, l2_norm
-
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("emb")
-    )
-    e = e.withColumn("nrm", l2_norm(F.col("emb")))
-    q = e.filter(F.col("vec_id") == 0).select(
-        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
-    )
-    sim = dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
-    w_sem = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
-    sem = (
-        e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .withColumn("cos_sim", F.round(sim, 6))
-        .withColumn("rank", F.row_number().over(w_sem))
-        .filter(F.col("rank") <= _RRF_DEPTH)
-        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
-    )
-    fused = lex.join(sem, "doc_id", "full_outer").select(
-        "doc_id",
-        F.round(
-            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
-            + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
-            6,
-        ).alias("rrf"),
-        "lex_rank",
-        "sem_rank",
-    )
-    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+    return _rrf_fuse(spark, sf_dir, lex)
 
 
-def _registered_oracle(name: str) -> str:
-    """Reuse an already-registered query's oracle verbatim — for
-    variants whose results are identical BY CONSTRUCTION to an
-    existing query (index-probed vs scan-path retrieval), so the
-    driver hash-verifies that the probe loses nothing."""
-    from ..registry import _REGISTRY
-
-    return _REGISTRY[name].oracle
-
-
-@query(
-    "hybrid_retrieval_rrf_pruned",
-    oracle=None,  # bound right below via register-time lookup
-)
+@query("hybrid_retrieval_rrf_pruned", oracle=_HYBRID_RRF_ORACLE)
 def hybrid_retrieval_rrf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`hybrid_retrieval_rrf` with its lexical branch swapped for the
     INDEX-PROBED path — the swap the scan-path docstring promises:
@@ -1397,62 +1396,19 @@ def hybrid_retrieval_rrf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the shape the retrieval tier actually serves:
     both branches read indexes, nothing rescans the corpus, and the
     fusion joins two ≤20-row lists."""
-    import os
-
-    path = _bm25_cached_index_path(sf_dir)
-    if not os.path.exists(f"{path}/_INDEX_COMPLETE"):
-        bm25_index_build(load_table(spark, sf_dir, "documents"), path)
     from pyspark.sql import Window
 
+    path = _bm25_cached_index_path(sf_dir)
+    fs, marker = _hadoop_fs_path(spark, f"{path}/_INDEX_COMPLETE")
+    if not fs.exists(marker):
+        bm25_index_build(load_table(spark, sf_dir, "documents"), path)
     w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
     lex = (
         bm25_probe(spark, path, list(_BM25_TERMS), limit=_RRF_DEPTH)
         .withColumn("rank", F.row_number().over(w_lex))
         .select("doc_id", F.col("rank").alias("lex_rank"))
     )
-
-    from ..functions.vector import as_double, dot, l2_norm
-
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("emb")
-    )
-    e = e.withColumn("nrm", l2_norm(F.col("emb")))
-    q = e.filter(F.col("vec_id") == 0).select(
-        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
-    )
-    sim = dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
-    w_sem = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
-    sem = (
-        e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .withColumn("cos_sim", F.round(sim, 6))
-        .withColumn("rank", F.row_number().over(w_sem))
-        .filter(F.col("rank") <= _RRF_DEPTH)
-        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
-    )
-    fused = lex.join(sem, "doc_id", "full_outer").select(
-        "doc_id",
-        F.round(
-            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
-            + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
-            6,
-        ).alias("rrf"),
-        "lex_rank",
-        "sem_rank",
-    )
-    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
-
-
-# Bind the shared oracle AFTER both registrations exist: identical
-# results by construction (probe ≡ scan), one oracle string.
-import dataclasses as _dc  # noqa: E402
-
-from ..registry import _REGISTRY as _REG  # noqa: E402
-
-_REG["hybrid_retrieval_rrf_pruned"] = _dc.replace(
-    _REG["hybrid_retrieval_rrf_pruned"],
-    oracle=_registered_oracle("hybrid_retrieval_rrf"),
-)
+    return _rrf_fuse(spark, sf_dir, lex)
 
 
 _DSIR_TARGET_LANG = "en"

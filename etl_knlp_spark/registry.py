@@ -111,6 +111,16 @@ _STALE_SINCE: dict[str, int] = {
     # predate the changes but the audit bar is mechanical.
     "bpe_train_merges": 7,
     "bpe_tokenize": 7,
+    # round 7 review cleanup: both hybrid queries now share the
+    # semantic-branch/fusion tail (_rrf_fuse) and the oracle constant
+    # instead of a register-time dataclass-replace hack — outputs and
+    # oracle strings identical, function sources changed.
+    "hybrid_retrieval_rrf": 7,
+    "hybrid_retrieval_rrf_pruned": 7,
+    # round 7 review: the completion-marker check inside bm25_pruned
+    # moved to the Hadoop FS API (non-local caller-owned paths);
+    # output unchanged, function source changed.
+    "bm25_pruned": 7,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
@@ -138,6 +148,9 @@ _SWEEP_PRIORITY: set[str] = {
     "bpe_train_merges",
     "bpe_tokenize",
     "avro_roundtrip",
+    # round-7 source-change bumps invalidating earlier green rows:
+    "hybrid_retrieval_rrf",
+    "bm25_pruned",
 }
 
 # --- Environment-epoch staleness (round-5 verdict "Next round #2") ---

@@ -262,7 +262,17 @@ def read_ocf(blob: bytes) -> tuple[dict, list[tuple]]:
 def write_avro(df: DataFrame, path: str) -> int:
     """Distributed OCF sink: one `.avro` file per partition (idempotent
     — stale shards cleared first, same policy as `write_warc`).
-    Returns the record count."""
+    Returns the record count.
+
+    Two pandas-boundary caveats, inherent to Arrow→pandas batches (not
+    to the codec, which `test_properties` round-trips bit-exactly
+    including NaN and ±inf): (1) in a NULLABLE float column, Spark
+    nulls arrive as NaN, indistinguishable from genuine NaN values —
+    NaN is written as the union's null branch there (a NON-nullable
+    float column keeps NaN as a real Avro double); (2) a nullable
+    int64 column containing any null is delivered as float64, so
+    values beyond 2^53 would lose precision — refused loudly rather
+    than silently rounded."""
     import glob as _glob
 
     import pandas as pd
@@ -275,6 +285,29 @@ def write_avro(df: DataFrame, path: str) -> int:
     binary_cols = {
         f.name for f in df.schema.fields if f.dataType.typeName() == "binary"
     }
+    nullable_cols = {f.name for f in df.schema.fields if f.nullable}
+    int_cols = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("long", "integer")
+    }
+
+    def _clean(c, v):
+        if v is None:
+            return None
+        if isinstance(v, float) and v != v:  # NaN
+            if c in nullable_cols:
+                return None  # Spark null rendered as NaN by pandas
+            return v  # genuine NaN in a non-nullable double
+        if c in int_cols and isinstance(v, float):
+            # pandas float64 coercion of a nullable int column
+            if v != int(v) or abs(v) > 2**53:
+                raise ValueError(
+                    f"column {c!r}: int64 value {v!r} passed through pandas "
+                    "float64 coercion and cannot be written exactly"
+                )
+            return int(v)
+        return bytes(v) if c in binary_cols else v
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -283,14 +316,7 @@ def write_avro(df: DataFrame, path: str) -> int:
         rows = []
         for pdf in batches:
             for tup in pdf[cols].itertuples(index=False, name=None):
-                rows.append(
-                    tuple(
-                        None
-                        if v is None or (isinstance(v, float) and v != v)
-                        else (bytes(v) if c in binary_cols else v)
-                        for c, v in zip(cols, tup)
-                    )
-                )
+                rows.append(tuple(_clean(c, v) for c, v in zip(cols, tup)))
         n = 0
         if rows:
             fname = os.path.join(path, f"part-{pid:05d}.avro")

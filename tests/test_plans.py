@@ -448,9 +448,11 @@ def test_warc_read_is_scan_plus_parse_with_zero_exchanges(spark, tmp_path):
 
 
 def test_incremental_screen_collapses_history_before_probe(spark):
-    """The historical band table must aggregate to one representative
-    per bucket BEFORE the probe join (candidates bounded at 8 per new
-    doc at any historical density), and no pair self-join may appear."""
+    """The historical band table must truncate to the reps_per_bucket
+    lowest ids per bucket BEFORE the probe join (candidates bounded at
+    8 x reps per new doc at any historical density, via a streamed
+    rank window — never a whole-bucket array), and no pair self-join
+    may appear."""
     from pyspark.sql import functions as F
 
     from etl_knlp_spark.catalog import load_table
@@ -467,5 +469,5 @@ def test_incremental_screen_collapses_history_before_probe(spark):
     # the only cartesian is the harness's own one-row `cut` broadcast
     # (two splits of one table); the screen itself contributes none
     assert plan.count("CartesianProduct") <= 2
-    # the bucket collapse is a min() aggregate keyed by the band pair
-    assert "min(doc_id" in plan and "band_hash" in plan
+    # the bucket truncation is a rank window over the band pair keys
+    assert "row_number" in plan and "band_hash" in plan

@@ -300,12 +300,12 @@ SHOWCASE = {
     ),
     "incremental_minhash_screen": (
         "Steady-state ingest screening: the historical band table "
-        "collapses to one representative per (band_idx, band_hash) "
-        "bucket BEFORE the probe join (the HashAggregate under the "
-        "join's build side), bounding candidates at 8 per new doc at "
-        "ANY historical duplicate density — measured 1.9x wall at the "
-        "100x adversarial probe. The exact-verify joins touch only "
-        "surviving candidates."
+        "truncates to the reps_per_bucket lowest ids per (band_idx, "
+        "band_hash) bucket BEFORE the probe join (a streamed rank "
+        "window — never a whole-bucket array), bounding candidates at "
+        "8 x reps per new doc at ANY historical duplicate density — "
+        "measured 1.9x wall at the 100x adversarial probe. The "
+        "exact-verify joins touch only surviving candidates."
     ),
     "dedup_substring": (
         "ExactSubstr spans without suffix arrays: the checkpointed "
