@@ -896,10 +896,11 @@ def bm25_index_build(
 def _hadoop_fs_path(spark: SparkSession, path_str: str):
     """(FileSystem, Path) for any URI scheme Spark itself can write —
     the marker read/write must resolve paths the same way the parquet
-    writers do."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+    writers do. (Canonical impl lives in sources.io since r8; this
+    name stays because the registered query sources call it.)"""
+    from ..sources.io import hadoop_fs_path
+
+    return hadoop_fs_path(spark, path_str)
 
 
 def bm25_probe(
@@ -929,40 +930,12 @@ def bm25_probe(
 
 
 def _bm25_cached_index_path(sf_dir: str) -> str:
-    """Deterministic per-corpus index location keyed by the documents
-    table's identity (path + mtime + size), so repeated queries against
-    an unchanged corpus reuse the artifact and a regenerated corpus
-    gets a fresh build. (The graded testdata is a single parquet file;
-    for a directory table the mtime key is the directory's, which
-    parquet writers bump on commit.)"""
-    import hashlib
-    import os
-    import tempfile
+    """Per-corpus cached index path for the documents table — keying
+    and cache-root hardening live in `etl_knlp_spark.cache` (shared
+    with `similarity_pq_pruned` since r8; ADVICE r6 #1 + r7 #4)."""
+    from ..cache import corpus_cache_path
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
-    # Per-user cache root (0700) rather than a predictable world-shared
-    # /tmp name (ADVICE r6 #1). makedirs(exist_ok=True) alone would
-    # accept a pre-created attacker-owned directory at the predictable
-    # name, so verify ownership and strip group/other bits after the
-    # call — a pre-planted root fails loudly instead of serving a
-    # poisoned index.
-    root = os.path.join(
-        tempfile.gettempdir(), f"etl_knlp_cache_{os.getuid()}"
-    )
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    st_root = os.stat(root)
-    if st_root.st_uid != os.getuid():
-        raise ValueError(
-            f"cache root {root} is owned by uid {st_root.st_uid}, not us — "
-            "refusing to build or trust an index there"
-        )
-    if st_root.st_mode & 0o077:
-        os.chmod(root, 0o700)
-    return os.path.join(root, f"bm25_index_{key}")
+    return corpus_cache_path(sf_dir, "documents", "bm25_index")
 
 
 @query("bm25_pruned", oracle=_BM25_ORACLE)

@@ -386,6 +386,14 @@ def _decode_jpeg(payload: bytes):
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("malformed JPEG marker stream")
+        # T.81 B.1.1.2: any marker may be preceded by optional 0xFF
+        # fill bytes — skip them, or the fill byte reads as marker
+        # 0xFF and the real marker byte is misread as segment length
+        # (ADVICE r7 #3)
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

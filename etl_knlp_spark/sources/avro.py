@@ -333,11 +333,15 @@ def read_avro(spark: SparkSession, path: str, spark_schema: str) -> DataFrame:
     expected output (Avro carries its schema per file; the explicit
     DDL keeps the Spark plan's schema static, the same contract as
     `spark.read.schema(...).csv`)."""
-    import glob as _glob
-
     import pandas as pd
 
-    if not _glob.glob(os.path.join(path, "*.avro")):
+    from .io import hadoop_glob_nonempty
+
+    # empty-drop check via the Hadoop FS API so remote schemes (s3a://,
+    # hdfs://) resolve the same way the reader does — a driver-local
+    # glob would silently return an empty frame for a populated remote
+    # path (ADVICE r7 #1)
+    if not hadoop_glob_nonempty(spark, os.path.join(path, "*.avro")):
         return spark.createDataFrame([], spark_schema)
     files = spark.read.format("binaryFile").load(os.path.join(path, "*.avro"))
 

@@ -68,3 +68,43 @@ def create_table_if_not_exists(spark: SparkSession, name: str, ddl_schema: str, 
 def insert_into(df: DataFrame, table: str, overwrite: bool = False) -> None:
     """S8: `INSERT INTO ... SELECT` append (dag-knlp.py:66-71)."""
     df.write.insertInto(table, overwrite=overwrite)
+
+
+def hadoop_fs_path(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for any URI scheme Spark itself can write —
+    marker/existence checks must resolve paths the same way the
+    parquet writers do, or local-vs-remote drift creeps in (the bm25
+    marker bug fixed in r7, the binary-source empty-drop bug in r8)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def hadoop_glob_nonempty(spark: SparkSession, pattern: str) -> bool:
+    """True iff ``pattern`` matches at least one path, resolved through
+    the Hadoop FileSystem API — the same resolution Spark's own readers
+    use, so it works on any scheme (s3a://, hdfs://, file:). A
+    driver-local ``glob.glob`` always misses on remote schemes, which
+    turned the binary-source readers' empty-drop special case into
+    silent data loss there (ADVICE r7 #1). ``globStatus`` returns null
+    for a nonexistent parent and an empty array for an existing-but-
+    unmatched one; both mean "no shards"."""
+    fs, hpath = hadoop_fs_path(spark, pattern)
+    matches = fs.globStatus(hpath)
+    return matches is not None and len(matches) > 0
+
+
+def write_completion_marker(spark: SparkSession, path: str, payload: str) -> None:
+    """Write `{path}/_INDEX_COMPLETE` — call strictly AFTER every
+    artifact under ``path`` has committed, so a crash mid-build reads
+    as 'not built' rather than a half-index (ADVICE r6 #1 pattern,
+    shared by the bm25 and pq persisted indexes)."""
+    fs, marker = hadoop_fs_path(spark, f"{path}/_INDEX_COMPLETE")
+    out = fs.create(marker, True)
+    out.writeBytes(payload)
+    out.close()
+
+
+def completion_marker_exists(spark: SparkSession, path: str) -> bool:
+    fs, marker = hadoop_fs_path(spark, f"{path}/_INDEX_COMPLETE")
+    return fs.exists(marker)

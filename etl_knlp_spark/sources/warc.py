@@ -126,13 +126,16 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     (`https://corpus.invalid/{lang}/{doc_id}`); records whose URI does
     not match the corpus scheme surface with NULL doc_id/lang rather
     than being silently dropped."""
-    import glob as _glob
-
     import pandas as pd
 
-    if not _glob.glob(os.path.join(path, "*.warc.gz")):
+    from .io import hadoop_glob_nonempty
+
+    if not hadoop_glob_nonempty(spark, os.path.join(path, "*.warc.gz")):
         # an empty crawl drop is a normal steady-state condition (no
-        # shards landed this cycle) — empty frame, not a path error
+        # shards landed this cycle) — empty frame, not a path error.
+        # Resolved through the Hadoop FS API, NOT a driver-local glob:
+        # on s3a:// a local glob always misses, and a populated remote
+        # drop would silently read as empty (ADVICE r7 #1).
         return spark.createDataFrame([], _READ_SCHEMA)
     files = spark.read.format("binaryFile").load(os.path.join(path, "*.warc.gz"))
 

@@ -494,3 +494,41 @@ def test_bpe_train_matches_pure_python_reference(spark):
         .collect()
     ]
     assert got == reference(texts, 6)
+
+
+def test_bm25_cache_root_rejects_symlink_and_nondir(tmp_path, monkeypatch):
+    """ADVICE r7 #4: a same-uid symlink (or plain file) pre-planted at
+    the predictable cache-root name must be rejected via lstat — a
+    stat-based check follows the link and would bless a redirected
+    index location."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from etl_knlp_spark.operators import analysis as an
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        _pytest.skip("no testdata")
+    fake_tmp = tmp_path / "tmp"
+    fake_tmp.mkdir()
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(fake_tmp))
+    root = fake_tmp / f"etl_knlp_cache_{os.getuid()}"
+
+    elsewhere = tmp_path / "elsewhere"
+    elsewhere.mkdir()
+    root.symlink_to(elsewhere)  # same-uid symlink to a same-uid dir
+    with _pytest.raises(ValueError, match="not a directory"):
+        an._bm25_cached_index_path(sf_dir)
+    root.unlink()
+
+    root.write_text("")  # plain file squatting the name
+    with _pytest.raises(ValueError, match="not a directory"):
+        an._bm25_cached_index_path(sf_dir)
+    root.unlink()
+
+    # and the honest path still works and is created 0700
+    p = an._bm25_cached_index_path(sf_dir)
+    assert p.startswith(str(root))
+    assert os.lstat(root).st_mode & 0o077 == 0

@@ -729,3 +729,44 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     r = got[(1, 2)]
     assert r["containment"] >= 0.99 and r["inner_doc"] == 1
     assert not any(3 in k for k in got)
+
+
+def test_incremental_screen_persisted_index_is_text_free(spark, tmp_path):
+    """ADVICE r7 #2: when the persisted historical artifacts
+    (band-signature table + shingle-set table) are passed in, no stage
+    of the screen touches historical TEXT — proven by handing it a
+    history frame whose text was destroyed after indexing. Results
+    must be identical to the recompute-from-raw default."""
+    from etl_knlp_spark.operators.dedup import (
+        _shingle_sets,
+        incremental_minhash_screen,
+        minhash_band_signatures,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    hist = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"h{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base + " tail"), (11, " ".join(f"n{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    # index once, persist, read back — the steady-state ingest shape
+    bands_path = str(tmp_path / "hist_bands")
+    sh_path = str(tmp_path / "hist_shingles")
+    minhash_band_signatures(hist).write.parquet(bands_path)
+    _shingle_sets(hist, "text", "doc_id").write.parquet(sh_path)
+
+    gutted = hist.withColumn("text", F.lit(None).cast("string"))
+    got = incremental_minhash_screen(
+        gutted,
+        new,
+        0.7,
+        history_bands=spark.read.parquet(bands_path),
+        history_shingles=spark.read.parquet(sh_path),
+    ).collect()
+    want = incremental_minhash_screen(hist, new, 0.7).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    flags = {r["doc_id"]: r["is_near_dup"] for r in got}
+    assert flags == {10: True, 11: False}

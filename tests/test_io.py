@@ -110,3 +110,20 @@ def test_events_ts_adaptive_across_generations(spark, tmp_path):
         assert e.schema["ts"].dataType.simpleString() == "timestamp", unit
         got = e.orderBy("event_id").first()["ts"]
         assert got == base, (unit, got)
+
+
+def test_hadoop_glob_nonempty_matches_reader_resolution(spark, tmp_path):
+    """ADVICE r7 #1: source existence checks resolve through the Hadoop
+    FileSystem API (the resolution spark.read itself uses), not a
+    driver-local glob — a local glob silently misses on remote schemes
+    and turned populated s3a:// drops into empty frames."""
+    from etl_knlp_spark.sources.io import hadoop_glob_nonempty
+
+    d = tmp_path / "drop"
+    assert not hadoop_glob_nonempty(spark, f"{d}/*.avro")  # parent missing
+    d.mkdir()
+    assert not hadoop_glob_nonempty(spark, f"{d}/*.avro")  # empty drop
+    (d / "part-0.avro").write_bytes(b"x")
+    assert hadoop_glob_nonempty(spark, f"{d}/*.avro")
+    # explicit scheme resolves too (the case local glob can never see)
+    assert hadoop_glob_nonempty(spark, f"file://{d}/*.avro")

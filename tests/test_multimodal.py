@@ -666,3 +666,28 @@ def test_jpeg_corrupt_inputs_raise_contract_errors_only():
     for payload in cases:
         with pytest.raises((ValueError, NotImplementedError)):
             _decode_jpeg(payload)
+
+
+def test_jpeg_fill_bytes_before_markers_decode_identically():
+    """T.81 B.1.1.2: optional 0xFF fill bytes may precede any marker.
+    ADVICE r7 #3: the marker loop used to read the fill byte as marker
+    0xFF and misparse the next two bytes as a segment length. Padding
+    every header marker must not change the decoded pixels."""
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, size=(16, 16)).astype(np.uint8)
+    ok = _encode_jpeg(img)
+    want = _decode_jpeg(ok)
+
+    # pad the first DQT, DHT, SOF0 and SOS markers (all in the header,
+    # before entropy data) with 1-3 fill bytes each
+    padded = ok
+    for marker, nfill in ((b"\xff\xdb", 1), (b"\xff\xc4", 2), (b"\xff\xc0", 3), (b"\xff\xda", 2)):
+        i = padded.find(marker)
+        assert i >= 0
+        padded = padded[:i] + b"\xff" * nfill + padded[i:]
+    got = _decode_jpeg(padded)
+    assert np.array_equal(got, want)
