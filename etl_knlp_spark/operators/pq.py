@@ -279,6 +279,84 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_index_build(
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    m: int = _M,
+    ksub: int = _KSUB,
+) -> None:
+    """Persist the PQ index under a caller-owned ``path`` — the
+    build/probe split that bm25 (analysis.py) and IVF (ivf.py) already
+    have (round-7 verdict #3): `{path}/codebook` (sub, code, centroid)
+    and `{path}/codes` (vec_id, sub, code, approx_nrm — the compact
+    scored representation; m bytes/vector of information, no floats).
+    The `_INDEX_COMPLETE` marker is written strictly AFTER both
+    artifacts through the Hadoop FS API, so a crash between the two
+    writes reads as 'not built' (ADVICE r6 #1 pattern)."""
+    from ..sources.io import write_completion_marker
+
+    codebook = pq_train(spark, vectors, m=m, ksub=ksub)
+    codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    stored_cb = spark.read.parquet(f"{path}/codebook")
+    pq_encode(vectors, stored_cb, m=m).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    write_completion_marker(spark, path, f"m={m} ksub={ksub}\n")
+
+
+def pq_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    vectors: DataFrame | None = None,
+    m: int = _M,
+    shortlist: int = _SHORTLIST,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """Query a `pq_index_build` artifact: ADC over the stored codes
+    against the stored codebook — no training, no encoding, no float
+    corpus scan. Pass ``vectors`` to exact-re-rank the shortlist (the
+    one point floats are read — a point-lookup join on shortlist ids,
+    |Q|×shortlist rows, not a scan); omit it for the pure
+    compressed-domain top-k."""
+    codebook = spark.read.parquet(f"{path}/codebook")
+    codes = spark.read.parquet(f"{path}/codes")
+    if vectors is None:
+        return adc_search(spark, codes, codebook, queries, m=m, top_k=top_k)
+    return pq_search_rerank(
+        spark, vectors, codes, codebook, queries,
+        m=m, shortlist=shortlist, top_k=top_k,
+    )
+
+
+def pq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pq_topk` semantics through the PERSISTED index: build once
+    into a per-corpus cached path (skipped entirely when the
+    `_INDEX_COMPLETE` marker exists — repeated runs against an
+    unchanged corpus are probe-only, pinned in test_pq), then ADC +
+    exact re-rank via `pq_probe`. Deterministic training (seeded init,
+    hash-residue sample) makes the result identical to the
+    rebuild-per-query path."""
+    from ..cache import corpus_cache_path
+    from ..sources.io import completion_marker_exists
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vectors = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    path = corpus_cache_path(sf_dir, "embeddings", "pq_index")
+    if not completion_marker_exists(spark, path):
+        pq_index_build(spark, vectors, path)
+    queries = (
+        vectors.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("q_nrm", l2_norm(F.col("emb")))
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"), "q_nrm")
+    )
+    # same corpus-scaled shortlist as pq_topk (fixed cuts lose recall
+    # as N grows — see pq_topk's measured note)
+    shortlist = max(_SHORTLIST, vectors.count() // 20)
+    return pq_probe(spark, path, queries, vectors=vectors, shortlist=shortlist)
+
+
 @query("similarity_pq", oracle=_sim.ann_contract_oracle())
 def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assertion contract over `pq_topk` (upgraded from rows-only in
@@ -293,4 +371,18 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     k respected."""
     return _sim.ann_recall_contract(
         spark, sf_dir, pq_topk(spark, sf_dir), recall_threshold=0.3
+    )
+
+
+@query("similarity_pq_pruned", oracle=_sim.ann_contract_oracle())
+def similarity_pq_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assertion contract over `pq_pruned_topk` — same contract and
+    threshold as `similarity_pq` but driving the PERSISTED index
+    (cached per-corpus path; probe-only when already built), so the
+    driver's hash gate also covers the stored-artifact path: a stale
+    or corrupt cached codebook/codes table would break the
+    recomputed-cosine or recall booleans here. Result identity with
+    the rebuild path is pinned in test_pq."""
+    return _sim.ann_recall_contract(
+        spark, sf_dir, pq_pruned_topk(spark, sf_dir), recall_threshold=0.3
     )

@@ -130,27 +130,12 @@ _STALE_SINCE: dict[str, int] = {
 # this round (which can take the following round's slots). Prune
 # entries once their green row lands.
 _SWEEP_PRIORITY: set[str] = {
-    # round 7: kanon_release's oracle changed again (injective escape,
-    # ADVICE r6 #2) and eval_prf_summary's plan was fixed (cell-table
-    # checkpoint), so their r6 green rows are invalid — re-evidence
-    # first, along with the new round-7 registration.
-    # (The r6 priority cohort — collated_group/corpus_funnel/
-    # parameterized_sql/join_asof + the 3 events queries — all landed
-    # their green rows in the r6 sweep and were pruned.)
-    "kanon_release",
-    "eval_prf_summary",
-    "hybrid_retrieval_rrf_pruned",
-    "dedup_jaccard_prefix",
-    "dedup_substring",
-    "dedup_substring_rewrite",
-    "dedup_incremental_minhash",
-    "warc_roundtrip",
-    "bpe_train_merges",
-    "bpe_tokenize",
-    "avro_roundtrip",
-    # round-7 source-change bumps invalidating earlier green rows:
-    "hybrid_retrieval_rrf",
-    "bm25_pruned",
+    # (The r7 priority cohort — kanon_release/eval_prf_summary/
+    # bpe_*/hybrid_*/bm25_pruned/dedup_substring*/warc+avro_roundtrip
+    # — all landed green rows in the r7 sweep and were pruned. Round 8
+    # adds only `similarity_pq_pruned`, which the never-evidenced tier
+    # already fronts without a priority entry; the rest of the r8
+    # window should flow to the r2–r4 evidence tier per verdict #1.)
 }
 
 # --- Environment-epoch staleness (round-5 verdict "Next round #2") ---

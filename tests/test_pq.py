@@ -123,3 +123,82 @@ def test_pq_sampled_training_encodes_full_corpus(spark, sf_dir):
     n = vectors.count()
     assert codes.select("vec_id").distinct().count() == n
     assert codes.count() == n * _M
+
+
+def test_pq_index_build_probe_is_rebuild_free_and_identical(spark, sf_dir, tmp_path):
+    """Round-7 verdict #3: PQ gets the same persisted build/probe
+    split as bm25 and IVF. A second probe against the artifact does no
+    write I/O (commit-marker mtimes untouched), and — training being
+    deterministic — the probed result is identical to the
+    rebuild-per-query `pq_topk`."""
+    import os
+
+    from etl_knlp_spark.operators.pq import (
+        _N_QUERIES,
+        _SHORTLIST,
+        pq_index_build,
+        pq_probe,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vectors = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    path = str(tmp_path / "pq_index")
+    pq_index_build(spark, vectors, path)
+    for artifact in ("codebook", "codes"):
+        assert os.path.exists(f"{path}/{artifact}/_SUCCESS")
+    marker = f"{path}/_INDEX_COMPLETE"
+    assert os.path.exists(marker)
+    # marker strictly after both artifacts — the cache guard's gate
+    assert os.stat(marker).st_mtime_ns >= os.stat(
+        f"{path}/codes/_SUCCESS"
+    ).st_mtime_ns
+
+    built_at = {
+        a: os.stat(f"{path}/{a}/_SUCCESS").st_mtime_ns
+        for a in ("codebook", "codes")
+    }
+    queries = (
+        vectors.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("q_nrm", l2_norm(F.col("emb")))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            "q_nrm",
+        )
+    )
+    shortlist = max(_SHORTLIST, vectors.count() // 20)
+    first = sorted(map(tuple, pq_probe(
+        spark, path, queries, vectors=vectors, shortlist=shortlist
+    ).collect()))
+    second = sorted(map(tuple, pq_probe(
+        spark, path, queries, vectors=vectors, shortlist=shortlist
+    ).collect()))
+    assert first == second
+    assert first == sorted(map(tuple, pq_topk(spark, sf_dir).collect()))
+    for a, t in built_at.items():
+        assert os.stat(f"{path}/{a}/_SUCCESS").st_mtime_ns == t  # no rebuild
+
+
+def test_pq_pruned_entry_caches_across_runs(spark, sf_dir, tmp_path, monkeypatch):
+    """The registered `similarity_pq_pruned` composes build+probe
+    through the per-corpus cached path: the first run builds, the
+    second reuses the artifact (no write I/O) and returns the
+    identical contract row."""
+    import os
+
+    from etl_knlp_spark import cache as cache_mod
+    from etl_knlp_spark.operators import pq as pq_mod
+
+    path = str(tmp_path / "pq_cached")
+    monkeypatch.setattr(
+        cache_mod, "corpus_cache_path", lambda _sf, _t, _p: path
+    )
+    # pq.py imports corpus_cache_path inside the function body, so the
+    # module-level monkeypatch above is what it resolves
+    first = pq_mod.similarity_pq_pruned(spark, sf_dir).collect()
+    built_at = os.stat(f"{path}/codes/_SUCCESS").st_mtime_ns
+    second = pq_mod.similarity_pq_pruned(spark, sf_dir).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    assert os.stat(f"{path}/codes/_SUCCESS").st_mtime_ns == built_at
+    row = first[0]
+    assert row["recall_ok"] and row["scores_true"] and row["ret_le_k"]
