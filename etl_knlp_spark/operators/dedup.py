@@ -2394,8 +2394,7 @@ def incremental_minhash_screen(
 
     Bounded by construction: the historical band table collapses to
     the ``reps_per_bucket`` LOWEST doc_ids per (band_idx, band_hash)
-    bucket before the probe join (a rank window — streamed, never a
-    whole-bucket array), so each new doc meets at most 8 ×
+    bucket before the probe join, so each new doc meets at most 8 ×
     reps_per_bucket candidates regardless of historical duplicate
     density. The truncation costs recall beyond the LSH candidacy
     math: a bucket where all kept witnesses fail exact verify can
@@ -2406,18 +2405,47 @@ def incremental_minhash_screen(
     duplicate partners are high-Jaccard and land among the lowest
     ids). Candidates verify with exact shingle-set Jaccard, so every
     flag is TRUE at the threshold; pairwise completeness is the
-    full-corpus operators' job."""
-    from pyspark.sql import Window
+    full-corpus operators' job.
 
+    The collapse is a sorted-collect_list slice, NOT a rank window
+    (r8 retime: the r7 window form sorted the full historical band
+    table and cost 24.1 s vs 12.6 s at the 100×-density probe —
+    the window sort is the one non-partial-aggregable stage in the
+    whole screen). collect_list's per-bucket memory is bounded by the
+    same `_GIANT_BUCKET_ROWS` routing as `minhash_candidates`:
+    buckets above the floor collapse to their min() witness through a
+    streaming aggregate instead (a degenerate 10^8-member bucket
+    keeps 1 witness, not reps_per_bucket — by that multiplicity the
+    min witness is a duplicate of everything in the bucket, so the
+    recall cost is nil while the memory bound is absolute). On
+    ordinary corpora the routing set is empty and both side plans
+    collapse to no-ops."""
     if history_bands is None:
         history_bands = minhash_band_signatures(history)
-    w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
-    hist_buckets = (
-        history_bands
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= reps_per_bucket)
-        .select("band_idx", "band_hash", F.col("doc_id").alias("hist_id"))
+    giant_keys = (
+        history_bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") > _GIANT_BUCKET_ROWS)
+        .select("band_idx", "band_hash")
     )
+    normal_reps = (
+        history_bands.join(
+            F.broadcast(giant_keys), ["band_idx", "band_hash"], "left_anti"
+        )
+        .groupBy("band_idx", "band_hash")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")), 1, reps_per_bucket
+            ).alias("hs")
+        )
+        .select("band_idx", "band_hash", F.explode("hs").alias("hist_id"))
+    )
+    giant_reps = (
+        history_bands.join(F.broadcast(giant_keys), ["band_idx", "band_hash"])
+        .groupBy("band_idx", "band_hash")
+        .agg(F.min("doc_id").alias("hist_id"))
+    )
+    hist_buckets = normal_reps.unionByName(giant_reps)
     new_bands = minhash_band_signatures(new).select(
         F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
     )

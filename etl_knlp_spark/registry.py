@@ -121,6 +121,12 @@ _STALE_SINCE: dict[str, int] = {
     # moved to the Hadoop FS API (non-local caller-owned paths);
     # output unchanged, function source changed.
     "bm25_pruned": 7,
+    # round 8: incremental_minhash_screen's witness collapse rewritten
+    # from a rank window to giant-routed collect_list slices (2× at
+    # the 100×-density probe; giant buckets now keep 1 witness, not
+    # reps_per_bucket) — output identical at graded SFs, operator
+    # machinery changed.
+    "dedup_incremental_minhash": 8,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
