@@ -324,6 +324,41 @@ _WINNOW_K = 3
 _WINNOW_W = 4
 
 
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing core over any (doc_id, text) frame — extracted in r8
+    so the property suite can drive the PRODUCTION plan on randomized
+    corpora against an independent pure-python construction
+    (tests/test_properties.py, the BPE-sweep technique applied to the
+    window family per round-7 verdict #7)."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")).filter(
+        F.size("t") >= _WINNOW_K
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t") - F.lit(_WINNOW_K - 1))
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("i"), _WINNOW_K))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_WINNOW_W - 1), 0)
+    )
+    sel = grams.select("doc_id", F.min("h").over(w).alias("mh")).distinct()
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_set("mh")))).alias(
+            "fp_digest"
+        ),
+    )
+
+
 @query(
     "winnow_fingerprint",
     oracle=f"""
@@ -372,34 +407,7 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort), and the final digest is a map-side-combinable
     groupBy. Shuffle volume is one 32-byte hash per selected gram.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    base = docs.select("doc_id", toks.alias("t")).filter(
-        F.size("t") >= _WINNOW_K
-    )
-    grams = base.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.size("t") - F.lit(_WINNOW_K - 1))
-        ).alias("i"),
-        "t",
-    ).select(
-        "doc_id",
-        "i",
-        F.md5(F.concat_ws(" ", F.slice("t", F.col("i"), _WINNOW_K))).alias("h"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(-(_WINNOW_W - 1), 0)
-    )
-    sel = grams.select("doc_id", F.min("h").over(w).alias("mh")).distinct()
-    return sel.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fingerprints"),
-        F.md5(F.concat_ws("|", F.sort_array(F.collect_set("mh")))).alias(
-            "fp_digest"
-        ),
-    )
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
 @query(

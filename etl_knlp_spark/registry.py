@@ -127,6 +127,10 @@ _STALE_SINCE: dict[str, int] = {
     # reps_per_bucket) — output identical at graded SFs, operator
     # machinery changed.
     "dedup_incremental_minhash": 8,
+    # round 8: winnow core extracted to winnow_fingerprints(docs) so
+    # the property suite drives the production plan (verdict #7) —
+    # output and oracle identical, function source changed.
+    "winnow_fingerprint": 8,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

@@ -99,18 +99,40 @@ def parse_warc(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
 def gunzip_members(blob: bytes) -> bytes:
     """Decompress a concatenated-member gzip stream (the `.warc.gz`
     layout: one member per record). Plain (uncompressed) WARC bytes
-    pass through untouched."""
+    pass through untouched.
+
+    Chunk-fed on purpose: the obvious loop — fresh decompressobj,
+    `d.decompress(rest_of_blob)`, continue from `d.unused_data` —
+    COPIES the whole remaining blob into unused_data once per member,
+    O(members × bytes). At Common Crawl shard shape (~50k one-record
+    members) that was 11.6 s/shard; feeding fixed 1 MiB windows and
+    only ever re-feeding the small unused tail makes it 0.7 s
+    (measured r8, tools/bench_reference_e2e.py's WARC source row).
+    Truncated final members still yield their partial output silently
+    (zlib raises only on malformed bytes, not on truncation) — same
+    contract as before."""
     if blob[:2] != b"\x1f\x8b":
         return blob
     out = []
-    while blob:
-        d = zlib.decompressobj(wbits=31)
-        try:
-            out.append(d.decompress(blob))
-            out.append(d.flush())
-        except zlib.error as e:
-            raise ValueError(f"malformed gzip member in WARC: {e}") from None
-        blob = d.unused_data
+    d = zlib.decompressobj(wbits=31)
+    chunk = 1 << 20
+    mv = memoryview(blob)
+    for start in range(0, len(blob), chunk):
+        data = mv[start : start + chunk]
+        while True:
+            try:
+                out.append(d.decompress(data))
+            except zlib.error as e:
+                raise ValueError(
+                    f"malformed gzip member in WARC: {e}"
+                ) from None
+            if not d.eof:
+                break  # mid-member: the next outer chunk continues it
+            tail = d.unused_data
+            d = zlib.decompressobj(wbits=31)
+            if not tail:
+                break
+            data = tail
     return b"".join(out)
 
 

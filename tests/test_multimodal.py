@@ -691,3 +691,36 @@ def test_jpeg_fill_bytes_before_markers_decode_identically():
         padded = padded[:i] + b"\xff" * nfill + padded[i:]
     got = _decode_jpeg(padded)
     assert np.array_equal(got, want)
+
+
+def test_progressive_jpeg_degrade_path_without_pillow(monkeypatch):
+    """Round-7 verdict #6: the documented pillow-absent degrade path
+    must hold for progressive JPEG with NO environment skip — the
+    payload is synthesized in-test (SOI + SOF2 frame header, the
+    marker that defines 'progressive') and pillow absence is forced,
+    so this pins the contract on every host:
+
+    - `decode_media` raises NotImplementedError naming the gate (the
+      contract error class callers catch — never ValueError/KeyError),
+    - `media_feature` (the feature-extraction kernel every
+      extract_features batch runs) degrades to the deterministic fake
+      with the same shape, so downstream plans are identical."""
+    import struct
+
+    from etl_knlp_spark.operators import multimodal as mm
+
+    progressive = (
+        b"\xff\xd8"                      # SOI
+        + b"\xff\xc2"                    # SOF2: progressive DCT
+        + struct.pack(">H", 11)          # seglen
+        + bytes([8])                     # precision
+        + struct.pack(">HH", 8, 8)       # h, w
+        + bytes([1, 1, 0x11, 0])         # 1 component
+        + b"\xff\xd9"                    # EOI
+    )
+    monkeypatch.setattr(mm, "_HAS_PIL", False)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        mm.decode_media(progressive, "image/jpeg")
+    feat = mm.media_feature(progressive, "image/jpeg")
+    assert feat == mm._fake_feature(progressive)
+    assert len(feat) == 8 and all(isinstance(v, float) for v in feat)

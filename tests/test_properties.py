@@ -369,3 +369,152 @@ def test_avro_codec_roundtrips_arbitrary_rows(rows, tmp_path_factory):
     assert write_ocf(iter(rows), schema, f) == len(rows)
     _, got = read_ocf(open(f, "rb").read())
     assert got == rows
+
+
+# ------------------- winnowing: Spark plan ≡ independent pure-python
+
+_winnow_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_winnow_docs = st.lists(
+    st.lists(_winnow_words, min_size=0, max_size=14),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_winnow_docs)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_winnow_fingerprints_match_reference_construction(spark, docs):
+    """Round-7 verdict #7 (the BPE-sweep technique on the window
+    family): the production winnowing plan — md5 k-gram hashes, a
+    trailing w-row min window including partial prefixes, distinct,
+    sorted-concat digest — must equal an independent pure-python
+    construction on randomized corpora. Catches gram off-by-ones,
+    window-frame drift, and digest-order bugs the driver hash can't
+    see (both engines' SQL share the window formulation; this mirror
+    shares nothing)."""
+    import hashlib
+
+    from etl_knlp_spark.operators.analysis import (
+        _WINNOW_K,
+        _WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_fingerprints"], r["fp_digest"])
+        for r in winnow_fingerprints(df).collect()
+    }
+
+    want = {}
+    for doc_id, ws in enumerate(docs):
+        if len(ws) < _WINNOW_K:
+            continue  # production plan filters short docs out entirely
+        grams = [
+            hashlib.md5(
+                " ".join(ws[i : i + _WINNOW_K]).encode()
+            ).hexdigest()
+            for i in range(len(ws) - _WINNOW_K + 1)
+        ]
+        sel = {
+            min(grams[max(0, i - _WINNOW_W + 1) : i + 1])
+            for i in range(len(grams))
+        }
+        digest = hashlib.md5("|".join(sorted(sel)).encode()).hexdigest()
+        want[doc_id] = (len(sel), digest)
+    assert got == want
+
+
+# ---------------- Lloyd's k-means: Spark loop ≡ independent numpy mirror
+
+
+def _mirror_lloyd(vecs, k, max_iter):
+    """Independent Lloyd construction mirroring kmeans_fit's declared
+    semantics: init = k lowest vec_ids, argmin tiebreak by cluster_id,
+    per-dim mean, empty clusters DROP from the table. Distances fold
+    sequentially in array order (zip_with), sums over integer-valued
+    components are exact so the means are order-independent."""
+    ordered = sorted(vecs)  # (vec_id, tuple(emb))
+    cents = {i: list(e) for i, (_, e) in enumerate(ordered[:k])}
+    for _ in range(max_iter):
+        members = {}
+        for vid, e in vecs:
+            best = None
+            for cid in sorted(cents):
+                d = 0.0
+                for x, y in zip(e, cents[cid]):
+                    d += (x - y) * (x - y)
+                if best is None or (d, cid) < best[:2]:
+                    best = (d, cid)
+            members.setdefault(best[1], []).append(e)
+        cents = {
+            cid: [
+                sum(e[p] for e in es) / len(es) for p in range(len(es[0]))
+            ]
+            for cid, es in members.items()
+        }
+    return cents
+
+
+_km_vecs = st.lists(
+    st.lists(st.integers(min_value=0, max_value=7), min_size=4, max_size=4),
+    min_size=3,
+    max_size=10,
+    unique_by=lambda v: tuple(v),
+)
+
+
+@given(vecs=_km_vecs)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_kmeans_fit_matches_mirror_lloyd(spark, vecs):
+    """Round-7 verdict #7 applied to the k-means that both
+    `similarity_ivf` and `dedup_semantic` train with: the distributed
+    Lloyd loop (crossJoin-argmin assignment, posexplode mean, bounded
+    driver sync) must equal an independent driver-side construction
+    on randomized integer-valued corpora — integer components make
+    every mean an exact double, so agreement is exact, not
+    approximate. Catches tiebreak drift, empty-cluster handling, and
+    the assignment/mean fencepost bugs an assertion contract (recall
+    floor) would absorb silently."""
+    from etl_knlp_spark.operators.ivf import kmeans_fit
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    k = 3
+    got = {
+        r["cluster_id"]: list(r["centroid"])
+        for r in kmeans_fit(spark, df, k=k, max_iter=2, train_cap=10**6).collect()
+    }
+    want = _mirror_lloyd([(i, tuple(float(x) for x in v)) for i, v in enumerate(vecs)], k, 2)
+    assert got == want
+
+
+@given(vecs=_km_vecs)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_pq_train_matches_mirror_lloyd_per_subspace(spark, vecs):
+    """Same technique for `similarity_pq`'s codebook: the JOINT
+    (sub, code)-keyed Lloyd loop must decompose into m independent
+    per-subspace mirrors — init is the ksub lowest vec_ids' slices
+    with codes ranked by vec_id, tiebreak by code, empty codes drop."""
+    from etl_knlp_spark.operators.pq import pq_train
+
+    m, ksub = 2, 2
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    got = {
+        (r["sub"], r["code"]): list(r["centroid"])
+        for r in pq_train(
+            spark, df, m=m, ksub=ksub, max_iter=2, train_cap=10**6
+        ).collect()
+    }
+    d_over_m = len(vecs[0]) // m
+    want = {}
+    for sub in range(m):
+        sl = [
+            (i, tuple(float(x) for x in v[sub * d_over_m : (sub + 1) * d_over_m]))
+            for i, v in enumerate(vecs)
+        ]
+        for code, cent in _mirror_lloyd(sl, ksub, 2).items():
+            want[(sub, code)] = cent
+    assert got == want

@@ -100,6 +100,43 @@ def main() -> None:
     pipeline_sec = round(time.perf_counter() - t0, 1)
 
     dim_rows = result.dimension.count()
+
+    # r7 sources at the same 1.5M-record scale (round-7 verdict #4):
+    # the pipeline's staging format is JSON-lines (dag-knlp.py:109-111);
+    # these time the SAME corpus through the WARC and Avro OCF
+    # source/sink pairs so every binary source carries a measured
+    # number at the reference's own scale. The frame is checkpointed
+    # first so the sink timings don't re-pay the parse DAG.
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.sources.avro import read_avro, write_avro
+    from etl_knlp_spark.sources.warc import read_warc, write_warc
+
+    corpus = result.korean.select(
+        F.col("data_id").cast("long").alias("doc_id"),
+        F.lit("ko").alias("lang"),
+        F.concat_ws(" ", "word_id", "korean").alias("text"),
+    ).localCheckpoint()  # eager: isolate source I/O from the parse DAG
+
+    t0 = time.perf_counter()
+    n_warc = write_warc(corpus, os.path.join(work, "warc"))
+    warc_write_sec = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    warc_read_rows = read_warc(spark, os.path.join(work, "warc")).count()
+    warc_read_sec = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    n_avro = write_avro(corpus, os.path.join(work, "avro"))
+    avro_write_sec = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    avro_read_rows = read_avro(
+        spark,
+        os.path.join(work, "avro"),
+        "doc_id bigint, lang string, text string",
+    ).count()
+    avro_read_sec = round(time.perf_counter() - t0, 1)
+    assert n_warc == warc_read_rows and n_avro == avro_read_rows
+
     print(
         json.dumps(
             {
@@ -110,6 +147,13 @@ def main() -> None:
                 "korean_rows": result.row_count,
                 "dimension_rows": dim_rows,
                 "max_word_id_len": result.max_word_id_len,
+                "sources_15M": {
+                    "rows": n_warc,
+                    "warc_write_sec": warc_write_sec,
+                    "warc_read_sec": warc_read_sec,
+                    "avro_write_sec": avro_write_sec,
+                    "avro_read_sec": avro_read_sec,
+                },
                 "reference_analog": "dag-knlp.py stop_line=1.5M parse, 'hours' single-process",
             }
         )
