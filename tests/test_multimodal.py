@@ -610,20 +610,6 @@ def test_native_jpeg_decodes_real_world_420_file():
     assert 10 < arr.mean() < 245  # not a constant plane
 
 
-def test_progressive_jpeg_raises_not_implemented_without_pillow():
-    import os
-
-    from etl_knlp_spark.operators import multimodal
-
-    path = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
-    if not os.path.exists(path):
-        pytest.skip("no progressive JPEG available")
-    if multimodal._HAS_PIL:
-        pytest.skip("pillow present — progressive decodes for real")
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_media(open(path, "rb").read(), "image/jpeg")
-
-
 def test_jpeg_corrupt_inputs_raise_contract_errors_only():
     """Corrupt JPEG payloads must fail with ValueError (or
     NotImplementedError for gated features), never KeyError/
@@ -693,12 +679,13 @@ def test_jpeg_fill_bytes_before_markers_decode_identically():
     assert np.array_equal(got, want)
 
 
-def test_progressive_jpeg_degrade_path_without_pillow(monkeypatch):
+def test_arithmetic_jpeg_degrade_path_without_pillow(monkeypatch):
     """Round-7 verdict #6: the documented pillow-absent degrade path
-    must hold for progressive JPEG with NO environment skip — the
-    payload is synthesized in-test (SOI + SOF2 frame header, the
-    marker that defines 'progressive') and pillow absence is forced,
-    so this pins the contract on every host:
+    must hold for the remaining gated JPEG mode with NO environment
+    skip — the payload is synthesized in-test (SOI + SOF9
+    arithmetic-coded frame header; progressive SOF2 decodes natively
+    since r8) and pillow absence is forced, so this pins the contract
+    on every host:
 
     - `decode_media` raises NotImplementedError naming the gate (the
       contract error class callers catch — never ValueError/KeyError),
@@ -709,9 +696,9 @@ def test_progressive_jpeg_degrade_path_without_pillow(monkeypatch):
 
     from etl_knlp_spark.operators import multimodal as mm
 
-    progressive = (
+    arith = (
         b"\xff\xd8"                      # SOI
-        + b"\xff\xc2"                    # SOF2: progressive DCT
+        + b"\xff\xc9"                    # SOF9: arithmetic sequential
         + struct.pack(">H", 11)          # seglen
         + bytes([8])                     # precision
         + struct.pack(">HH", 8, 8)       # h, w
@@ -719,8 +706,299 @@ def test_progressive_jpeg_degrade_path_without_pillow(monkeypatch):
         + b"\xff\xd9"                    # EOI
     )
     monkeypatch.setattr(mm, "_HAS_PIL", False)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        mm.decode_media(progressive, "image/jpeg")
-    feat = mm.media_feature(progressive, "image/jpeg")
-    assert feat == mm._fake_feature(progressive)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        mm.decode_media(arith, "image/jpeg")
+    feat = mm.media_feature(arith, "image/jpeg")
+    assert feat == mm._fake_feature(arith)
     assert len(feat) == 8 and all(isinstance(v, float) for v in feat)
+
+
+def _encode_jpeg_progressive(img):
+    """Minimal test-side PROGRESSIVE JPEG encoder (T.81 G.1.2,
+    independent of the decoder): the same forward DCT + all-ones
+    quantization as `_encode_jpeg` (bit-identical coefficients), then
+    a spectral-selection + successive-approximation scan script — DC
+    first at Al=1, DC refinement (raw bits), per-component AC first
+    scans for bands 1-5 and 6-63 at Al=1 with genuine cross-block EOB
+    runs, then the matching AC refinement scans (correction-bit
+    buffering per the IJG jcphuff formulation). Each Huffman-coded
+    scan redefines table id 0 in-stream. Gray (h,w) or RGB (h,w,3)."""
+    import struct
+
+    import numpy as np
+
+    ZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    u = np.arange(8)
+    C = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) * np.sqrt(2 / 8)
+    C[0] /= np.sqrt(2)
+
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    if gray:
+        planes = [img]
+    else:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    h, w = planes[0].shape
+
+    def pad8(p):
+        H = -(-p.shape[0] // 8) * 8
+        W = -(-p.shape[1] // 8) * 8
+        return np.pad(p, ((0, H - p.shape[0]), (0, W - p.shape[1])), mode="edge")
+
+    coefs = []  # per comp: list of zigzag-order (64,) int lists per block
+    for p in planes:
+        p = pad8(p)
+        blocks = []
+        for y0 in range(0, p.shape[0], 8):
+            for x0 in range(0, p.shape[1], 8):
+                blk = C @ (p[y0 : y0 + 8, x0 : x0 + 8] - 128.0) @ C.T
+                blocks.append(
+                    [int(v) for v in np.round(blk).astype(int).reshape(64)[ZZ]]
+                )
+        coefs.append(blocks)
+    ncomp, n_blocks = len(coefs), len(coefs[0])
+
+    def mag(v):
+        return abs(v).bit_length()
+
+    def canonical(symbols):
+        syms = sorted(set(symbols))
+        L = 1
+        while (1 << L) < len(syms) + 1:
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        codes = {s: (L, i) for i, s in enumerate(syms)}
+        return counts, syms, codes
+
+    out = bytearray(b"\xff\xd8")
+    qtab = bytes([0]) + bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(qtab)) + qtab
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def emit_scan(scan_comp_ids, ss, se, ah, al, ops):
+        """ops: ("sym", s) huffman-coded / ("bits", value, length) raw."""
+        syms = [op[1] for op in ops if op[0] == "sym"]
+        codes = None
+        if syms:
+            counts, symlist, codes = canonical(syms)
+            tc = 0 if ss == 0 else 1
+            seg = bytes([(tc << 4) | 0]) + bytes(counts) + bytes(symlist)
+            out.extend(b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg)
+        sos = bytes([len(scan_comp_ids)])
+        for cs in scan_comp_ids:
+            sos += bytes([cs, 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+        acc, nacc = 0, 0
+
+        def put(code, length):
+            nonlocal acc, nacc
+            acc = (acc << length) | code
+            nacc += length
+            while nacc >= 8:
+                nacc -= 8
+                byte = (acc >> nacc) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+
+        for op in ops:
+            if op[0] == "sym":
+                L, code = codes[op[1]]
+                put(code, L)
+            else:
+                put(op[1], op[2])
+        if nacc:
+            put((1 << (8 - nacc)) - 1, 8 - nacc)  # pad with 1s
+
+    # ---- scan 1: DC first, interleaved, Al=1
+    ops, preds = [], [0] * ncomp
+    for b in range(n_blocks):
+        for ci in range(ncomp):
+            dc = coefs[ci][b][0] >> 1  # arithmetic shift (T.81 DC pt)
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            s = mag(diff)
+            ops.append(("sym", s))
+            if s:
+                ops.append(
+                    ("bits", diff if diff >= 0 else diff + (1 << s) - 1, s)
+                )
+    emit_scan(list(range(1, ncomp + 1)), 0, 0, 0, 1, ops)
+
+    # ---- scan 2: DC refinement, raw bit per block, Al=0
+    ops = []
+    for b in range(n_blocks):
+        for ci in range(ncomp):
+            ops.append(("bits", coefs[ci][b][0] & 1, 1))
+    emit_scan(list(range(1, ncomp + 1)), 0, 0, 1, 0, ops)
+
+    BANDS = [(1, 5), (6, 63)]
+
+    def ac_first_ops(ci, ss, se):
+        ops, eobrun = [], 0
+
+        def flush_eob():
+            nonlocal eobrun
+            while eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                n = min(eobrun, (1 << (nbits + 1)) - 1)
+                ops.append(("sym", nbits << 4))
+                if nbits:
+                    ops.append(("bits", n - (1 << nbits), nbits))
+                eobrun -= n
+
+        for b in range(n_blocks):
+            band = coefs[ci][b][ss : se + 1]
+            tb = [(abs(v) >> 1) * (1 if v >= 0 else -1) for v in band]
+            if not any(tb):
+                eobrun += 1
+                continue
+            flush_eob()
+            run = 0
+            last_nz = max(i for i, v in enumerate(tb) if v)
+            for i, v in enumerate(tb):
+                if i > last_nz:
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ops.append(("sym", 0xF0))
+                    run -= 16
+                s = mag(v)
+                ops.append(("sym", (run << 4) | s))
+                ops.append(("bits", v if v >= 0 else v + (1 << s) - 1, s))
+                run = 0
+            if last_nz < len(tb) - 1:
+                eobrun += 1  # trailing zero tail joins an EOB run
+        flush_eob()
+        return ops
+
+    def ac_refine_ops(ci, ss, se):
+        """IJG jcphuff encode_mcu_AC_refine: r counts zero-HISTORY
+        positions, nonzero-history positions buffer a correction bit;
+        buffered bits flush right after the next emitted symbol."""
+        ops, eobrun, pending = [], 0, []
+
+        def flush_eob():
+            nonlocal eobrun, pending
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                ops.append(("sym", nbits << 4))
+                if nbits:
+                    ops.append(("bits", eobrun - (1 << nbits), nbits))
+                eobrun = 0
+                for bit in pending:
+                    ops.append(("bits", bit, 1))
+                pending = []
+
+        for b in range(n_blocks):
+            band = coefs[ci][b][ss : se + 1]
+            absv = [abs(v) >> 0 for v in band]  # Al=0 refinement pass
+            hist = [abs(v) >> 1 for v in band]  # what the decoder has
+            eob_k = -1
+            for i, (a, hv) in enumerate(zip(absv, hist)):
+                if hv == 0 and a == 1:
+                    eob_k = i  # last newly-significant position
+            r, br = 0, []
+            for i, v in enumerate(band):
+                a, hv = absv[i], hist[i]
+                if a == 0:
+                    r += 1
+                    continue
+                if hv != 0:  # already significant: buffered correction bit
+                    br.append(a & 1)
+                    continue
+                # newly significant (|v| == 1 at this Al)
+                while r > 15 and i <= eob_k:
+                    flush_eob()
+                    ops.append(("sym", 0xF0))
+                    ops.extend(("bits", bit, 1) for bit in br)
+                    br = []
+                    r -= 16
+                flush_eob()
+                ops.append(("sym", (r << 4) | 1))
+                ops.append(("bits", 1 if v >= 0 else 0, 1))
+                ops.extend(("bits", bit, 1) for bit in br)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return ops
+
+    for ss, se in BANDS:
+        for ci in range(ncomp):
+            emit_scan([ci + 1], ss, se, 0, 1, ac_first_ops(ci, ss, se))
+    for ss, se in BANDS:
+        for ci in range(ncomp):
+            emit_scan([ci + 1], ss, se, 1, 0, ac_refine_ops(ci, ss, se))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_jpeg_decodes_identical_to_baseline():
+    """Two-sided progressive check (round-7 verdict gap #2 closed):
+    the baseline and progressive test encoders quantize the SAME
+    coefficients, so the decoder must produce BIT-IDENTICAL pixels
+    from both streams — any error in the spectral-selection /
+    successive-approximation scan logic (EOB runs, refinement
+    correction bits, DC point transform) breaks exact equality. A
+    smooth gradient exercises long cross-block EOB runs; the random
+    images exercise dense bands, ZRL, and refinement."""
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(13)
+    yy, xx = np.mgrid[0:24, 0:21]
+    smooth = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    noisy = rng.randint(0, 255, size=(20, 22)).astype(np.uint8)
+    rgb = rng.randint(0, 255, size=(17, 19, 3)).astype(np.uint8)
+
+    for img in (smooth, noisy, rgb):
+        prog = _encode_jpeg_progressive(img)
+        assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") >= 4
+        base = _encode_jpeg(img)
+        got_p = _decode_jpeg(prog)
+        got_b = _decode_jpeg(base)
+        assert np.array_equal(got_p, got_b)
+
+
+def test_progressive_jpeg_real_world_file_decodes_natively():
+    """The nodejs-doc progressive JPEG (SOF2, successive-approximation
+    scan script from a real encoder) decodes natively to its SOF
+    dimensions with plausible content — no pillow involved."""
+    import os
+    import struct
+
+    from etl_knlp_spark.operators.multimodal import decode_media
+
+    path = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    if not os.path.exists(path):
+        pytest.skip("no real-world progressive JPEG available")
+    payload = open(path, "rb").read()
+    i = payload.find(b"\xff\xc2")
+    assert i > 0, "fixture is not progressive"
+    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+    arr = decode_media(payload, "image/jpeg")
+    assert arr.shape == (h, w, 3)
+    assert arr.dtype.name == "uint8"
+    assert 10 < arr.mean() < 245
