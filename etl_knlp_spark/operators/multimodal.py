@@ -4,7 +4,7 @@ Design: image/audio/video payloads are opaque `binary` columns with a
 typed metadata struct beside them; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over `mapInPandas`
 (per-batch, never per-row). Images decode natively for PNM (P6/P5),
-8-bit PNG (round 6), baseline JPEG (round 7 — Huffman-sequential
+8/16-bit incl. Adam7 PNG (rounds 6+8), baseline JPEG (round 7 — Huffman-sequential
 SOF0/SOF1 incl. 4:2:0/4:2:2 subsampling and restart intervals), and
 progressive JPEG (round 8 — SOF2 spectral selection + successive
 approximation); audio for PCM16 WAV; video for YUV4MPEG2 — all pure
@@ -111,13 +111,17 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def _decode_png(payload: bytes):
     """Pure-python PNG decoder (round-5 verdict #6: shrink the codec
-    boundary) — stdlib zlib inflates IDAT, then the five scanline
-    filters (None/Sub/Up/Average/Paeth) un-apply per RFC 2083. Covers
-    the common web baseline: 8-bit depth, grayscale / RGB / palette /
-    gray+alpha / RGBA, non-interlaced; CRCs are verified per chunk.
-    16-bit depth and Adam7 interlacing raise NotImplementedError (and
-    fall through to pillow when present). Returns (h, w, channels)
-    uint8 — palette images expand to RGB.
+    boundary; r8 closes it for the remaining mainstream shapes) —
+    stdlib zlib inflates IDAT, then the five scanline filters
+    (None/Sub/Up/Average/Paeth) un-apply per RFC 2083. Covers 8-bit
+    AND 16-bit depth, grayscale / RGB / palette / gray+alpha / RGBA,
+    non-interlaced AND Adam7-interlaced (each of the 7 passes is an
+    independent filtered sub-image, unfiltered then scattered onto
+    the output grid); CRCs are verified per chunk. Returns (h, w,
+    channels) uint8 — palette images expand to RGB, 16-bit samples
+    scale to their high byte (the standard 16→8 downsample). Sub-8-bit
+    depths (1/2/4-bit palette) raise NotImplementedError and fall
+    through to pillow when present.
 
     Perf note: unfiltering is an inherently sequential per-scanline
     recurrence (each row depends on the previous), so the inner loop
@@ -161,49 +165,100 @@ def _decode_png(payload: bytes):
     if header is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, color, comp, filt, interlace = header
-    if depth != 8 or interlace != 0:
+    if depth not in (8, 16):
         raise NotImplementedError(
-            "native PNG decode covers 8-bit non-interlaced; "
-            "16-bit/Adam7 need pillow"
+            "native PNG decode covers 8/16-bit depths; "
+            "1/2/4-bit palette PNGs need pillow"
         )
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
     if color not in _CHANNELS:  # unknown color type: ValueError, not KeyError
         raise ValueError(f"invalid PNG color type {color}")
+    if color == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is not a legal combination")
     channels = _CHANNELS[color]
+    bps = depth // 8  # bytes per sample
+    bpp = channels * bps  # filter distance, RFC 2083 §6.2
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+
+    # Adam7 pass grid: (x0, y0, dx, dy); interlace 0 = one full pass
+    passes = (
+        [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        if interlace == 1
+        else [(0, 0, 1, 1)]
+    )
+    expected = 0
+    pass_dims = []
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        pass_dims.append((pw, ph))
+        if pw and ph:
+            expected += ph * (pw * bpp + 1)
+    if len(raw) != expected:
         raise ValueError("PNG raster size mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
-        if ftype == 0:
-            cur = line
-        elif ftype == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
-            cur = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                if ftype == 1:
-                    cur[x] = (line[x] + a) & 0xFF
-                elif ftype == 3:
-                    cur[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-                else:
-                    c = prev[x - bpp] if x >= bpp else 0
-                    cur[x] = (line[x] + _paeth(a, int(prev[x]), int(c))) & 0xFF
+
+    out = np.zeros((h, w * channels) if bps == 1 else (h, w, channels), np.uint8)
+    if bps == 2:
+        out16 = np.zeros((h, w, channels), np.uint16)
+    off = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(passes, pass_dims):
+        if not (pw and ph):
+            continue  # empty passes contribute zero scanlines
+        stride = pw * bpp
+        sub = np.zeros((ph, stride), np.uint8)
+        for y in range(ph):
+            ftype = raw[off]
+            line = np.frombuffer(
+                raw, np.uint8, count=stride, offset=off + 1
+            ).astype(np.int32)
+            off += stride + 1
+            prev = (
+                sub[y - 1].astype(np.int32)
+                if y > 0
+                else np.zeros(stride, np.int32)
+            )
+            if ftype == 0:
+                cur = line
+            elif ftype == 2:  # Up
+                cur = (line + prev) & 0xFF
+            elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
+                cur = np.zeros(stride, np.int32)
+                for x in range(stride):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    if ftype == 1:
+                        cur[x] = (line[x] + a) & 0xFF
+                    elif ftype == 3:
+                        cur[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+                    else:
+                        c = prev[x - bpp] if x >= bpp else 0
+                        cur[x] = (line[x] + _paeth(a, int(prev[x]), int(c))) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            sub[y] = cur.astype(np.uint8)
+        if bps == 1:
+            px = sub.reshape(ph, pw * channels)
+            if interlace:
+                out.reshape(h, w, channels)[y0::dy, x0::dx] = px.reshape(
+                    ph, pw, channels
+                )
+            else:
+                out = px
         else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        out[y] = cur.astype(np.uint8)
-    arr = out.reshape(h, w, channels)
+            px16 = sub.reshape(ph, pw, channels, 2)
+            vals = (
+                px16[..., 0].astype(np.uint16) << 8
+            ) | px16[..., 1].astype(np.uint16)
+            out16[y0::dy, x0::dx] = vals
+    if bps == 2:
+        arr = (out16 >> 8).astype(np.uint8)
+    else:
+        arr = out.reshape(h, w, channels)
     if color == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
@@ -760,7 +815,7 @@ def decode_media(payload: bytes, media_type: str):
         except NotImplementedError:
             if not _HAS_PIL:
                 raise
-            # 16-bit / interlaced: fall through to pillow
+            # sub-8-bit palette depths: fall through to pillow
     if media_type == "image/jpeg" or (
         media_type.startswith("image/") and payload[:2] == b"\xff\xd8"
     ):
@@ -778,7 +833,7 @@ def decode_media(payload: bytes, media_type: str):
         return np.asarray(_PILImage.open(io.BytesIO(payload)))
     raise NotImplementedError(
         f"no decoder available for {media_type!r}: install pillow "
-        "(16-bit/interlaced PNG, webp, arithmetic JPEG) or an audio/"
+        "(sub-8-bit PNG, webp, arithmetic JPEG) or an audio/"
         "video codec library; PNM, 8-bit PNG, baseline and progressive "
         "JPEG images, PCM WAV, and y4m video decode natively, and the Spark plumbing "
         "around decode (mapInPandas batching, schemas, partitioning) is "

@@ -1002,3 +1002,156 @@ def test_progressive_jpeg_real_world_file_decodes_natively():
     assert arr.shape == (h, w, 3)
     assert arr.dtype.name == "uint8"
     assert 10 < arr.mean() < 245
+
+
+def _encode_png_adam7(arr, filters_by_pass=None):
+    """Minimal Adam7-interlaced PNG encoder for test vectors: each of
+    the 7 passes extracts its sub-grid, applies FORWARD scanline
+    filters independently (prev row = previous row of the SAME pass),
+    and the filtered passes concatenate into one IDAT — the decoder
+    must invert the filters per pass and scatter the sub-images back."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    px = arr.reshape(h, w, ch).astype(np.int32)
+    bpp = ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raster = b""
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    for pi, (x0, y0, dx, dy) in enumerate(passes):
+        sub = px[y0::dy, x0::dx]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if ph == 0 or pw == 0:
+            continue
+        flat = sub.reshape(ph, pw * ch)
+        for y in range(ph):
+            ftype = (
+                filters_by_pass[pi][y % len(filters_by_pass[pi])]
+                if filters_by_pass
+                else (y + pi) % 5  # cycle all five filters across passes
+            )
+            row = flat[y]
+            prev = flat[y - 1] if y > 0 else np.zeros_like(row)
+            out = np.zeros_like(row)
+            for x in range(len(row)):
+                a = row[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 0:
+                    out[x] = row[x]
+                elif ftype == 1:
+                    out[x] = (row[x] - a) & 0xFF
+                elif ftype == 2:
+                    out[x] = (row[x] - b) & 0xFF
+                elif ftype == 3:
+                    out[x] = (row[x] - ((a + b) >> 1)) & 0xFF
+                else:
+                    out[x] = (row[x] - paeth(int(a), int(b), int(c))) & 0xFF
+            raster += bytes([ftype]) + out.astype(np.uint8).tobytes()
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)  # Adam7
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_png_16bit(arr16, color_type):
+    """Minimal 16-bit PNG encoder (big-endian samples, filter 0 and 2
+    rows — filters operate on BYTES with bpp = channels*2)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr16 = np.asarray(arr16, dtype=np.uint16)
+    h, w = arr16.shape[:2]
+    ch = 1 if arr16.ndim == 2 else arr16.shape[2]
+    rows = arr16.reshape(h, w * ch).astype(">u2").view(np.uint8)  # (h, w*ch*2)
+    raster = b""
+    prev = np.zeros(rows.shape[1], np.int32)
+    for y in range(h):
+        line = rows[y].astype(np.int32)
+        if y % 2 == 0:
+            raster += b"\x00" + rows[y].tobytes()
+        else:  # Up filter, byte-wise
+            raster += b"\x02" + ((line - prev) & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_adam7_interlaced_png_decodes_pixel_exact():
+    """r8 closes the PNG codec boundary: Adam7 streams decode
+    pixel-exactly against the independent test encoder — gray and
+    RGBA, dimensions chosen to produce EMPTY passes (w or h < pass
+    offsets) and ragged sub-grids, all five filters cycling across
+    passes."""
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import decode_media
+
+    rng = np.random.RandomState(21)
+    for shape, ch in (((13, 11), 1), ((5, 3), 1), ((9, 17, 4), 4), ((1, 1), 1), ((2, 9, 3), 3)):
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        png = _encode_png_adam7(arr)
+        got = decode_media(png, "image/png")
+        want = arr if arr.ndim == 3 else arr[:, :, None]
+        assert got.shape == want.shape
+        assert (got == want).all()
+
+
+def test_16bit_png_decodes_to_high_byte():
+    """16-bit samples (big-endian, byte-wise filters with bpp=2*ch)
+    decode to their high byte — gray and RGB, against the independent
+    test encoder."""
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import decode_media
+
+    rng = np.random.RandomState(22)
+    gray16 = rng.randint(0, 65536, size=(7, 5), dtype=np.uint16)
+    got = decode_media(_encode_png_16bit(gray16, color_type=0), "image/png")
+    assert (got[:, :, 0] == (gray16 >> 8).astype(np.uint8)).all()
+
+    rgb16 = rng.randint(0, 65536, size=(4, 6, 3), dtype=np.uint16)
+    got_rgb = decode_media(_encode_png_16bit(rgb16, color_type=2), "image/png")
+    assert (got_rgb == (rgb16 >> 8).astype(np.uint8)).all()
