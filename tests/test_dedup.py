@@ -770,3 +770,36 @@ def test_incremental_screen_persisted_index_is_text_free(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     flags = {r["doc_id"]: r["is_near_dup"] for r in got}
     assert flags == {10: True, 11: False}
+
+
+def test_lcs_span_pairs_planted_cases(spark):
+    """Known longest-common-substring geometry: offset spans, tie
+    runs (smallest a_start wins), no-overlap pairs (every shared
+    token still yields length-1 islands), repeated tokens."""
+    from etl_knlp_spark.operators.dedup import lcs_span_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "x a b c d y"),
+            (3, "p q a b r s a b"),   # two "a b" runs vs doc 1
+            (4, "z z z"),
+            (5, "w w z z q"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r for r in lcs_span_pairs(docs, pairs).collect()
+    }
+    r12 = out[(1, 2)]
+    assert (r12["lcs_len"], r12["a_start"], r12["b_start"]) == (4, 1, 2)
+    r13 = out[(1, 3)]  # "a b" at a_start=1; doc3 has it at j=3 and j=7
+    assert (r13["lcs_len"], r13["a_start"], r13["b_start"]) == (2, 1, 3)
+    r45 = out[(4, 5)]  # "z z" — doc4 offers starts 1,2; smallest wins
+    assert (r45["lcs_len"], r45["a_start"], r45["b_start"]) == (2, 1, 3)
+    import hashlib
+
+    assert r12["span_digest"] == hashlib.md5(b"a b c d").hexdigest()

@@ -450,9 +450,11 @@ def test_warc_read_is_scan_plus_parse_with_zero_exchanges(spark, tmp_path):
 def test_incremental_screen_collapses_history_before_probe(spark):
     """The historical band table must truncate to the reps_per_bucket
     lowest ids per bucket BEFORE the probe join (candidates bounded at
-    8 x reps per new doc at any historical density, via a streamed
-    rank window — never a whole-bucket array), and no pair self-join
-    may appear."""
+    8 x reps per new doc at any historical density — since r8 a
+    sorted collect_list slice with the giant-bucket min() routing, NOT
+    a rank window: the window sorted the whole historical band table
+    and cost 2x at the 100x probe, BASELINE.md r8), and no pair
+    self-join may appear."""
     from pyspark.sql import functions as F
 
     from etl_knlp_spark.catalog import load_table
@@ -469,5 +471,8 @@ def test_incremental_screen_collapses_history_before_probe(spark):
     # the only cartesian is the harness's own one-row `cut` broadcast
     # (two splits of one table); the screen itself contributes none
     assert plan.count("CartesianProduct") <= 2
-    # the bucket truncation is a rank window over the band pair keys
-    assert "row_number" in plan and "band_hash" in plan
+    # the bucket truncation is a bounded sorted-slice aggregate over
+    # the band pair keys — the full-table sort (Window/row_number) the
+    # r7 form paid is gone
+    assert "collect_list" in plan and "band_hash" in plan
+    assert "row_number" not in plan

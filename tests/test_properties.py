@@ -518,3 +518,49 @@ def test_pq_train_matches_mirror_lloyd_per_subspace(spark, vecs):
         for code, cent in _mirror_lloyd(sl, ksub, 2).items():
             want[(sub, code)] = cent
     assert got == want
+
+
+# ---------- per-pair LCS: diagonal-islands plan ≡ classic DP mirror
+
+_lcs_words = st.sampled_from(["aa", "bb", "cc"])
+_lcs_docs = st.tuples(
+    st.lists(_lcs_words, min_size=1, max_size=12),
+    st.lists(_lcs_words, min_size=1, max_size=12),
+)
+
+
+@given(docs=_lcs_docs)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_lcs_span_pairs_match_classic_dp(spark, docs):
+    """`lcs_span_pairs`' joins+windows formulation must equal the
+    textbook O(n·m) longest-common-substring DP — including the tie
+    rule (max length, then smallest a_start, then smallest b_start) —
+    on randomized token sequences over a tiny alphabet (dense repeats
+    are exactly where diagonal bookkeeping goes wrong)."""
+    from etl_knlp_spark.operators.dedup import lcs_span_pairs
+
+    ta, tb = docs
+    df = spark.createDataFrame(
+        [(1, " ".join(ta)), (2, " ".join(tb))], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    rows = lcs_span_pairs(df, pairs).collect()
+
+    # classic DP mirror: run[i][j] = common-suffix length ending at
+    # (i, j); best = (max len, min a_start, min b_start)
+    best = None
+    run = [[0] * (len(tb) + 1) for _ in range(len(ta) + 1)]
+    for i in range(1, len(ta) + 1):
+        for j in range(1, len(tb) + 1):
+            if ta[i - 1] == tb[j - 1]:
+                L = run[i][j] = run[i - 1][j - 1] + 1
+                cand = (-L, i - L + 1, j - L + 1)
+                if best is None or cand < best:
+                    best = cand
+    if best is None:
+        assert rows == []  # no shared token -> no match points -> no row
+        return
+    (r,) = rows
+    assert (r["lcs_len"], r["a_start"], r["b_start"]) == (
+        -best[0], best[1], best[2],
+    )
