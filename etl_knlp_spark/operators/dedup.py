@@ -2571,7 +2571,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lcs_span_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def lcs_span_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    point_budget: int | None = 2**28,
+) -> DataFrame:
     """Longest common token SUBSTRING per candidate pair — the
     per-pair span output the union-cover `duplicated_spans` doesn't
     give (round-7 verdict "what's missing" #3, without a suffix
@@ -2593,9 +2597,26 @@ def lcs_span_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     appear in ``pairs`` (the capped pair emitters bound that), match
     fan-out per pair is Σ_tok tf_a·tf_b — document-bounded, never
     corpus-bounded — and every window partitions by (pair, diagonal).
-    Nothing here scans or shuffles the full corpus."""
+    Nothing here scans or shuffles the full corpus. Per-pair output is
+    QUADRATIC in duplicate multiplicity by definition (a 100-way group
+    is C(100,2) pairs), so like the other pair enumerators this op
+    carries a pre-flight budget guard: total match points are bounded
+    above by Σ_pairs √(Σ tf_a²)·√(Σ tf_b²) (Cauchy-Schwarz — tight for
+    both unique-token and single-token docs), and an estimate over
+    ``point_budget`` REFUSES with the bounded siblings named
+    (`duplicated_spans` / `substring_rewrite`, whose cost is
+    independent of multiplicity) instead of launching the doomed
+    match join — the jaccard_prefix_pairs pattern. The default budget
+    is 2**28, NOT the prefix guard's 2**31: every match point flows
+    through TWO window passes keyed by (pair, diagonal), so per-point
+    cost is several sorted spills — a measured 1.5e9-point run
+    (100×-density probe, estimate just under 2**31) exhausted a 79 GB
+    spill volume before finishing, while the 10× probe's ~1.3e8
+    points complete in ~67 s (BASELINE.md r8). Raise the budget in
+    proportion to cluster spill capacity."""
     from pyspark.sql import Window
 
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
     )
@@ -2607,7 +2628,39 @@ def lcs_span_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     toks = toks.join(ids, "doc_id", "left_semi").localCheckpoint(eager=False)
     pos = toks.select(
         "doc_id", F.posexplode("t").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("i"), "tok")
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("i"), "tok"
+    ).localCheckpoint(eager=False)
+    if point_budget is not None:
+        s2 = (
+            pos.groupBy("doc_id", "tok")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .groupBy("doc_id")
+            .agg(F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("s"))
+        )
+        est = (
+            pairs.join(
+                s2.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a")),
+                "doc_a",
+            )
+            .join(
+                s2.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b")),
+                "doc_b",
+            )
+            .agg(F.sum(F.col("s_a") * F.col("s_b")).alias("est"))
+            .first()["est"]
+        )
+        if est is not None and est > point_budget:
+            raise ValueError(
+                f"lcs_span_pairs refused: the token-match join would "
+                f"generate up to ~{int(est):,} match points "
+                f"(Cauchy-Schwarz bound over the pair list), over "
+                f"point_budget={point_budget:,}. Per-pair span output is "
+                "quadratic in duplicate multiplicity; at this density use "
+                "the multiplicity-independent siblings — "
+                "duplicated_spans() / substring_rewrite() — or raise "
+                "point_budget to match cluster capacity."
+            )
     a = pos.select(F.col("doc_id").alias("doc_a"), "i", "tok")
     b = pos.select(
         F.col("doc_id").alias("doc_b"), F.col("i").alias("j"), "tok"

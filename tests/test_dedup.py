@@ -803,3 +803,20 @@ def test_lcs_span_pairs_planted_cases(spark):
     import hashlib
 
     assert r12["span_digest"] == hashlib.md5(b"a b c d").hexdigest()
+
+
+def test_lcs_span_pairs_budget_guard_refuses_over_budget(spark):
+    """The pre-flight Cauchy-Schwarz point estimate must refuse a
+    too-dense pair list BEFORE the match join, naming the
+    multiplicity-independent siblings; a workable budget proceeds."""
+    from etl_knlp_spark.operators.dedup import lcs_span_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h x")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="duplicated_spans"):
+        lcs_span_pairs(docs, pairs, point_budget=4)
+    rows = lcs_span_pairs(docs, pairs, point_budget=10**6).collect()
+    assert rows[0]["lcs_len"] == 8

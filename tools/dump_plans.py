@@ -301,11 +301,13 @@ SHOWCASE = {
     "incremental_minhash_screen": (
         "Steady-state ingest screening: the historical band table "
         "truncates to the reps_per_bucket lowest ids per (band_idx, "
-        "band_hash) bucket BEFORE the probe join (a streamed rank "
-        "window — never a whole-bucket array), bounding candidates at "
-        "8 x reps per new doc at ANY historical duplicate density — "
-        "measured 1.9x wall at the 100x adversarial probe. The "
-        "exact-verify joins touch only surviving candidates."
+        "band_hash) bucket BEFORE the probe join — since r8 a sorted "
+        "collect_list slice with the giant-bucket min() routing (the "
+        "r7 rank window sorted the WHOLE historical band table: the "
+        "one non-partial-aggregable stage, 2x at the 100x probe; "
+        "BASELINE.md r8) — bounding candidates at 8 x reps per new "
+        "doc at ANY historical duplicate density. The exact-verify "
+        "joins touch only surviving candidates."
     ),
     "dedup_substring": (
         "ExactSubstr spans without suffix arrays: the checkpointed "
