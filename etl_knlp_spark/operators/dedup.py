@@ -2421,7 +2421,14 @@ def incremental_minhash_screen(
     ordinary corpora the routing set is empty and both side plans
     collapse to no-ops."""
     if history_bands is None:
-        history_bands = minhash_band_signatures(history)
+        # derived bands feed THREE consumers (giant_keys, normal_reps,
+        # giant_reps) — materialize once, or the full scan → shingle →
+        # minhash → band pipeline re-runs per consumer (the
+        # capped-postings convention); caller-persisted tables are
+        # already materialized and skip this
+        history_bands = minhash_band_signatures(history).localCheckpoint(
+            eager=False
+        )
     giant_keys = (
         history_bands.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("bn"))

@@ -203,8 +203,9 @@ def _decode_png(payload: bytes):
     if len(raw) != expected:
         raise ValueError("PNG raster size mismatch")
 
-    out = np.zeros((h, w * channels) if bps == 1 else (h, w, channels), np.uint8)
-    if bps == 2:
+    if bps == 1:
+        out = np.zeros((h, w * channels), np.uint8)
+    else:
         out16 = np.zeros((h, w, channels), np.uint16)
     off = 0
     for (x0, y0, dx, dy), (pw, ph) in zip(passes, pass_dims):
@@ -501,6 +502,11 @@ def _decode_jpeg(payload: bytes):
                 ).astype(np.int32)
                 i += 65
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if coefs is not None:
+                # non-hierarchical JPEG has exactly one frame; a second
+                # SOF would silently re-map scan selectors against
+                # stores sized for the first frame
+                raise ValueError("multiple JPEG SOF frames")
             progressive = marker == 0xC2
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
@@ -540,6 +546,8 @@ def _decode_jpeg(payload: bytes):
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — decode one scan, then resume
             ns = body[0] if body else 0
+            if ns < 1:
+                raise ValueError("JPEG scan declares no components")
             if len(body) < 4 + 2 * ns:
                 raise ValueError("truncated JPEG SOS segment")
             scan = [(body[1 + 2 * c], body[2 + 2 * c]) for c in range(ns)]

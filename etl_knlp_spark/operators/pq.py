@@ -310,7 +310,7 @@ def pq_probe(
     path: str,
     queries: DataFrame,
     vectors: DataFrame | None = None,
-    m: int = _M,
+    m: int | None = None,
     shortlist: int = _SHORTLIST,
     top_k: int = _TOP_K,
 ) -> DataFrame:
@@ -319,9 +319,17 @@ def pq_probe(
     corpus scan. Pass ``vectors`` to exact-re-rank the shortlist (the
     one point floats are read — a point-lookup join on shortlist ids,
     |Q|×shortlist rows, not a scan); omit it for the pure
-    compressed-domain top-k."""
+    compressed-domain top-k.
+
+    ``m`` defaults to the STORED codebook's subspace count (one
+    bounded driver sync) — a probe must slice queries the way the
+    artifact was built, never the way the current code's default
+    says (r8 review: a changed _M default against an old cached
+    artifact would otherwise mis-join silently)."""
     codebook = spark.read.parquet(f"{path}/codebook")
     codes = spark.read.parquet(f"{path}/codes")
+    if m is None:
+        m = codebook.agg(F.max("sub")).first()[0] + 1
     if vectors is None:
         return adc_search(spark, codes, codebook, queries, m=m, top_k=top_k)
     return pq_search_rerank(
@@ -343,7 +351,10 @@ def pq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     vectors = e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
-    path = corpus_cache_path(sf_dir, "embeddings", "pq_index")
+    # cache key includes the PQ geometry: a parameter-default change
+    # in a later round must MISS this cache, not probe a stale layout
+    # (r8 review finding)
+    path = corpus_cache_path(sf_dir, "embeddings", f"pq_index_m{_M}k{_KSUB}")
     if not completion_marker_exists(spark, path):
         pq_index_build(spark, vectors, path)
     queries = (

@@ -1155,3 +1155,34 @@ def test_16bit_png_decodes_to_high_byte():
     rgb16 = rng.randint(0, 65536, size=(4, 6, 3), dtype=np.uint16)
     got_rgb = decode_media(_encode_png_16bit(rgb16, color_type=2), "image/png")
     assert (got_rgb == (rgb16 >> 8).astype(np.uint8)).all()
+
+
+def test_jpeg_scan_header_corruption_keeps_contract_errors(monkeypatch):
+    """r8 review findings: an SOS declaring zero components and a
+    second SOF frame must raise ValueError (the decode contract), not
+    IndexError from empty selector lists or mis-sized stores."""
+    import struct
+
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(3)
+    ok = _encode_jpeg(rng.randint(0, 255, size=(16, 16)).astype(np.uint8))
+
+    i = ok.find(b"\xff\xda")
+    ns0 = ok[: i + 2] + struct.pack(">H", 6) + bytes([0, 0, 63, 0]) + ok[i + 2 :]
+    # (original SOS bytes become garbage after the injected scan — the
+    # zero-component check must fire first)
+    with pytest.raises(ValueError, match="no components"):
+        _decode_jpeg(ns0[: i + 8] + b"\xff\xd9")
+
+    prog = _encode_jpeg_progressive(rng.randint(0, 255, size=(16, 16)).astype(np.uint8))
+    # splice a second SOF2 between the first two scans
+    first_sos = prog.find(b"\xff\xda")
+    nxt = prog.find(b"\xff\xc4", first_sos + 2)  # next scan's DHT
+    assert nxt > 0
+    sof2 = b"\xff\xc2" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 16, 16) + bytes([1, 0x11, 0])
+    doubled = prog[:nxt] + sof2 + prog[nxt:]
+    with pytest.raises(ValueError, match="multiple JPEG SOF"):
+        _decode_jpeg(doubled)

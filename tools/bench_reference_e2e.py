@@ -147,7 +147,7 @@ def main() -> None:
                 "korean_rows": result.row_count,
                 "dimension_rows": dim_rows,
                 "max_word_id_len": result.max_word_id_len,
-                "sources_15M": {
+                "sources_stop_line_1_5M": {
                     "rows": n_warc,
                     "warc_write_sec": warc_write_sec,
                     "warc_read_sec": warc_read_sec,
