@@ -1186,3 +1186,267 @@ def test_jpeg_scan_header_corruption_keeps_contract_errors(monkeypatch):
     doubled = prog[:nxt] + sof2 + prog[nxt:]
     with pytest.raises(ValueError, match="multiple JPEG SOF"):
         _decode_jpeg(doubled)
+
+
+def test_progressive_jpeg_420_subsampled_decodes_identical_to_baseline():
+    """The review caveat closed: progressive + chroma subsampling
+    together. One shared coefficient plan (luma 2x2, chroma 1x1 over a
+    box-downsampled image) feeds an independent baseline emitter
+    (single interleaved scan, MCU = 4 luma + cb + cr blocks) and a
+    progressive emitter (interleaved DC first/refine over the padded
+    MCU grid, per-component AC band scans over each component's OWN
+    ceil block grid). Decoded pixels must be bit-identical: visible
+    pixels come only from ceil-grid blocks, so the padded-only blocks'
+    missing AC (progressive never codes them) is cropped away in both."""
+    import struct
+
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import _decode_jpeg
+
+    ZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    u = np.arange(8)
+    C = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) * np.sqrt(2 / 8)
+    C[0] /= np.sqrt(2)
+
+    rng = np.random.RandomState(31)
+    img = rng.randint(0, 255, size=(20, 23, 3)).astype(np.float64)
+    h, w = 20, 23
+    r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    def box2(p):  # 2x2 box downsample with edge pad to even dims
+        P = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+        return (P[0::2, 0::2] + P[0::2, 1::2] + P[1::2, 0::2] + P[1::2, 1::2]) / 4.0
+
+    mcux, mcuy = -(-w // 16), -(-h // 16)
+
+    def to_blocks(p, nby, nbx):
+        P = np.pad(
+            p,
+            ((0, nby * 8 - p.shape[0]), (0, nbx * 8 - p.shape[1])),
+            mode="edge",
+        )
+        out = [[None] * nbx for _ in range(nby)]
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = C @ (P[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ C.T
+                out[by][bx] = [int(v) for v in np.round(blk).astype(int).reshape(64)[ZZ]]
+        return out
+
+    comps = [  # (cid, hs, vs, coefs[by][bx], pad_grid, ceil_grid)
+        (1, 2, 2, to_blocks(y, mcuy * 2, mcux * 2), (mcuy * 2, mcux * 2),
+         (-(-h // 8), -(-w // 8))),
+        (2, 1, 1, to_blocks(box2(cb), mcuy, mcux), (mcuy, mcux),
+         (-(-(-(-h // 2)) // 8), -(-(-(-w // 2)) // 8))),
+        (3, 1, 1, to_blocks(box2(cr), mcuy, mcux), (mcuy, mcux),
+         (-(-(-(-h // 2)) // 8), -(-(-(-w // 2)) // 8))),
+    ]
+
+    def mag(v):
+        return abs(v).bit_length()
+
+    def canonical(symbols):
+        syms = sorted(set(symbols))
+        L = 1
+        while (1 << L) < len(syms) + 1:
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        return counts, syms, {s: (L, i) for i, s in enumerate(syms)}
+
+    def headers(sof_marker):
+        out = bytearray(b"\xff\xd8")
+        qtab = bytes([0]) + bytes([1] * 64)
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(qtab)) + qtab
+        sof = struct.pack(">BHHB", 8, h, w, 3)
+        for cid, hs, vs, *_ in comps:
+            sof += bytes([cid, (hs << 4) | vs, 0])
+        out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+        return out
+
+    def emit_scan(out, scan_cids, ss, se, ah, al, ops, tc):
+        syms = [op[1] for op in ops if op[0] == "sym"]
+        codes = None
+        if syms:
+            counts, symlist, codes = canonical(syms)
+            seg = bytes([(tc << 4) | 0]) + bytes(counts) + bytes(symlist)
+            out.extend(b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg)
+        sos = bytes([len(scan_cids)])
+        for cs in scan_cids:
+            sos += bytes([cs, 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+        acc, nacc = 0, 0
+
+        def put(code, length):
+            nonlocal acc, nacc
+            acc = (acc << length) | code
+            nacc += length
+            while nacc >= 8:
+                nacc -= 8
+                byte = (acc >> nacc) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+
+        for op in ops:
+            if op[0] == "sym":
+                L, code = codes[op[1]]
+                put(code, L)
+            else:
+                put(op[1], op[2])
+        if nacc:
+            put((1 << (8 - nacc)) - 1, 8 - nacc)
+
+    def mcu_blocks():
+        """(comp_index, by, bx) in interleaved MCU order."""
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (cid, hs, vs, *_rest) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        yield ci, my * vs + by, mx * hs + bx
+
+    def dc_sym_ops(ops, diff):
+        s = mag(diff)
+        ops.append(("sym", s))
+        if s:
+            ops.append(("bits", diff if diff >= 0 else diff + (1 << s) - 1, s))
+
+    # ---------- baseline: one interleaved scan, full band
+    base = headers(b"\xff\xc0")
+    ops, preds = [], [0, 0, 0]
+    for ci, by, bx in mcu_blocks():
+        q = comps[ci][3][by][bx]
+        dc_sym_ops(ops, q[0] - preds[ci])
+        preds[ci] = q[0]
+        run = 0
+        nz = [k for k in range(1, 64) if q[k]]
+        last = nz[-1] if nz else 0
+        for k in range(1, last + 1):
+            v = q[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ops.append(("sym", 0xF0))
+                run -= 16
+            s = mag(v)
+            ops.append(("sym", (run << 4) | s))
+            ops.append(("bits", v if v >= 0 else v + (1 << s) - 1, s))
+            run = 0
+        if last < 63:
+            ops.append(("sym", 0x00))  # EOB
+    emit_scan(base, [1, 2, 3], 0, 63, 0, 0, ops, tc=None or 0)
+    # NOTE: baseline needs BOTH a DC and an AC table; the single
+    # shared canonical table above holds DC sizes and AC run/size
+    # symbols together — legal as long as it is registered under both
+    # classes. Re-emit it as class 1 too by patching a second DHT in:
+    i = base.find(b"\xff\xc4")
+    (dl,) = struct.unpack(">H", base[i + 2 : i + 4])
+    seg = bytes(base[i + 4 : i + 2 + dl])
+    dht_ac = b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + bytes([0x10]) + seg[1:]
+    base = base[: i] + dht_ac + base[i:]
+    base += b"\xff\xd9"
+
+    # ---------- progressive: DC first/refine interleaved + AC bands
+    prog = headers(b"\xff\xc2")
+    ops, preds = [], [0, 0, 0]
+    for ci, by, bx in mcu_blocks():
+        dc = comps[ci][3][by][bx][0] >> 1
+        dc_sym_ops(ops, dc - preds[ci])
+        preds[ci] = dc
+    emit_scan(prog, [1, 2, 3], 0, 0, 0, 1, ops, tc=0)
+    ops = []
+    for ci, by, bx in mcu_blocks():
+        ops.append(("bits", comps[ci][3][by][bx][0] & 1, 1))
+    emit_scan(prog, [1, 2, 3], 0, 0, 1, 0, ops, tc=0)
+    for ci, (cid, hs, vs, coefs, pad_grid, ceil_grid) in enumerate(comps):
+        for ss, se, ah, al in ((1, 63, 0, 1), (1, 63, 1, 0)):
+            ops, eobrun, pending = [], 0, []
+
+            def flush_eob():
+                nonlocal eobrun, pending
+                if eobrun > 0:
+                    nb = eobrun.bit_length() - 1
+                    ops.append(("sym", nb << 4))
+                    if nb:
+                        ops.append(("bits", eobrun - (1 << nb), nb))
+                    eobrun = 0
+                    for bit in pending:
+                        ops.append(("bits", bit, 1))
+                    pending = []
+
+            for by in range(ceil_grid[0]):
+                for bx in range(ceil_grid[1]):
+                    band = coefs[by][bx][ss : se + 1]
+                    if ah == 0:
+                        tb = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in band]
+                        if not any(tb):
+                            eobrun += 1
+                            continue
+                        flush_eob()
+                        run = 0
+                        last_nz = max(i2 for i2, v in enumerate(tb) if v)
+                        for i2, v in enumerate(tb):
+                            if i2 > last_nz:
+                                break
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ops.append(("sym", 0xF0))
+                                run -= 16
+                            s = mag(v)
+                            ops.append(("sym", (run << 4) | s))
+                            ops.append(("bits", v if v >= 0 else v + (1 << s) - 1, s))
+                            run = 0
+                        if last_nz < len(tb) - 1:
+                            eobrun += 1
+                    else:
+                        absv = [abs(v) for v in band]
+                        hist = [abs(v) >> 1 for v in band]
+                        eob_k = -1
+                        for i2, (a2, hv) in enumerate(zip(absv, hist)):
+                            if hv == 0 and a2 == 1:
+                                eob_k = i2
+                        r, br = 0, []
+                        for i2, v in enumerate(band):
+                            a2, hv = absv[i2], hist[i2]
+                            if a2 == 0:
+                                r += 1
+                                continue
+                            if hv != 0:
+                                br.append(a2 & 1)
+                                continue
+                            while r > 15 and i2 <= eob_k:
+                                flush_eob()
+                                ops.append(("sym", 0xF0))
+                                ops.extend(("bits", bit, 1) for bit in br)
+                                br = []
+                                r -= 16
+                            flush_eob()
+                            ops.append(("sym", (r << 4) | 1))
+                            ops.append(("bits", 1 if v >= 0 else 0, 1))
+                            ops.extend(("bits", bit, 1) for bit in br)
+                            br = []
+                            r = 0
+                        if r > 0 or br:
+                            eobrun += 1
+                            pending.extend(br)
+            flush_eob()
+            emit_scan(prog, [cid], ss, se, ah, al, ops, tc=1)
+    prog += b"\xff\xd9"
+
+    got_b = _decode_jpeg(bytes(base))
+    got_p = _decode_jpeg(bytes(prog))
+    assert got_b.shape == (h, w, 3) and got_p.shape == (h, w, 3)
+    assert np.array_equal(got_p, got_b)
