@@ -127,6 +127,20 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src
 
 
+def load_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file source over the documents table (schema from a
+    cheap batch footer read, same single-file-glob shape as
+    :func:`load_events_stream`). Tests that need multiple micro-batches
+    re-stage the table into several files and set maxFilesPerTrigger."""
+    _tune_session(spark)
+    batch_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    return (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() access."""
     for name in TABLES:

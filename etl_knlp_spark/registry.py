@@ -344,6 +344,6 @@ def _load_all() -> None:
     from .functions import scalar, skew, sql_surface  # noqa: F401
     from .sources import avro, layout, warc  # noqa: F401
     from .plans import corpus, dimension, tpch  # noqa: F401
-    from .streaming import cdc, joins, stateful, windows  # noqa: F401
+    from .streaming import cdc, dedup_stream, joins, stateful, windows  # noqa: F401
 
     _LOADED = True

@@ -206,3 +206,86 @@ def test_stream_stream_outer_join_emits_proven_no_match(spark, sf_dir):
     assert {r["view_id"] for r in unmatched}.isdisjoint(
         {r["view_id"] for r in matched}
     )
+
+
+# ---- streaming MinHash dedup screen (round 8) -----------------------------
+
+
+def test_row_band_signatures_match_batch_builder(spark, sf_dir):
+    """The stateless per-row signature path must be ROW-IDENTICAL to
+    the batch explode+min-agg builder — same shingles, same xxhash64
+    literal types, same band combine — or the streaming state would
+    silently diverge from the persisted batch index it claims to
+    reconstruct."""
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.dedup import minhash_band_signatures
+    from etl_knlp_spark.streaming.dedup_stream import row_band_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_row = row_band_signatures(docs)
+    batch = minhash_band_signatures(docs)
+    assert per_row.exceptAll(batch).count() == 0
+    assert batch.exceptAll(per_row).count() == 0
+    # and it drops short docs exactly like the batch filter
+    short = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three four")], "doc_id long, text string"
+    )
+    assert {
+        r.doc_id for r in row_band_signatures(short).select("doc_id").distinct().collect()
+    } == {2}
+
+
+def test_stream_band_index_converges_batch_order_free(spark, sf_dir, tmp_path):
+    """Real micro-batch run over a MULTI-FILE staging of documents with
+    maxFilesPerTrigger=1: the converged bucket table must equal the
+    single-pass batch aggregate regardless of how many micro-batches
+    the docs arrived in (min/count commutativity is the design claim —
+    this is the measurement)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.streaming.dedup_stream import streaming_band_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = str(tmp_path / "docs_multi")
+    docs.repartition(5).write.parquet(staged)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    sink = f"band_idx_multi_{uuid.uuid4().hex[:12]}"
+    q = (
+        streaming_band_index(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="etl_knlp_ckpt_"))
+        .start()
+    )
+    n_batches = 0
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 5, "staging should force multiple micro-batches"
+
+    converged = spark.table(sink)
+    batch = streaming_band_index(docs)
+    assert converged.exceptAll(batch).count() == 0
+    assert batch.exceptAll(converged).count() == 0
+
+
+def test_stream_dedup_minhash_contract(spark, sf_dir):
+    """The registered contract row holds at sf0.001: stream-converged
+    state equals the batch index, and every exact-Jaccard dup with an
+    earlier partner is screened out."""
+    from etl_knlp_spark.streaming.dedup_stream import stream_dedup_minhash
+
+    row = stream_dedup_minhash(spark, sf_dir).collect()[0]
+    assert row.stream_matches_batch is True
+    assert row.recall_ok is True
+    assert row.n_docs > 0
