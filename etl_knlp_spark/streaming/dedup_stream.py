@@ -142,6 +142,63 @@ def run_band_index_stream(
     return spark.table(sink)
 
 
+def ingest_band_index(
+    doc_stream: DataFrame, index_path: str, checkpoint: str
+):
+    """PRODUCTION ingest shape (measured at the 100× probe — see
+    BASELINE.md round-8): maintain the persisted signature index
+    WITHOUT the streaming state store. Each micro-batch appends its
+    docs' raw band signatures — the per-row stateless projection, ZERO
+    shuffle — to a batchId-keyed subdirectory (idempotent overwrite on
+    replay, the `write_stream_foreach_batch` pattern). The accumulated
+    directory IS `minhash_band_signatures(history)` persisted: exactly
+    the ``history_bands`` artifact `incremental_minhash_screen` probes
+    (dedup.py:2368), so per-batch ingest cost is independent of
+    history size while the state-store aggregate route paid per-bucket
+    state commits against the FULL index every trigger (measured 7–13×
+    the stateless batch aggregate at the 100× probe). The bucket-
+    witness view composes on read — min/count are algebraic over any
+    batch partition of the rows.
+
+    Returns the started StreamingQuery (caller awaits termination)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{index_path}/batch_id={batch_id}"
+        )
+
+    return (
+        row_band_signatures(doc_stream)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_band_signatures(spark: SparkSession, index_path: str) -> DataFrame:
+    """The persisted (doc_id, band_idx, band_hash) signature table —
+    pass as `incremental_minhash_screen(history_bands=…)`."""
+    return spark.read.parquet(index_path).select(
+        "doc_id", "band_idx", "band_hash"
+    )
+
+
+def read_band_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """The bucket-witness view of the persisted signatures (min doc_id
+    + member count per bucket) — `flag_against_index`'s index side,
+    correct under any batch boundaries or replay because min/count
+    compose over any partition of the rows."""
+    return (
+        read_band_signatures(spark, index_path)
+        .groupBy("band_idx", "band_hash")
+        .agg(
+            F.min("doc_id").alias("witness"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
 def flag_against_index(docs: DataFrame, index: DataFrame) -> DataFrame:
     """(doc_id, is_near_dup): a doc is flagged when ANY of its bands
     lands in a bucket whose witness is an earlier (smaller-id) doc —

@@ -289,3 +289,70 @@ def test_stream_dedup_minhash_contract(spark, sf_dir):
     assert row.stream_matches_batch is True
     assert row.recall_ok is True
     assert row.n_docs > 0
+
+
+def test_foreach_batch_band_ingest_feeds_screen(spark, sf_dir, tmp_path):
+    """The production ingest loop end to end: documents stream in as
+    micro-batches, foreachBatch appends their RAW band signatures
+    (zero-shuffle, batchId-keyed — idempotent on replay) to the
+    persisted index; the accumulated directory must equal the batch
+    builder's signature table, and `incremental_minhash_screen`
+    probing it (history_bands=…) must flag a new batch identically to
+    the recompute-from-raw default."""
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.dedup import (
+        incremental_minhash_screen,
+        minhash_band_signatures,
+    )
+    from etl_knlp_spark.streaming.dedup_stream import (
+        ingest_band_index,
+        read_band_index,
+        read_band_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = str(tmp_path / "docs_staged")
+    docs.repartition(4).write.parquet(staged)
+
+    index_path = str(tmp_path / "band_index")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    q = ingest_band_index(stream, index_path, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 4, "should have run multiple micro-batches"
+
+    persisted = read_band_signatures(spark, index_path)
+    batch = minhash_band_signatures(docs)
+    assert persisted.exceptAll(batch).count() == 0
+    assert batch.exceptAll(persisted).count() == 0
+    # the bucket-witness view composes correctly over batch boundaries
+    direct = batch.groupBy("band_idx", "band_hash").agg(
+        F.min("doc_id").alias("witness"), F.count(F.lit(1)).alias("n_members")
+    )
+    composed = read_band_index(spark, index_path)
+    assert composed.exceptAll(direct).count() == 0
+    assert direct.exceptAll(composed).count() == 0
+
+    # screen a synthetic new batch against the persisted index: one
+    # near-copy of an indexed doc, one novel doc
+    first = docs.orderBy("doc_id").limit(1).collect()[0]
+    new = spark.createDataFrame(
+        [
+            (10_000_000, first.text + " tail"),
+            (10_000_001, " ".join(f"novel{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    via_index = incremental_minhash_screen(
+        docs, new, 0.7, history_bands=persisted
+    ).collect()
+    default = incremental_minhash_screen(docs, new, 0.7).collect()
+    assert sorted(map(tuple, via_index)) == sorted(map(tuple, default))
+    flags = {r["doc_id"]: r["is_near_dup"] for r in via_index}
+    assert flags[10_000_000] is True
+    assert flags[10_000_001] is False
