@@ -119,9 +119,13 @@ def _decode_png(payload: bytes):
     independent filtered sub-image, unfiltered then scattered onto
     the output grid); CRCs are verified per chunk. Returns (h, w,
     channels) uint8 — palette images expand to RGB, 16-bit samples
-    scale to their high byte (the standard 16→8 downsample). Sub-8-bit
-    depths (1/2/4-bit palette) raise NotImplementedError and fall
-    through to pillow when present.
+    scale to their high byte (the standard 16→8 downsample), and
+    sub-8-bit samples (1/2/4-bit grayscale and palette, MSB-first
+    packed rows with zero-padded final bytes) unpack per RFC 2083
+    §2.3 — grayscale scales by the exact 255/85/17 multipliers,
+    palette indices look up PLTE. Every legal (color, depth)
+    combination decodes natively; illegal combinations raise
+    ValueError.
 
     Perf note: unfiltering is an inherently sequential per-scanline
     recurrence (each row depends on the previous), so the inner loop
@@ -165,21 +169,23 @@ def _decode_png(payload: bytes):
     if header is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, color, comp, filt, interlace = header
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            "native PNG decode covers 8/16-bit depths; "
-            "1/2/4-bit palette PNGs need pillow"
-        )
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
     _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
     if color not in _CHANNELS:  # unknown color type: ValueError, not KeyError
         raise ValueError(f"invalid PNG color type {color}")
-    if color == 3 and depth == 16:
-        raise ValueError("16-bit palette PNG is not a legal combination")
+    # Legal (color, depth) combinations per RFC 2083 §6.1: grayscale
+    # any of 1/2/4/8/16; palette 1/2/4/8; the multi-channel types 8/16.
+    _DEPTHS = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}
+    if depth not in _DEPTHS.get(color, (8, 16)):
+        raise ValueError(
+            f"illegal PNG depth {depth} for color type {color}"
+        )
     channels = _CHANNELS[color]
-    bps = depth // 8  # bytes per sample
-    bpp = channels * bps  # filter distance, RFC 2083 §6.2
+    bps = depth // 8  # bytes per sample (0 ⇒ sub-byte packing)
+    # filter distance rounds UP to one byte for sub-8-bit depths
+    # (RFC 2083 §6.2) — unfiltering always operates on packed bytes
+    bpp = max(1, channels * bps)
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
@@ -199,11 +205,13 @@ def _decode_png(payload: bytes):
         ph = (h - y0 + dy - 1) // dy if h > y0 else 0
         pass_dims.append((pw, ph))
         if pw and ph:
-            expected += ph * (pw * bpp + 1)
+            # sub-byte rows pack depth-bit samples MSB-first with the
+            # final byte zero-padded (RFC 2083 §2.3)
+            expected += ph * ((pw * channels * depth + 7) // 8 + 1)
     if len(raw) != expected:
         raise ValueError("PNG raster size mismatch")
 
-    if bps == 1:
+    if bps <= 1:
         out = np.zeros((h, w * channels), np.uint8)
     else:
         out16 = np.zeros((h, w, channels), np.uint16)
@@ -211,7 +219,7 @@ def _decode_png(payload: bytes):
     for (x0, y0, dx, dy), (pw, ph) in zip(passes, pass_dims):
         if not (pw and ph):
             continue  # empty passes contribute zero scanlines
-        stride = pw * bpp
+        stride = (pw * channels * depth + 7) // 8
         sub = np.zeros((ph, stride), np.uint8)
         for y in range(ph):
             ftype = raw[off]
@@ -242,7 +250,25 @@ def _decode_png(payload: bytes):
             else:
                 raise ValueError(f"unknown PNG filter type {ftype}")
             sub[y] = cur.astype(np.uint8)
-        if bps == 1:
+        if depth < 8:
+            # unpack the filtered-and-restored bytes into depth-bit
+            # samples, MSB-first, dropping the final byte's padding
+            bits = np.unpackbits(sub, axis=1).reshape(ph, -1, depth)
+            vals = np.zeros((ph, bits.shape[1]), np.uint8)
+            for b in range(depth):
+                vals = (vals << 1) | bits[:, :, b]
+            px = vals[:, : pw * channels]
+            if color == 0:
+                # standard sample scaling to full 8-bit range: the
+                # multipliers 255/85/17 are exact for depths 1/2/4
+                px = px * np.uint8(255 // ((1 << depth) - 1))
+            if interlace:
+                out.reshape(h, w, channels)[y0::dy, x0::dx] = px.reshape(
+                    ph, pw, channels
+                )
+            else:
+                out = px
+        elif bps == 1:
             px = sub.reshape(ph, pw * channels)
             if interlace:
                 out.reshape(h, w, channels)[y0::dy, x0::dx] = px.reshape(

@@ -1450,3 +1450,181 @@ def test_progressive_jpeg_420_subsampled_decodes_identical_to_baseline():
     got_p = _decode_jpeg(bytes(prog))
     assert got_b.shape == (h, w, 3) and got_p.shape == (h, w, 3)
     assert np.array_equal(got_p, got_b)
+
+
+def _encode_png_subbyte(samples, depth, color_type, filters, palette=None, interlace=0):
+    """Minimal sub-8-bit PNG encoder for test vectors: packs depth-bit
+    samples MSB-first with zero-padded final bytes (RFC 2083 §2.3),
+    then applies FORWARD scanline filters on the PACKED bytes with
+    bpp=1 — the decoder must unfilter bytes first and unpack second.
+    `samples` is (h, w) integer sample values (gray levels or palette
+    indices, already < 2**depth)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.uint8)
+    h, w = arr.shape
+
+    def pack_rows(rows):
+        ph, pw = rows.shape
+        bits = ((rows[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).reshape(ph, -1)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.concatenate([bits, np.zeros((ph, pad), np.uint8)], axis=1)
+        return np.packbits(bits, axis=1)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def filter_pass(packed, ftypes):
+        ph, stride = packed.shape
+        flat = packed.astype(np.int32)
+        raster = b""
+        for y in range(ph):
+            ftype = ftypes[y % len(ftypes)]
+            row = flat[y]
+            prev = flat[y - 1] if y > 0 else np.zeros_like(row)
+            out = np.zeros_like(row)
+            for x in range(stride):
+                a = row[x - 1] if x >= 1 else 0
+                c = prev[x - 1] if x >= 1 else 0
+                b = prev[x]
+                if ftype == 0:
+                    out[x] = row[x]
+                elif ftype == 1:
+                    out[x] = (row[x] - a) & 0xFF
+                elif ftype == 2:
+                    out[x] = (row[x] - b) & 0xFF
+                elif ftype == 3:
+                    out[x] = (row[x] - ((a + b) >> 1)) & 0xFF
+                else:
+                    out[x] = (row[x] - paeth(int(a), int(b), int(c))) & 0xFF
+            raster += bytes([ftype]) + bytes(out.astype(np.uint8))
+        return raster
+
+    raster = b""
+    if interlace:
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        for x0, y0, dx, dy in passes:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raster += filter_pass(pack_rows(sub), filters)
+    else:
+        raster += filter_pass(pack_rows(arr), filters)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(np.asarray(palette, np.uint8).ravel()))
+    return out + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+
+
+def test_sub8bit_grayscale_png_decodes_with_exact_scaling():
+    """1/2/4-bit grayscale: MSB-first packed rows (odd widths force
+    zero-padded final bytes), all five filters cycling, samples scale
+    by the exact 255/85/17 multipliers."""
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import decode_media
+
+    rng = np.random.RandomState(31)
+    for depth in (1, 2, 4):
+        for w, h in ((7, 5), (16, 4), (1, 3), (9, 1)):
+            samples = rng.randint(0, 1 << depth, size=(h, w), dtype=np.uint8)
+            png = _encode_png_subbyte(samples, depth, 0, [0, 1, 2, 3, 4])
+            got = decode_media(png, "image/png")
+            want = (samples * (255 // ((1 << depth) - 1)))[:, :, None]
+            assert got.shape == want.shape, (depth, w, h)
+            assert (got == want).all(), (depth, w, h)
+
+
+def test_sub8bit_palette_png_expands_plte():
+    """1/2/4-bit palette: indices unpack then expand through PLTE to
+    RGB; an out-of-range index still raises the contract ValueError."""
+    import numpy as np
+    import pytest
+
+    from etl_knlp_spark.operators.multimodal import _decode_png, decode_media
+
+    rng = np.random.RandomState(32)
+    for depth in (1, 2, 4):
+        n = 1 << depth
+        palette = rng.randint(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.randint(0, n, size=(5, 11), dtype=np.uint8)
+        png = _encode_png_subbyte(idx, depth, 3, [4, 3, 2, 1, 0], palette=palette)
+        got = decode_media(png, "image/png")
+        assert (got == palette[idx]).all(), depth
+    # out-of-range index: 2-bit indices with a 2-entry palette
+    short = rng.randint(2, 4, size=(3, 3), dtype=np.uint8)
+    png = _encode_png_subbyte(short, 2, 3, [0], palette=[[1, 2, 3], [4, 5, 6]])
+    with pytest.raises(ValueError, match="palette index"):
+        _decode_png(png)
+
+
+def test_sub8bit_adam7_png_decodes_pixel_exact():
+    """4-bit palette + 1-bit grayscale under Adam7: each pass packs
+    its OWN rows (per-pass padding boundaries differ from the
+    non-interlaced raster), unfilters independently, scatters back."""
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import decode_media
+
+    rng = np.random.RandomState(33)
+    palette = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(13, 11), dtype=np.uint8)
+    png = _encode_png_subbyte(idx, 4, 3, [0, 1, 2, 3, 4], palette=palette, interlace=1)
+    assert (decode_media(png, "image/png") == palette[idx]).all()
+
+    bw = rng.randint(0, 2, size=(9, 17), dtype=np.uint8)
+    png = _encode_png_subbyte(bw, 1, 0, [2, 4, 1], interlace=1)
+    assert (decode_media(png, "image/png") == (bw * 255)[:, :, None]).all()
+
+
+def test_illegal_png_depth_color_combos_raise():
+    """RFC 2083 §6.1 legality: sub-8 depths with multi-channel color
+    types, 16-bit palette, and non-power depths raise ValueError (not
+    NotImplementedError — no pillow gate remains for PNG)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from etl_knlp_spark.operators.multimodal import _decode_png
+
+    def png_with_ihdr(depth, color):
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+
+    for depth, color in ((4, 2), (2, 6), (1, 4), (16, 3), (3, 0), (32, 0)):
+        with pytest.raises(ValueError, match="depth"):
+            _decode_png(png_with_ihdr(depth, color))
