@@ -340,6 +340,7 @@ def _load_all() -> None:
         stats,
         text,
         textprep,
+        unigram,
     )
     from .functions import scalar, skew, sql_surface  # noqa: F401
     from .sources import avro, layout, warc  # noqa: F401

