@@ -844,12 +844,10 @@ def decode_media(payload: bytes, media_type: str):
     if media_type == "image/png" or (
         media_type.startswith("image/") and payload[:8] == b"\x89PNG\r\n\x1a\n"
     ):
-        try:
-            return _decode_png(payload)
-        except NotImplementedError:
-            if not _HAS_PIL:
-                raise
-            # sub-8-bit palette depths: fall through to pillow
+        # every legal PNG depth/interlace combination decodes natively
+        # (r8: sub-8-bit + Adam7 + 16-bit landed); malformed files
+        # raise ValueError — no pillow fall-through remains
+        return _decode_png(payload)
     if media_type == "image/jpeg" or (
         media_type.startswith("image/") and payload[:2] == b"\xff\xd8"
     ):
@@ -867,8 +865,9 @@ def decode_media(payload: bytes, media_type: str):
         return np.asarray(_PILImage.open(io.BytesIO(payload)))
     raise NotImplementedError(
         f"no decoder available for {media_type!r}: install pillow "
-        "(sub-8-bit PNG, webp, arithmetic JPEG) or an audio/"
-        "video codec library; PNM, 8-bit PNG, baseline and progressive "
+        "(webp, arithmetic/lossless JPEG) or an audio/"
+        "video codec library; PNM, PNG (all legal depths, incl. "
+        "sub-8-bit and Adam7), baseline and progressive "
         "JPEG images, PCM WAV, and y4m video decode natively, and the Spark plumbing "
         "around decode (mapInPandas batching, schemas, partitioning) is "
         "real and tested"

@@ -39,6 +39,14 @@ construction in tests/test_properties.py):
    tokenizer artifact for out-of-sample coverage, explicitly OUTSIDE
    the EM objective (applying it inside would break exact MLE and
    with it the monotonicity pin).
+6. final segmentation: one more Viterbi pass under the PRUNED+floor
+   vocabulary (r8 review: the last EM segmentation predates the
+   prune, so its pieces could name entries absent from the persisted
+   vocab — a consumer mapping pieces to vocabulary ids would hit
+   UNK/KeyError on in-corpus text). The persisted (word → pieces)
+   table therefore only ever emits pieces ⊆ vocab, and is
+   Viterbi-optimal under the model actually shipped
+   (`pieces_in_vocab_ok` pins the subset property).
 
 Scale shape at 100 TB: the corpus is touched ONCE (word counts); the
 whole EM loop runs on the DISTINCT-word table, which is Zipf-bounded
@@ -47,7 +55,11 @@ economics as `lm_perplexity_filter`'s count tables). The per-word
 Viterbi kernel is an Arrow-batched pandas UDF over that bounded
 table, never over documents; per-iteration driver syncs are the
 piece-count table (≤ seed_size rows, the k-means-centroid pattern —
-ivf.py:120) and tokenization re-application is one join of the word
+ivf.py:120), seed selection syncs only the single-char rows
+(alphabet-bounded) plus a distributed top-`seed_size` of the
+multi-char substring table (r8 review: collecting the whole
+distinct-substring table is millions of rows at web scale), and
+tokenization re-application is one join of the word
 stream against the persisted (word → pieces) table, partial-aggregated
 per doc. Nothing iterates over the corpus.
 """
@@ -109,19 +121,43 @@ def _seed_counts(words: DataFrame, max_piece_len: int = _MAX_PIECE_LEN) -> DataF
     )
 
 
-def _select_seed(seed_rows: list, seed_size: int) -> dict[str, int]:
-    """Driver-side seed selection (input ≤ the substring-slot distinct
-    count of the word table — bounded like every sync here): all
-    single chars + top multi-char by (count desc, piece asc)."""
-    chars = {r["piece"]: int(r["cnt"]) for r in seed_rows if len(r["piece"]) == 1}
+def _cap_vocab(counts: dict[str, int], size: int) -> dict[str, int]:
+    """All single chars + top multi-char pieces by (count desc, piece
+    asc), `size` total — the one selection rule, shared by seed
+    selection and the post-EM prune (r8 review: the two sites had
+    drifted into verbatim copies)."""
+    chars = {p: c for p, c in counts.items() if len(p) == 1}
     multi = sorted(
-        ((r["piece"], int(r["cnt"])) for r in seed_rows if len(r["piece"]) > 1),
+        ((p, c) for p, c in counts.items() if len(p) > 1),
         key=lambda kv: (-kv[1], kv[0]),
     )
     out = dict(chars)
-    for piece, cnt in multi[: max(0, seed_size - len(chars))]:
+    for piece, cnt in multi[: max(0, size - len(chars))]:
         out[piece] = cnt
     return out
+
+
+def _collect_seed(
+    seed: DataFrame, seed_size: int
+) -> dict[str, int]:
+    """Driver sync for seed selection, BOUNDED on both branches (r8
+    review: collecting the whole distinct-substring table is millions
+    of rows at web scale): single chars all come back (alphabet-
+    bounded), multi-char pieces through a distributed top-`seed_size`
+    with the selection's own (count desc, piece asc) order, so the
+    limit is deterministic and the rows that survive `_cap_vocab` are
+    exactly the ones the full-table sort would have kept."""
+    char_rows = seed.filter(F.length("piece") == 1).collect()
+    multi_rows = (
+        seed.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(seed_size)
+        .collect()
+    )
+    return _cap_vocab(
+        {r["piece"]: int(r["cnt"]) for r in (*char_rows, *multi_rows)},
+        seed_size,
+    )
 
 
 def _logprobs(counts: dict[str, int]) -> dict[str, float]:
@@ -215,8 +251,7 @@ def train_unigram(
     coverage floor, per-iteration complete-data LL list, word table,
     final segmented-word DataFrame)."""
     words = _word_counts(docs).localCheckpoint()
-    seed_rows = _seed_counts(words, max_piece_len).collect()
-    counts = _select_seed(seed_rows, seed_size)
+    counts = _collect_seed(_seed_counts(words, max_piece_len), seed_size)
     corpus_chars = {p for p in counts if len(p) == 1}
 
     lls: list[float] = []
@@ -234,18 +269,14 @@ def train_unigram(
         counts = {r["piece"]: int(r["cnt"]) for r in agg}
 
     # prune to vocab_size: surviving chars + best multi-char pieces
-    chars = {p: c for p, c in counts.items() if len(p) == 1}
-    multi = sorted(
-        ((p, c) for p, c in counts.items() if len(p) > 1),
-        key=lambda kv: (-kv[1], kv[0]),
-    )
-    pruned = dict(chars)
-    for p, c in multi[: max(0, vocab_size - len(chars))]:
-        pruned[p] = c
-    vocab = _logprobs(pruned)
+    vocab = _logprobs(_cap_vocab(counts, vocab_size))
     # coverage floor — OUTSIDE the EM objective (module docstring #5)
     for ch in corpus_chars:
         vocab.setdefault(ch, _UNK_LOGP)
+    # final segmentation under the PERSISTED vocabulary (module
+    # docstring #6): the last EM pass segmented under the pre-prune
+    # model, whose pieces can be absent from `vocab`
+    segmented = _segment_words(words, vocab, max_piece_len).localCheckpoint()
     return vocab, lls, words, segmented
 
 
@@ -268,7 +299,8 @@ def train_unigram(
            TRUE AS coverage_ok,
            TRUE AS vocab_bounded_ok,
            TRUE AS monotone_ok,
-           TRUE AS compression_ok
+           TRUE AS compression_ok,
+           TRUE AS pieces_in_vocab_ok
     """,
 )
 def unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,7 +315,10 @@ def unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete-data log-likelihood is non-decreasing across EM
     iterations (the classification-EM theorem, exact because the
     M-step is pure MLE); compression_ok = the final segmentation
-    never uses more pieces than characters."""
+    never uses more pieces than characters; pieces_in_vocab_ok =
+    every piece the persisted segmentation emits is in the persisted
+    vocabulary (module docstring #6 — pins the defect class where
+    the segmentation predates the prune)."""
     docs = load_table(spark, sf_dir, "documents")
     vocab, lls, words, segmented = train_unigram(docs)
 
@@ -308,6 +343,15 @@ def unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bad")
     ).collect()[0]["bad"]
     compression_ok = not bool(comp)
+    # distinct pieces the persisted segmentation emits — bounded by
+    # |vocab|, so the collect is a vocab-sized sync
+    used = {
+        r["piece"]
+        for r in segmented.select(F.explode("pieces").alias("piece"))
+        .distinct()
+        .collect()
+    }
+    pieces_in_vocab_ok = used.issubset(vocab.keys())
 
     n_words = words.count()
     return spark.createDataFrame(
@@ -319,10 +363,12 @@ def unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 vocab_bounded_ok,
                 monotone_ok,
                 compression_ok,
+                pieces_in_vocab_ok,
             )
         ],
         "n_distinct_words bigint, n_corpus_chars bigint, coverage_ok boolean,"
-        " vocab_bounded_ok boolean, monotone_ok boolean, compression_ok boolean",
+        " vocab_bounded_ok boolean, monotone_ok boolean, compression_ok boolean,"
+        " pieces_in_vocab_ok boolean",
     )
 
 

@@ -121,25 +121,42 @@ def streaming_band_index(doc_stream: DataFrame) -> DataFrame:
 
 
 def run_band_index_stream(
-    doc_stream: DataFrame, spark: SparkSession
+    doc_stream: DataFrame, spark: SparkSession, checkpoint: str | None = None
 ) -> DataFrame:
     """Run the bucket-witness aggregate as a REAL micro-batch job
     (availableNow trigger, complete-mode memory sink) and return the
     converged bucket table. Complete mode + memory sink is the test-
     scale harness; the production sink is an update-mode foreachBatch
-    merge into the persisted band index (module docstring)."""
+    merge into the persisted band index (module docstring).
+
+    Cleans up after itself (r8 review: every call used to leak a /tmp
+    checkpoint dir and a session-lifetime memory-sink view): the
+    converged table is materialized off the sink via an eager
+    localCheckpoint, then the temp view is dropped and a self-made
+    checkpoint dir removed. Pass ``checkpoint`` to own the
+    checkpoint's lifecycle instead (it is left in place)."""
+    import shutil
+
     sink = f"stream_band_index_{uuid.uuid4().hex[:12]}"
+    own_ckpt = checkpoint is None
+    ckpt = checkpoint if checkpoint is not None else tempfile.mkdtemp(
+        prefix="etl_knlp_ckpt_"
+    )
     q = (
         streaming_band_index(doc_stream)
         .writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="etl_knlp_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    out = spark.table(sink).localCheckpoint()  # eager: detach from the sink
+    spark.catalog.dropTempView(sink)
+    if own_ckpt:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 def ingest_band_index(
@@ -276,6 +293,12 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed = run_band_index_stream(
         load_documents_stream(spark, sf_dir), spark
     )
+    # multi-consumer checkpoints (r8 review; minhash_candidates'
+    # documented hazard — dedup.py): `batch` feeds both exceptAll
+    # directions and `true_dups` feeds two counts; without the
+    # checkpoint each consumer re-runs the full signature build /
+    # quadratic verify. `streamed` is already materialized by
+    # run_band_index_stream's eager localCheckpoint.
     batch = (
         minhash_band_signatures(docs)
         .groupBy("band_idx", "band_hash")
@@ -283,6 +306,7 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("witness"),
             F.count(F.lit(1)).alias("n_members"),
         )
+        .localCheckpoint(eager=False)
     )
     # exceptAll both ways == empty ⟺ identical multisets of bucket rows
     matches = (
@@ -292,7 +316,10 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     flagged = flag_against_index(docs, streamed).filter("is_near_dup")
     true_dups = (
-        shingle_jaccard_exact(docs, 0.7).select("doc_b").distinct()
+        shingle_jaccard_exact(docs, 0.7)
+        .select("doc_b")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     n_true = true_dups.count()
     n_caught = true_dups.join(

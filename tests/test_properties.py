@@ -661,6 +661,13 @@ def _uni_mirror_em(texts, vocab_size, seed_size, max_len, n_iters):
     vocab = {p: m.log(c) - m.log(total) for p, c in pruned.items()}
     for ch in corpus_chars:
         vocab.setdefault(ch, -30.0)
+    # final segmentation under the pruned+floor vocabulary (module
+    # docstring #6) — emitted pieces must be ⊆ vocab
+    segmented = {}
+    for w in words:
+        pieces, _ = _uni_mirror_best(w, vocab, max_len)
+        assert pieces is not None  # coverage floor guarantees cover
+        segmented[w] = pieces
     return vocab, lls, segmented
 
 
@@ -694,6 +701,9 @@ def test_unigram_em_matches_enumeration_mirror(spark, texts):
 
     got_seg = {r["word"]: list(r["pieces"]) for r in segmented.collect()}
     assert got_seg == m_seg
+    # module docstring #6: the persisted segmentation only emits
+    # pieces from the persisted vocabulary
+    assert all(set(ps) <= set(vocab) for ps in got_seg.values())
     assert set(vocab) == set(m_vocab)
     for p in vocab:
         assert abs(vocab[p] - m_vocab[p]) < 1e-9, p

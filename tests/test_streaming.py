@@ -268,7 +268,6 @@ def test_stream_band_index_converges_batch_order_free(spark, sf_dir, tmp_path):
         .option("checkpointLocation", tempfile.mkdtemp(prefix="etl_knlp_ckpt_"))
         .start()
     )
-    n_batches = 0
     q.awaitTermination()
     n_batches = len(q.recentProgress)
     assert n_batches >= 5, "staging should force multiple micro-batches"
