@@ -341,6 +341,7 @@ def _load_all() -> None:
         text,
         textprep,
         unigram,
+        wordpiece,
     )
     from .functions import scalar, skew, sql_surface  # noqa: F401
     from .sources import avro, layout, warc  # noqa: F401

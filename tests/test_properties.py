@@ -710,3 +710,63 @@ def test_unigram_em_matches_enumeration_mirror(spark, texts):
     assert len(lls) == len(m_lls)
     for a, b in zip(lls, m_lls):
         assert abs(a - b) < 1e-6
+
+
+# ------------------------------------ WordPiece greedy ≡ glen-walk mirror
+
+
+def _wp_mirror_glen_walk(word, vocab, max_len):
+    """Independent construction of the greedy longest-match rule — the
+    DuckDB oracle's shape in pure python: first a position-indexed
+    max-consumed-length table (equi-membership per (pos, len), no
+    scan-order), then a chain walk over it. Divergence from the
+    production per-position loop-scan (operators/wordpiece.py)
+    means the two constructions disagree on ties, ## edge cases, or
+    dead-end handling."""
+    n = len(word)
+    glen = {}
+    for i in range(n):
+        g = 0
+        for ln in range(1, min(max_len, n - i) + 1):
+            s = word[i : i + ln]
+            key = s if i == 0 else "##" + s
+            if key in vocab:
+                g = max(g, ln)
+        glen[i] = g
+    i, out = 0, []
+    while i < n:
+        g = glen[i]
+        if g == 0:
+            return ["[UNK]"]
+        s = word[i : i + g]
+        out.append(s if i == 0 else "##" + s)
+        i += g
+    return out
+
+
+_wp_word = st.text(alphabet="ab#", min_size=1, max_size=8)
+_wp_vocab_piece = st.text(alphabet="ab#", min_size=1, max_size=4)
+
+
+@given(
+    words=st.lists(_wp_word, min_size=1, max_size=12),
+    raw_vocab=st.lists(_wp_vocab_piece, min_size=0, max_size=24),
+    mark_cont=st.lists(st.booleans(), min_size=24, max_size=24),
+)
+@settings(max_examples=80, deadline=None)
+def test_wordpiece_greedy_matches_glen_walk_mirror(words, raw_vocab, mark_cont):
+    """Adversarial corpora the graded testdata can't produce: pieces
+    containing the literal '#' character, vocab entries that are
+    themselves '##'-prefixed raw strings, dead-end words, and empty
+    vocabularies. Both constructions must agree word-for-word."""
+    from etl_knlp_spark.operators.wordpiece import greedy_wordpiece
+
+    vocab = {
+        ("##" + p if m else p)
+        for p, m in zip(raw_vocab, mark_cont)
+    }
+    for w in words:
+        assert greedy_wordpiece(w, vocab, 4) == _wp_mirror_glen_walk(w, vocab, 4), (
+            w,
+            sorted(vocab),
+        )
