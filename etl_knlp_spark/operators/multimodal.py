@@ -5,9 +5,11 @@ typed metadata struct beside them; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over `mapInPandas`
 (per-batch, never per-row). Images decode natively for PNM (P6/P5),
 8/16-bit incl. Adam7 PNG (rounds 6+8), baseline JPEG (round 7 — Huffman-sequential
-SOF0/SOF1 incl. 4:2:0/4:2:2 subsampling and restart intervals), and
+SOF0/SOF1 incl. 4:2:0/4:2:2 subsampling and restart intervals),
 progressive JPEG (round 8 — SOF2 spectral selection + successive
-approximation); audio for PCM16 WAV; video for YUV4MPEG2 — all pure
+approximation), and lossless JPEG (round 8 — SOF3 Annex-H predictive
+coding, all 7 predictors + point transform); audio for PCM16 WAV;
+video for YUV4MPEG2 — all pure
 numpy/stdlib, tested end to end with an oracle-hashed decode query
 (`multimodal_decode`).
 Remaining compressed formats (webp, MP3, H.264) need
@@ -439,6 +441,206 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_lossless_predict(plane, x: int, y: int, pred: int, default: int, fresh: bool) -> int:
+    """T.81 Annex H.1.2 sample prediction in the point-transformed
+    domain. `fresh` marks the first sample of the scan or of a restart
+    interval (default prediction, H.2.2); the first line falls back to
+    Ra and the first column to Rb per H.1.2.2."""
+    if fresh:
+        return default
+    if y == 0:
+        return int(plane[0, x - 1]) if x > 0 else default
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra, rb, rc = int(plane[y, x - 1]), int(plane[y - 1, x]), int(plane[y - 1, x - 1])
+    if pred == 1:
+        return ra
+    if pred == 2:
+        return rb
+    if pred == 3:
+        return rc
+    if pred == 4:
+        return ra + rb - rc
+    if pred == 5:
+        return ra + ((rb - rc) >> 1)
+    if pred == 6:
+        return rb + ((ra - rc) >> 1)
+    if pred == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"invalid lossless JPEG predictor {pred}")
+
+
+def _decode_jpeg_lossless(payload: bytes):
+    """Lossless sequential Huffman JPEG (SOF3, ITU T.81 Annex H):
+    per-sample predictive coding — Huffman SSSS category from a DC
+    table, EXTENDed difference, modulo-2^16 reconstruction against
+    one of the 7 spec predictors, point transform Pt (samples coded
+    with Pt LSBs dropped, shifted back on output). Supports
+    interleaved (one sample per component per MCU) and
+    non-interleaved scans, restart intervals (prediction resets to
+    the H.2.2 default for each component's next sample), and
+    in-stream DHT/DRI between scans. 8-bit precision only, all
+    sampling factors 1 (the overwhelmingly common lossless shape —
+    DNG-style payloads); anything else raises NotImplementedError.
+
+    T.81 defines NO color space for lossless frames (JFIF's YCbCr
+    convention is a DCT-JPEG practice), so multi-component output is
+    the raw component planes stacked as channels. NB pillow does not
+    decode SOF3 at all — before this decoder the fall-through was a
+    dead end, not a degrade path."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    planes = None
+    fresh = None  # per-component: next sample uses default prediction
+    pts = None    # per-component point transform (shifted back on output)
+    saw_scan = False
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("malformed JPEG marker stream")
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # B.1.1.2 fill bytes
+        if pos + 4 > len(payload):
+            break
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xC3:  # SOF3
+            if frame is not None:
+                raise ValueError("multiple JPEG SOF frames")
+            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+            if prec != 8:
+                raise NotImplementedError(
+                    "only 8-bit lossless JPEG sample precision"
+                )
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF segment")
+            comps = []
+            for c in range(nc):
+                cid, hv, _tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG needs a codec library"
+                    )
+                comps.append(cid)
+            frame = (h, w, comps)
+            planes = [np.zeros((h, w), np.int32) for _ in comps]
+            fresh = [True] * nc
+            pts = [0] * nc
+        elif marker == 0xC4:  # DHT — same canonical build as the DCT path
+            i = 0
+            while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = body[i + 1 : i + 17]
+                i += 17
+                if i + sum(counts) > len(body):
+                    raise ValueError("JPEG DHT declares more symbols than present")
+                table, code = {}, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = body[i]
+                        i += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            h, w, comps = frame
+            ns = body[0] if body else 0
+            if ns < 1 or len(body) < 4 + 2 * ns:
+                raise ValueError("truncated JPEG SOS segment")
+            scan = [(body[1 + 2 * c], body[2 + 2 * c]) for c in range(ns)]
+            pred, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            pt = body[3 + 2 * ns] & 15
+            if not 1 <= pred <= 7 or se != 0:
+                raise ValueError("invalid lossless JPEG scan header")
+            by_id = {cid: idx for idx, cid in enumerate(comps)}
+            sel = []
+            for cs, tdta in scan:
+                if cs not in by_id:
+                    raise ValueError(
+                        f"JPEG scan references unknown frame component {cs}"
+                    )
+                if (0, tdta >> 4) not in huff:
+                    raise ValueError(
+                        "JPEG scan references an undefined Huffman table"
+                    )
+                sel.append((by_id[cs], tdta >> 4))
+            if len({s[0] for s in sel}) != len(sel):
+                raise ValueError("duplicate JPEG scan component selector")
+            for ci, _ in sel:
+                pts[ci] = pt
+            default = 1 << (8 - pt - 1)
+            reader = _JpegBitReader(payload, pos + 2 + seglen)
+            mcu = 0
+            for y in range(h):
+                for x in range(w):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        reader.restart()
+                        for ci, _ in sel:
+                            fresh[ci] = True
+                    for ci, td in sel:
+                        s = _jpeg_huff_decode(reader, huff[(0, td)])
+                        if s == 16:
+                            diff = 32768
+                        elif s:
+                            diff = _jpeg_extend(reader.bits(s), s)
+                        else:
+                            diff = 0
+                        p = _jpeg_lossless_predict(
+                            planes[ci], x, y, pred, default, fresh[ci]
+                        )
+                        fresh[ci] = False
+                        planes[ci][y, x] = (p + diff) & 0xFFFF
+                    mcu += 1
+            # non-interleaved scans walk the SAME (y, x) sample grid
+            # (all factors are 1), so one loop serves both shapes
+            saw_scan = True
+            pos = sync_to_marker_from(payload, reader.pos)
+            continue
+        pos += 2 + seglen
+    if frame is None or planes is None or not saw_scan:
+        raise ValueError("JPEG missing SOF or SOS")
+    out = np.stack(
+        [p << s for p, s in zip(planes, pts)], axis=2
+    )
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def sync_to_marker_from(payload: bytes, p: int) -> int:
+    """First real marker at/after p (skips entropy padding, 0xFF00
+    stuffing, and stray RSTn) — module-level twin of _decode_jpeg's
+    local helper, shared by the lossless walker."""
+    while p + 1 < len(payload):
+        if (
+            payload[p] == 0xFF
+            and payload[p + 1] != 0x00
+            and not (0xD0 <= payload[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    return len(payload)
+
+
 def _decode_jpeg(payload: bytes):
     """Pure-python JPEG decoder (closes the last codec boundary,
     round-6 verdict #8; progressive support added round 8 closing
@@ -449,8 +651,10 @@ def _decode_jpeg(payload: bytes):
     refinement passes per G.1.2, EOB runs), restart intervals,
     in-stream DHT/DRI redefinition between scans, JFIF YCbCr→RGB.
     Returns (h, w, channels) uint8 — 3 channels for color, 1 for
-    grayscale. Lossless and arithmetic-coded frames raise
-    NotImplementedError and fall through to pillow when present.
+    grayscale. Lossless frames (SOF3) route to the dedicated
+    predictive decoder below; differential and arithmetic-coded
+    frames raise NotImplementedError and fall through to pillow when
+    present (though pillow itself decodes neither).
 
     The entropy decode is a Python-per-bit loop, which is the
     documented perf boundary: right for thumbnail/tile payloads inside
@@ -544,9 +748,14 @@ def _decode_jpeg(payload: bytes):
                 cid, hv, tq_id = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq_id))
             frame = (h, w, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # SOF3 lossless sequential Huffman
+            # predictive coding shares nothing with the DCT pipeline
+            # (no quant/zigzag/IDCT); a dedicated walker keeps this
+            # loop's coefficient-store architecture untouched
+            return _decode_jpeg_lossless(payload)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "lossless/arithmetic-coded JPEG needs pillow"
+                "differential/arithmetic-coded JPEG needs a codec library"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -865,10 +1074,10 @@ def decode_media(payload: bytes, media_type: str):
         return np.asarray(_PILImage.open(io.BytesIO(payload)))
     raise NotImplementedError(
         f"no decoder available for {media_type!r}: install pillow "
-        "(webp, arithmetic/lossless JPEG) or an audio/"
-        "video codec library; PNM, PNG (all legal depths, incl. "
-        "sub-8-bit and Adam7), baseline and progressive "
-        "JPEG images, PCM WAV, and y4m video decode natively, and the Spark plumbing "
+        "(webp) or an audio/video codec library; PNM, PNG (all legal "
+        "depths, incl. sub-8-bit and Adam7), baseline, progressive, "
+        "and lossless (SOF3) JPEG images, PCM WAV, and y4m video "
+        "decode natively, and the Spark plumbing "
         "around decode (mapInPandas batching, schemas, partitioning) is "
         "real and tested"
     )

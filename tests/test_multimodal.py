@@ -1628,3 +1628,205 @@ def test_illegal_png_depth_color_combos_raise():
     for depth, color in ((4, 2), (2, 6), (1, 4), (16, 3), (3, 0), (32, 0)):
         with pytest.raises(ValueError, match="depth"):
             _decode_png(png_with_ihdr(depth, color))
+
+
+# ---------------------------------------------------------- lossless JPEG
+
+
+def _emit_lossless_jpeg(img, predictor=1, pt=0, restart=0, interleaved=True):
+    """Test-side SOF3 emitter (T.81 Annex H dual of the production
+    decoder): predictive sample coding with the selected predictor,
+    point transform, optional restart intervals, interleaved or
+    one-scan-per-component layout. Shared canonical DC-class table."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.int64)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nc = img.shape
+    coded = img >> pt
+
+    def mag(v):
+        s, a = 0, abs(v)
+        while a:
+            s += 1
+            a >>= 1
+        return s
+
+    def predict(plane, x, y, fresh):
+        default = 1 << (8 - pt - 1)
+        if fresh:
+            return default
+        if y == 0:
+            return int(plane[0, x - 1]) if x > 0 else default
+        if x == 0:
+            return int(plane[y - 1, 0])
+        ra, rb, rc = int(plane[y, x - 1]), int(plane[y - 1, x]), int(plane[y - 1, x - 1])
+        return {
+            1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+            5: ra + ((rb - rc) >> 1), 6: rb + ((ra - rc) >> 1),
+            7: (ra + rb) >> 1,
+        }[predictor]
+
+    # tokenize scans: list of (scan_comp_indices, [(s, bits), ...])
+    scans = [list(range(nc))] if interleaved else [[c] for c in range(nc)]
+    scan_tokens = []
+    all_syms = []
+    for comps_in_scan in scans:
+        toks = []
+        fresh = {c: True for c in comps_in_scan}
+        mcu = 0
+        for y in range(h):
+            for x in range(w):
+                if restart and mcu and mcu % restart == 0:
+                    toks.append(("RST",))
+                    for c in comps_in_scan:
+                        fresh[c] = True
+                for c in comps_in_scan:
+                    p = predict(coded[:, :, c], x, y, fresh[c])
+                    fresh[c] = False
+                    diff = int(coded[y, x, c]) - p
+                    s = mag(diff)
+                    bits = (diff if diff >= 0 else diff + (1 << s) - 1) if s else 0
+                    toks.append((s, bits))
+                    all_syms.append(s)
+                mcu += 1
+        scan_tokens.append(toks)
+
+    syms = sorted(set(all_syms))
+    L = 1
+    while (1 << L) < len(syms) + 1:
+        L += 1
+    counts = [0] * 16
+    counts[L - 1] = len(syms)
+    codes = {s: (L, i) for i, s in enumerate(syms)}
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    seg = bytes([0x00]) + bytes(counts) + bytes(syms)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+
+    for comps_in_scan, toks in zip(scans, scan_tokens):
+        sos = bytes([len(comps_in_scan)])
+        for c in comps_in_scan:
+            sos += bytes([c + 1, 0x00])
+        sos += bytes([predictor, 0, pt])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        acc, nacc, rst = 0, 0, 0
+
+        def put(code, length):
+            nonlocal acc, nacc
+            acc = (acc << length) | code
+            nacc += length
+            while nacc >= 8:
+                nacc -= 8
+                byte = (acc >> nacc) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+
+        for tok in toks:
+            if tok == ("RST",):
+                if nacc:
+                    put((1 << (8 - nacc)) - 1, 8 - nacc)
+                out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                continue
+            s, bits = tok
+            cl, code = codes[s]
+            put(code, cl)
+            if s:
+                put(bits, s)
+        if nacc:
+            put((1 << (8 - nacc)) - 1, 8 - nacc)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_lossless_jpeg_all_predictors_roundtrip_exact():
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import decode_media
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    for pred in range(1, 8):
+        got = decode_media(_emit_lossless_jpeg(img, predictor=pred), "image/jpeg")
+        assert got.shape == (5, 7, 1), pred
+        assert np.array_equal(got[:, :, 0], img), f"predictor {pred} not lossless"
+
+
+def test_lossless_jpeg_three_components_are_raw_planes():
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import decode_media
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    for interleaved in (True, False):
+        got = decode_media(
+            _emit_lossless_jpeg(img, predictor=4, interleaved=interleaved),
+            "image/jpeg",
+        )
+        # T.81 defines no color space for lossless: planes come back
+        # untransformed (a YCbCr pass here would destroy equality)
+        assert np.array_equal(got, img), f"interleaved={interleaved}"
+
+
+def test_lossless_jpeg_point_transform_drops_low_bits():
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import decode_media
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(6, 4), dtype=np.uint8)
+    got = decode_media(_emit_lossless_jpeg(img, predictor=2, pt=2), "image/jpeg")
+    assert np.array_equal(got[:, :, 0], (img >> 2) << 2)
+
+
+def test_lossless_jpeg_restart_intervals_roundtrip_exact():
+    import numpy as np
+
+    from etl_knlp_spark.operators.multimodal import decode_media
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    # interval of 7 MCUs: restarts land mid-row, exercising the
+    # prediction reset away from line boundaries
+    got = decode_media(
+        _emit_lossless_jpeg(img, predictor=7, restart=7), "image/jpeg"
+    )
+    assert np.array_equal(got, img)
+
+
+def test_lossless_jpeg_unsupported_shapes_raise_contract_errors():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_knlp_spark.operators.multimodal import _decode_jpeg
+
+    img = np.zeros((2, 2), dtype=np.uint8)
+    payload = bytearray(_emit_lossless_jpeg(img))
+    sof_at = payload.index(b"\xff\xc3")
+    # 12-bit precision: NotImplementedError, not a crash
+    p12 = bytearray(payload)
+    p12[sof_at + 4] = 12
+    with pytest.raises(NotImplementedError):
+        _decode_jpeg(bytes(p12))
+    # subsampled lossless: NotImplementedError
+    p21 = bytearray(payload)
+    p21[sof_at + 11] = 0x21  # first component H=2,V=1
+    with pytest.raises(NotImplementedError):
+        _decode_jpeg(bytes(p21))
+    # truncated entropy stream stays in the ValueError contract
+    with pytest.raises(ValueError):
+        _decode_jpeg(bytes(payload[:-5]) + b"\xff\xd9")
