@@ -131,6 +131,14 @@ _STALE_SINCE: dict[str, int] = {
     # the property suite drives the production plan (verdict #7) —
     # output and oracle identical, function source changed.
     "winnow_fingerprint": 8,
+    # round 8 (session 3, both still never-evidenced): unigram_train
+    # gained the pieces_in_vocab_ok contract column (post-prune
+    # re-segmentation review fix — oracle changed); the streaming
+    # screen's contract checkpoints its multi-consumed frames and
+    # run_band_index_stream cleans up its sink/checkpoint — output
+    # identical, function source changed.
+    "unigram_train": 8,
+    "stream_dedup_minhash": 8,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
