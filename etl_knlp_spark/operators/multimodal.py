@@ -441,6 +441,576 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+class _Vp8lBitReader:
+    """LSB-first bit reader (WebP lossless bitstream convention — the
+    opposite bit order of JPEG's _JpegBitReader)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data, self.pos, self.cur, self.nbits = data, pos, 0, 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated VP8L bitstream")
+            self.cur |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.cur & ((1 << n) - 1)
+        self.cur >>= n
+        self.nbits -= n
+        return v
+
+
+class _Vp8lCode:
+    """Canonical prefix code (DEFLATE-style: codes assigned smallest
+    length first, in symbol order, transmitted MSB-of-code first)."""
+
+    def __init__(self, lengths: dict[int, int]):
+        # lengths: symbol -> code length (>0)
+        self.single = None
+        nz = {s: l for s, l in lengths.items() if l > 0}
+        if len(nz) == 1:
+            self.single = next(iter(nz))
+            self.table = {}
+            return
+        # over/under-subscribed length sets decode ambiguously
+        if nz and sum(1 << (15 - l) for l in nz.values()) != (1 << 15):
+            raise ValueError("invalid VP8L prefix code lengths")
+        code = 0
+        self.table = {}
+        for ln in range(1, 16):
+            for sym in sorted(s for s, l in nz.items() if l == ln):
+                self.table[(ln, code)] = sym
+                code += 1
+            code <<= 1
+
+    def decode(self, r: _Vp8lBitReader) -> int:
+        if self.single is not None:
+            return self.single  # zero-length code consumes no bits
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | r.bits(1)
+            ln += 1
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code")
+
+
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+# the 40 distance symbols: 1-120 map to near-pixel offsets, ordered by
+# squared distance then dy desc then dx desc (the spec's published
+# 120-entry table is exactly this enumeration: dy=0 -> dx 1..8,
+# dy 1..7 -> dx -7..8)
+_VP8L_DIST_MAP = sorted(
+    [(dx, 0) for dx in range(1, 9)]
+    + [(dx, dy) for dy in range(1, 8) for dx in range(-7, 9)],
+    key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]),
+)
+
+
+def _vp8l_read_code(r: _Vp8lBitReader, alphabet_size: int) -> _Vp8lCode:
+    """One prefix code: 'simple' (1-2 symbols inline) or normal
+    (code-length-coded lengths with 16/17/18 repeat ops, DEFLATE-like,
+    plus the optional max_symbol cap)."""
+    if r.bits(1):  # simple
+        num = r.bits(1) + 1
+        first_len = 8 if r.bits(1) else 1
+        sym0 = r.bits(first_len)
+        if num == 1:
+            return _Vp8lCode({sym0: 1})  # degenerate: 0-bit code
+        sym1 = r.bits(8)
+        return _Vp8lCode({sym0: 1, sym1: 1})
+    num_cl = 4 + r.bits(4)
+    cl_lengths = {}
+    for i in range(num_cl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = r.bits(3)
+    cl_code = _Vp8lCode({s: l for s, l in cl_lengths.items() if l > 0})
+    if r.bits(1):  # length-capped symbol list
+        length_nbits = 2 + 2 * r.bits(3)
+        max_symbol = 2 + r.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths: dict[int, int] = {}
+    symbol, prev_len = 0, 8
+    while symbol < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        s = cl_code.decode(r)
+        if s < 16:
+            lengths[symbol] = s
+            symbol += 1
+            if s:
+                prev_len = s
+        elif s == 16:
+            rep = 3 + r.bits(2)
+            for _ in range(rep):
+                if symbol < alphabet_size:
+                    lengths[symbol] = prev_len
+                    symbol += 1
+        elif s == 17:
+            symbol += 3 + r.bits(3)
+        else:  # 18
+            symbol += 11 + r.bits(7)
+    return _Vp8lCode({s: l for s, l in lengths.items() if l > 0})
+
+
+def _vp8l_prefix_value(r: _Vp8lBitReader, code: int) -> int:
+    """LZ77 length/distance prefix decoding (spec 'prefix coding of
+    the backward references')."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + r.bits(extra) + 1
+
+
+def _vp8l_decode_pixels(r: _Vp8lBitReader, w: int, h: int, spatial: bool):
+    """Decode one VP8L-coded pixel grid into an (h, w) uint32 ARGB
+    array. `spatial` images read the meta-prefix (entropy image) bit;
+    sub-images (transform data, palettes, the entropy image itself)
+    do not. Color cache applies to both."""
+    import numpy as np
+
+    cache_bits = r.bits(4) if r.bits(1) else 0
+    if cache_bits > 11:
+        raise ValueError("invalid VP8L color cache size")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if spatial and r.bits(1):  # meta prefix codes
+        meta_bits = r.bits(3) + 2
+        mw = -(-w // (1 << meta_bits))
+        mh = -(-h // (1 << meta_bits))
+        meta_img = _vp8l_decode_pixels(r, mw, mh, spatial=False)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)  # (red<<8)|green
+        n_groups = int(meta.max()) + 1
+
+    green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        g = _vp8l_read_code(r, green_alpha)
+        red = _vp8l_read_code(r, 256)
+        blue = _vp8l_read_code(r, 256)
+        alpha = _vp8l_read_code(r, 256)
+        dist = _vp8l_read_code(r, 40)
+        groups.append((g, red, blue, alpha, dist))
+
+    out = np.zeros(w * h, np.uint32)
+    pos = 0
+
+    def cache_insert(px: int) -> None:
+        if cache is not None:
+            cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+
+    while pos < w * h:
+        if meta is not None:
+            y, x = divmod(pos, w)
+            gidx = int(meta[y >> meta_bits, x >> meta_bits])
+            if gidx >= n_groups:
+                raise ValueError("VP8L entropy image references missing group")
+            gc, rc, bc, ac, dc = groups[gidx]
+        else:
+            gc, rc, bc, ac, dc = groups[0]
+        s = gc.decode(r)
+        if s < 256:  # literal
+            g = s
+            red = rc.decode(r)
+            blue = bc.decode(r)
+            alpha = ac.decode(r)
+            px = (alpha << 24) | (red << 16) | (g << 8) | blue
+            out[pos] = px
+            cache_insert(px)
+            pos += 1
+        elif s < 280:  # backward reference
+            length = _vp8l_prefix_value(r, s - 256)
+            dcode = _vp8l_prefix_value(r, dc.decode(r))
+            if dcode > 120:
+                distance = dcode - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dcode - 1]
+                distance = dy * w + dx
+                if distance < 1:
+                    distance = 1
+            if distance > pos or pos + length > w * h:
+                raise ValueError("VP8L backward reference out of range")
+            for _ in range(length):
+                px = int(out[pos - distance])
+                out[pos] = px
+                cache_insert(px)
+                pos += 1
+        else:  # color cache hit
+            if cache is None:
+                raise ValueError("VP8L cache symbol without a color cache")
+            idx = s - 280
+            if idx >= len(cache):
+                raise ValueError("VP8L cache index out of range")
+            px = cache[idx]
+            out[pos] = px
+            cache_insert(px)
+            pos += 1
+    return out.reshape(h, w)
+
+
+def _vp8l_apply_inverse_transforms(argb, transforms):
+    """Apply the recorded transforms in reverse read order."""
+    for ttype, tdata in reversed(transforms):
+        if ttype == 2:  # subtract green
+            a, rch, g, b = (
+                (argb >> 24) & 0xFF,
+                (argb >> 16) & 0xFF,
+                (argb >> 8) & 0xFF,
+                argb & 0xFF,
+            )
+            rch = (rch + g) & 0xFF
+            b = (b + g) & 0xFF
+            argb = (a << 24) | (rch << 16) | (g << 8) | b
+        elif ttype == 0:  # predictor
+            bits, tiles = tdata
+            # operate on the CURRENT grid (a color-indexing transform
+            # read earlier shrinks the coded width; tile dims were
+            # computed against that same shrunken width at read time)
+            gh, gw = argb.shape
+            argb = _vp8l_inverse_predictor(argb, tiles, bits, gw, gh)
+        elif ttype == 1:  # cross-color
+            bits, tiles = tdata
+            gh, gw = argb.shape
+            argb = _vp8l_inverse_color_transform(argb, tiles, bits, gw, gh)
+        elif ttype == 3:  # color indexing
+            palette, width_bits, orig_w = tdata
+            argb = _vp8l_expand_palette(argb, palette, width_bits, orig_w)
+        else:
+            raise ValueError(f"unknown VP8L transform {ttype}")
+    return argb
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) & 0xFF) + ((b >> 24) & 0xFF)) // 2) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) // 2) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) // 2) << 8
+        | ((a & 0xFF) + (b & 0xFF)) // 2
+    )
+
+
+def _vp8l_predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    """The 14 spec predictors (spec §'Predictor transform')."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(L, TR), T)
+    if mode == 6:
+        return _vp8l_avg2(L, TL)
+    if mode == 7:
+        return _vp8l_avg2(L, T)
+    if mode == 8:
+        return _vp8l_avg2(TL, T)
+    if mode == 9:
+        return _vp8l_avg2(T, TR)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR))
+    if mode == 11:  # Select: Manhattan-closer of L and T to (L+T-TL)
+        pl = pt = 0
+        for sh in (24, 16, 8, 0):
+            lc, tc, tlc = (L >> sh) & 0xFF, (T >> sh) & 0xFF, (TL >> sh) & 0xFF
+            p = lc + tc - tlc
+            pl += abs(p - lc)
+            pt += abs(p - tc)
+        return L if pl < pt else T
+    if mode == 12:  # ClampAddSubtractFull
+        px = 0
+        for sh in (24, 16, 8, 0):
+            v = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - ((TL >> sh) & 0xFF)
+            px |= max(0, min(255, v)) << sh
+        return px
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = _vp8l_avg2(L, T)
+        px = 0
+        for sh in (24, 16, 8, 0):
+            a = (ave >> sh) & 0xFF
+            b = (TL >> sh) & 0xFF
+            v = a + int((a - b) / 2)  # C-style truncation toward zero
+            px |= max(0, min(255, v)) << sh
+        return px
+    raise ValueError(f"invalid VP8L predictor mode {mode}")
+
+
+def _vp8l_inverse_predictor(argb, tiles, bits: int, w: int, h: int):
+    """Residuals + per-tile predictor, applied per channel mod 256.
+    Edge rules: (0,0) uses black; the rest of row 0 uses L; column 0
+    uses T; TR of the rightmost pixel is the first pixel of the
+    CURRENT row (the contiguous-buffer convention: top[x+1] of row
+    y-1 aliases pixel (0, y))."""
+    out = [[0] * w for _ in range(h)]
+    for y in range(h):
+        for x in range(w):
+            res = int(argb[y, x])
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = out[0][x - 1]
+            elif x == 0:
+                pred = out[y - 1][x]
+            else:
+                mode = (int(tiles[y >> bits, x >> bits]) >> 8) & 0xFF
+                L = out[y][x - 1]
+                T = out[y - 1][x]
+                TL = out[y - 1][x - 1]
+                TR = out[y - 1][x + 1] if x + 1 < w else out[y][0]
+                pred = _vp8l_predict(mode, L, T, TL, TR)
+            px = 0
+            for sh in (24, 16, 8, 0):
+                px |= (((res >> sh) + (pred >> sh)) & 0xFF) << sh
+            out[y][x] = px
+    import numpy as np
+
+    return np.array(out, np.uint32)
+
+
+def _vp8l_inverse_color_transform(argb, tiles, bits: int, w: int, h: int):
+    """Cross-color inverse (spec: green_to_red in BLUE, green_to_blue
+    in GREEN, red_to_blue in RED of the transform pixel; deltas are
+    int8 products >> 5, blue's red term uses the RECOVERED red)."""
+    import numpy as np
+
+    def s8(v: int) -> int:
+        return v - 256 if v >= 128 else v
+
+    out = np.zeros_like(argb)
+    for y in range(h):
+        for x in range(w):
+            px = int(argb[y, x])
+            cte = int(tiles[y >> bits, x >> bits])
+            g2r = s8((cte >> 0) & 0xFF)
+            g2b = s8((cte >> 8) & 0xFF)
+            r2b = s8((cte >> 16) & 0xFF)
+            a = (px >> 24) & 0xFF
+            rch = (px >> 16) & 0xFF
+            g = (px >> 8) & 0xFF
+            b = px & 0xFF
+            rch = (rch + ((g2r * s8(g)) >> 5)) & 0xFF
+            b = (b + ((g2b * s8(g)) >> 5) + ((r2b * s8(rch)) >> 5)) & 0xFF
+            out[y, x] = (a << 24) | (rch << 16) | (g << 8) | b
+    return out
+
+
+def _vp8l_expand_palette(argb, palette, width_bits: int, orig_w: int):
+    """Color-indexing inverse: unpack sub-byte indices (LSB-first
+    within the green byte) and look up the palette; out-of-range
+    indices decode to 0x00000000 per the spec."""
+    import numpy as np
+
+    h = argb.shape[0]
+    out = np.zeros((h, orig_w), np.uint32)
+    ppb = 1 << width_bits  # pixels per packed byte
+    bpp = 8 >> width_bits
+    mask = (1 << bpp) - 1
+    for y in range(h):
+        for x in range(orig_w):
+            packed = int(argb[y, x >> width_bits]) if width_bits else int(argb[y, x])
+            idx = ((packed >> 8) & 0xFF)
+            if width_bits:
+                idx = (idx >> (bpp * (x % ppb))) & mask
+            out[y, x] = palette[idx] if idx < len(palette) else 0
+    return out
+
+
+def _decode_webp(payload: bytes):
+    """WebP container + VP8L (lossless) decode, pure python/numpy per
+    the public 'WebP Lossless Bitstream Specification': LSB-first bit
+    reading, simple and code-length-coded canonical prefix codes,
+    meta prefix (entropy image) groups, color cache, LZ77 backward
+    references with the 120-entry near-offset distance map (generated
+    from its defining enumeration, not hand-typed), and all four
+    transforms (predictor, cross-color, subtract-green,
+    color-indexing incl. sub-byte packed indices). Returns
+    (h, w, 4) RGBA uint8 — VP8L always carries alpha.
+
+    Lossy VP8/VP8X payloads raise NotImplementedError (a DCT video
+    intra-frame codec is out of scope for a pure-python decoder);
+    same per-pixel-python perf boundary as the JPEG walkers —
+    thumbnail/tile scale inside mapInPandas batches."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    vp8l = None
+    saw_lossy = False
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + sz]
+        if tag == b"VP8L":
+            vp8l = body
+            break
+        if tag == b"VP8 ":
+            saw_lossy = True
+        pos += 8 + sz + (sz & 1)
+    if vp8l is None:
+        if saw_lossy:
+            raise NotImplementedError(
+                "lossy VP8 webp needs a codec library (only VP8L lossless "
+                "decodes natively)"
+            )
+        raise ValueError("WebP container has no VP8L or VP8 chunk")
+    r = _Vp8lBitReader(vp8l)
+    if r.bits(8) != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    w = r.bits(14) + 1
+    h = r.bits(14) + 1
+    r.bits(1)  # alpha hint
+    if r.bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    transforms = []
+    cur_w = w
+    seen = set()
+    while r.bits(1):
+        ttype = r.bits(2)
+        if ttype in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(ttype)
+        if ttype == 2:  # subtract green — no data
+            transforms.append((2, None))
+        elif ttype in (0, 1):  # predictor / cross-color tiles
+            bits = r.bits(3) + 2
+            tw = -(-cur_w // (1 << bits))
+            th = -(-h // (1 << bits))
+            tiles = _vp8l_decode_pixels(r, tw, th, spatial=False)
+            transforms.append((ttype, (bits, tiles)))
+        else:  # color indexing
+            n_colors = r.bits(8) + 1
+            pal_img = _vp8l_decode_pixels(r, n_colors, 1, spatial=False)
+            # palette entries are difference-coded per channel
+            palette = []
+            prev = 0
+            for i in range(n_colors):
+                d = int(pal_img[0, i])
+                px = 0
+                for sh in (24, 16, 8, 0):
+                    px |= (((d >> sh) + (prev >> sh)) & 0xFF) << sh
+                palette.append(px)
+                prev = px
+            if n_colors <= 2:
+                width_bits = 3
+            elif n_colors <= 4:
+                width_bits = 2
+            elif n_colors <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append((3, (palette, width_bits, cur_w)))
+            cur_w = -(-cur_w // (1 << width_bits))
+
+    argb = _vp8l_decode_pixels(r, cur_w, h, spatial=True)
+    argb = _vp8l_apply_inverse_transforms(argb, transforms)
+    if argb.shape != (h, w):
+        raise ValueError("VP8L transform chain produced wrong dimensions")
+    out = np.zeros((h, w, 4), np.uint8)
+    out[:, :, 0] = (argb >> 16) & 0xFF  # R
+    out[:, :, 1] = (argb >> 8) & 0xFF   # G
+    out[:, :, 2] = argb & 0xFF          # B
+    out[:, :, 3] = (argb >> 24) & 0xFF  # A
+    return out
+
+
+def _encode_vp8l_gray(data: bytes) -> bytes:
+    """Minimal VP8L (lossless WebP) encoder for a 1×len(data) grayscale
+    row — the forward dual that lets the corpus-scale `multimodal_webp`
+    query feed the native decoder real spec-conformant payloads without
+    a codec library. Uses the subtract-green transform (red/blue
+    residuals collapse to the constant 0, so those channels ship as
+    zero-bit single-symbol codes) and an identity 8-bit green code
+    (all 256 literal symbols at length 8 — the canonical assignment
+    makes code == symbol, and the 24 length-prefix + cache symbols
+    stay unused via the max_symbol cap). ~110 bytes for 64 pixels,
+    one pass, no state."""
+    import struct
+
+    w = len(data)
+    if not 1 <= w <= (1 << 14):
+        raise ValueError("VP8L row encoder supports 1..16384 pixels")
+    acc = nbits = 0
+    out = bytearray()
+
+    def put(v: int, n: int) -> None:
+        nonlocal acc, nbits
+        acc |= (v & ((1 << n) - 1)) << nbits
+        nbits += n
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(0x2F, 8)  # signature
+    put(w - 1, 14)
+    put(0, 14)  # height 1
+    put(0, 1)  # alpha hint
+    put(0, 3)  # version
+    put(1, 1)  # a transform follows
+    put(2, 2)  # subtract-green
+    put(0, 1)  # end of transforms
+    put(0, 1)  # no color cache
+    put(0, 1)  # no meta prefix codes
+    # GREEN: normal code, all 256 literals at length 8 (identity).
+    put(0, 1)  # not simple
+    put(8, 4)  # num_code_lengths = 12 — covers CL symbols 16 and 8
+    for i in range(12):  # CL order: 17 18 0 1 2 3 4 5 16 6 7 8
+        put(1 if i in (8, 11) else 0, 3)  # len(16)=len(8)=1
+    # canonical over {8, 16}: 8 -> code 0, 16 -> code 1 (1 bit each)
+    # max_symbol caps code-length READS (one per loop iteration, repeat
+    # ops included), so it must equal the stream's op count: 1 literal
+    # "8" + 42 repeats of 6 + 1 repeat of 3 = 44 ops -> 256 symbols.
+    put(1, 1)  # max_symbol cap present
+    put(2, 3)  # length_nbits = 2 + 2*2 = 6
+    put(42, 6)  # max_symbol = 2 + 42 = 44
+    put(0, 1)  # CL sym 8: symbol 0 gets length 8
+    for _ in range(42):  # 42 × (16, rep 3+3=6) = 252 more length-8 syms
+        put(1, 1)  # CL sym 16
+        put(3, 2)  # repeat prev_len 6 times
+    put(1, 1)  # CL sym 16, rep 3+0=3 — symbols 253..255
+    put(0, 2)
+    # RED / BLUE: zero-bit single-symbol 0 (simple, 1-bit-wide value)
+    for _ in range(2):
+        put(1, 1)
+        put(0, 1)  # one symbol
+        put(0, 1)  # 1-bit symbol
+        put(0, 1)
+    # ALPHA: zero-bit single symbol 255 (simple, 8-bit-wide value)
+    put(1, 1)
+    put(0, 1)
+    put(1, 1)
+    put(255, 8)
+    # DISTANCE: zero-bit single symbol 0
+    put(1, 1)
+    put(0, 1)
+    put(0, 1)
+    put(0, 1)
+    for b in data:  # identity code: MSB-first byte per pixel
+        for i in range(7, -1, -1):
+            put((b >> i) & 1, 1)
+    if nbits:
+        out.append(acc & 0xFF)
+    payload = bytes(out)
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def _jpeg_lossless_predict(plane, x: int, y: int, pred: int, default: int, fresh: bool) -> int:
     """T.81 Annex H.1.2 sample prediction in the point-transformed
     domain. `fresh` marks the first sample of the scan or of a restart
@@ -1057,6 +1627,17 @@ def decode_media(payload: bytes, media_type: str):
         # (r8: sub-8-bit + Adam7 + 16-bit landed); malformed files
         # raise ValueError — no pillow fall-through remains
         return _decode_png(payload)
+    if media_type == "image/webp" or (
+        media_type.startswith("image/")
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+    ):
+        try:
+            return _decode_webp(payload)
+        except NotImplementedError:
+            if not _HAS_PIL:
+                raise
+            # lossy VP8: fall through to pillow
     if media_type == "image/jpeg" or (
         media_type.startswith("image/") and payload[:2] == b"\xff\xd8"
     ):
@@ -1074,9 +1655,10 @@ def decode_media(payload: bytes, media_type: str):
         return np.asarray(_PILImage.open(io.BytesIO(payload)))
     raise NotImplementedError(
         f"no decoder available for {media_type!r}: install pillow "
-        "(webp) or an audio/video codec library; PNM, PNG (all legal "
-        "depths, incl. sub-8-bit and Adam7), baseline, progressive, "
-        "and lossless (SOF3) JPEG images, PCM WAV, and y4m video "
+        "(lossy VP8 webp) or an audio/video codec library; PNM, PNG "
+        "(all legal depths, incl. sub-8-bit and Adam7), baseline, "
+        "progressive, and lossless (SOF3) JPEG, lossless WebP (VP8L), "
+        "PCM WAV, and y4m video "
         "decode natively, and the Spark plumbing "
         "around decode (mapInPandas batching, schemas, partitioning) is "
         "real and tested"
@@ -1437,6 +2019,65 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         int(arr.shape[0]),
                         int(arr.shape[1]),
                         float(np.mean(arr.astype("float64"))),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "img_h", "img_w", "mean_px"]
+            )
+
+    return media.mapInPandas(stats, DECODE_STATS_SCHEMA).withColumn(
+        "mean_px", F.round("mean_px", 4)
+    )
+
+
+@query(
+    "multimodal_webp",
+    oracle="""
+    SELECT doc_id AS media_id,
+           1 AS img_h,
+           LEAST(64, length(text))::INT AS img_w,
+           ROUND(list_aggregate(
+                   list_transform(generate_series(1, LEAST(64, length(text))),
+                                  i -> ascii(substr(text, i, 1))),
+                   'avg'), 4) AS mean_px
+    FROM documents
+    WHERE length(text) >= 1
+    """,
+)
+def multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale hash gate for the native VP8L (lossless WebP)
+    decoder: each document's first 64 bytes become a real 1×w VP8L
+    bitstream via the minimal forward encoder (`_encode_vp8l_gray` —
+    subtract-green transform + identity 8-bit green code), the
+    Arrow-batched kernel decodes it with `_decode_webp` (prefix-code
+    machinery, transform inversion, RIFF walk — the full production
+    path), and the (height, width, mean-R) statistics must match
+    DuckDB recomputing them from the raw text codepoints. A drift in
+    either direction of the bitstream convention (bit order, canonical
+    code assignment, transform delta sign) fails the hash, complement-
+    ing tests/test_webp.py's spec-dual fixtures with driver evidence.
+
+    Map-side only: payloads are built and decoded inside one
+    mapInPandas pass, nothing binary shuffles."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 64), "UTF-8").alias("raw"),
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                arr = _decode_webp(_encode_vp8l_gray(bytes(raw)))
+                out.append(
+                    (
+                        mid,
+                        int(arr.shape[0]),
+                        int(arr.shape[1]),
+                        float(np.mean(arr[:, :, 0].astype("float64"))),
                     )
                 )
             yield pd.DataFrame(

@@ -137,11 +137,24 @@ def test_decode_raises_for_formats_without_codec():
     from etl_knlp_spark.operators import multimodal
 
     if multimodal._HAS_PIL:
-        pytest.skip("PIL installed — webp decodes for real")
-    # webp: compressed image format with no native decoder here
-    # (JPEG baseline now decodes natively — see the jpeg tests below)
-    with pytest.raises(NotImplementedError, match="no decoder available"):
-        decode_media(b"RIFFxxxxWEBPVP8 ", "image/webp")
+        pytest.skip("PIL installed — lossy webp decodes for real")
+    # lossy VP8 webp: VP8L lossless now decodes natively (see
+    # tests/test_webp.py), but the DCT lossy codec is a documented
+    # boundary — a well-formed container with a VP8 chunk raises the
+    # codec-specific NotImplementedError, not the generic dispatcher one
+    import struct
+
+    body = b"\x00" * 8
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(body))
+        + b"WEBP"
+        + b"VP8 "
+        + struct.pack("<I", len(body))
+        + body
+    )
+    with pytest.raises(NotImplementedError, match="lossy VP8"):
+        decode_media(payload, "image/webp")
 
 
 def test_media_feature_falls_back_deterministically():
