@@ -346,6 +346,7 @@ def _load_all() -> None:
         similarity,
         sketches,
         stats,
+        suffixarray,
         text,
         textprep,
         unigram,
