@@ -57,6 +57,52 @@ from .dedup import _SUBSTR_MIN_TOKENS
 _SA_CAP = 200
 
 
+def _doubling_rounds(
+    docs: DataFrame, cap: int
+) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
+    """The prefix-doubling ladder shared by `suffix_ranks` (which needs
+    only the last rung) and `suffix_lcp_stats` (which descends the
+    whole ladder): (capped_strings, [(chars_covered, ranks)]) where
+    each ranks frame is (doc_id, pos, rank) grouping suffixes by their
+    first `chars_covered` characters (end boundary included — a
+    missing pos+k partner ranks 0, below every real rank, so shorter
+    suffixes are distinct from their extensions, never falsely
+    equal)."""
+    strings = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.substring("text", 1, cap).alias("s"))
+        .filter(F.length("s") > 0)
+    )
+    positions = strings.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("s"))).alias("pos"),
+        F.col("s"),
+    ).select("doc_id", "pos", F.substring(F.col("s"), F.col("pos"), 1).alias("ch"))
+    doc_w = Window.partitionBy("doc_id")
+    r = positions.select(
+        "doc_id",
+        "pos",
+        F.dense_rank().over(doc_w.orderBy("ch")).alias("rank"),
+    ).localCheckpoint(eager=False)
+    rounds = [(1, r)]
+    k = 1
+    while k < cap:
+        partner = r.select(
+            "doc_id", (F.col("pos") - k).alias("pos"), F.col("rank").alias("r2")
+        )
+        paired = r.join(partner, ["doc_id", "pos"], "left").withColumn(
+            "r2", F.coalesce("r2", F.lit(0))
+        )
+        r = paired.select(
+            "doc_id",
+            "pos",
+            F.dense_rank().over(doc_w.orderBy("rank", "r2")).alias("rank"),
+        ).localCheckpoint(eager=False)
+        k *= 2
+        rounds.append((k, r))
+    return strings, rounds
+
+
 def suffix_ranks(docs: DataFrame, cap: int = _SA_CAP) -> DataFrame:
     """Per-document suffix array over the first ``cap`` characters of
     ``text``: (doc_id, pos, sa_rank) where sa_rank is the 1-based
@@ -79,38 +125,8 @@ def suffix_ranks(docs: DataFrame, cap: int = _SA_CAP) -> DataFrame:
     the per-round self-join consumes the previous round twice, and an
     untruncated lineage would re-derive it 2^rounds times.
     """
-    positions = (
-        docs.filter(F.col("text").isNotNull())
-        .select("doc_id", F.substring("text", 1, cap).alias("s"))
-        .filter(F.length("s") > 0)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.length("s"))).alias("pos"),
-            F.col("s"),
-        )
-        .select("doc_id", "pos", F.substring(F.col("s"), F.col("pos"), 1).alias("ch"))
-    )
-    doc_w = Window.partitionBy("doc_id")
-    r = positions.select(
-        "doc_id",
-        "pos",
-        F.dense_rank().over(doc_w.orderBy("ch")).alias("rank"),
-    ).localCheckpoint(eager=False)
-    k = 1
-    while k < cap:
-        partner = r.select(
-            "doc_id", (F.col("pos") - k).alias("pos"), F.col("rank").alias("r2")
-        )
-        paired = r.join(partner, ["doc_id", "pos"], "left").withColumn(
-            "r2", F.coalesce("r2", F.lit(0))
-        )
-        r = paired.select(
-            "doc_id",
-            "pos",
-            F.dense_rank().over(doc_w.orderBy("rank", "r2")).alias("rank"),
-        ).localCheckpoint(eager=False)
-        k *= 2
-    return r.select("doc_id", "pos", F.col("rank").alias("sa_rank"))
+    _, rounds = _doubling_rounds(docs, cap)
+    return rounds[-1][1].select("doc_id", "pos", F.col("rank").alias("sa_rank"))
 
 
 @query(
@@ -153,6 +169,131 @@ def suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_suffixes"),
         F.md5(sa_seq).alias("sa_md5"),
     )
+
+
+# Character cap for the LCP/LRS demo: the oracle enumerates ALL
+# O(cap²/2) substrings per doc, so the cap prices the oracle, not the
+# engine (the descent itself is O(positions · log cap) join rows).
+_LCP_CAP = 64
+
+
+def suffix_lcp_stats(docs: DataFrame, cap: int = _LCP_CAP) -> DataFrame:
+    """Longest repeated substring per document — the LCP-array
+    capability on top of the suffix array: (doc_id, lrs_len,
+    lrs_text), where lrs_len is the length of the longest substring
+    occurring >= 2 times within the first ``cap`` chars of the doc
+    and lrs_text the lexicographically smallest such substring
+    (deterministic tie-break); (0, '') when nothing repeats.
+
+    Classic reduction: the longest repeated substring is the maximum
+    LCP between suffixes ADJACENT in suffix-array order, so only
+    n_positions-1 pairs need an LCP, not all O(n²). Each pair's LCP
+    descends the prefix-doubling ladder (the sparse-table technique,
+    Manber & Myers 1990 §3): at cover k, if rank_k agrees at the
+    current offsets the common prefix extends by k chars; end-padding
+    keeps short suffixes distinct so the descent can never overrun a
+    document boundary. O(log cap) rounds, each two (doc_id, pos)
+    hash joins against a ladder rung — all data per-doc-bounded, no
+    global structure anywhere.
+    """
+    strings, rounds = _doubling_rounds(docs, cap)
+    final = rounds[-1][1]
+    succ = final.select(
+        "doc_id", (F.col("rank") - 1).alias("rank"), F.col("pos").alias("pos_b")
+    )
+    pairs = (
+        final.join(succ, ["doc_id", "rank"])
+        .select("doc_id", F.col("pos").alias("pos_a"), "pos_b")
+        .withColumn("acc", F.lit(0))
+    )
+    for k, rk in reversed(rounds):
+        ra = rk.select(
+            F.col("doc_id").alias("da"), F.col("pos").alias("pa"),
+            F.col("rank").alias("ra"),
+        )
+        rb = rk.select(
+            F.col("doc_id").alias("db"), F.col("pos").alias("pb"),
+            F.col("rank").alias("rb"),
+        )
+        pairs = (
+            pairs.join(
+                ra,
+                (F.col("da") == F.col("doc_id"))
+                & (F.col("pa") == F.col("pos_a") + F.col("acc")),
+                "left",
+            )
+            .join(
+                rb,
+                (F.col("db") == F.col("doc_id"))
+                & (F.col("pb") == F.col("pos_b") + F.col("acc")),
+                "left",
+            )
+            .withColumn(
+                "acc",
+                F.when(
+                    F.col("ra").isNotNull() & (F.col("ra") == F.col("rb")),
+                    F.col("acc") + k,
+                ).otherwise(F.col("acc")),
+            )
+            .select("doc_id", "pos_a", "pos_b", "acc")
+            .localCheckpoint(eager=False)
+        )
+    best_len = pairs.groupBy("doc_id").agg(F.max("acc").alias("lrs_len"))
+    best_text = (
+        pairs.join(best_len, "doc_id")
+        .filter(F.col("acc") == F.col("lrs_len"))
+        .join(strings, "doc_id")
+        .select(
+            "doc_id",
+            "lrs_len",
+            F.substring(F.col("s"), F.col("pos_a"), F.col("lrs_len")).alias("t"),
+        )
+        .groupBy("doc_id", "lrs_len")
+        .agg(F.min("t").alias("lrs_text"))
+    )
+    return strings.join(best_text, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("lrs_len"), F.lit(0)).cast("long").alias("lrs_len"),
+        F.coalesce(F.col("lrs_text"), F.lit("")).alias("lrs_text"),
+    )
+
+
+@query(
+    "suffix_lcp",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, {_LCP_CAP}) AS s
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ), grams AS (
+      SELECT doc_id, L, substr(s, i, L) AS gram
+      FROM d,
+           LATERAL unnest(generate_series(1, length(s))) AS gi(i),
+           LATERAL unnest(generate_series(1, length(s) - i + 1)) AS gl(L)
+    ), dup AS (
+      SELECT doc_id, L, gram
+      FROM grams GROUP BY doc_id, L, gram HAVING COUNT(*) > 1
+    ), best AS (
+      SELECT doc_id, MAX(L) AS lrs_len FROM dup GROUP BY doc_id
+    ), best_text AS (
+      SELECT dup.doc_id, dup.L AS lrs_len, MIN(dup.gram) AS lrs_text
+      FROM dup JOIN best ON dup.doc_id = best.doc_id AND dup.L = best.lrs_len
+      GROUP BY dup.doc_id, dup.L
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(bt.lrs_len, 0) AS BIGINT) AS lrs_len,
+           COALESCE(bt.lrs_text, '') AS lrs_text
+    FROM d LEFT JOIN best_text bt ON d.doc_id = bt.doc_id
+    """,
+)
+def suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for `suffix_lcp_stats` on the documents table.
+    The oracle is brute force from the definition — enumerate every
+    substring of every doc, keep those occurring twice, take the
+    longest (min text on ties) — so the suffix array, the adjacency
+    reduction, AND the ladder-descent LCP are all verified against
+    first principles; the engine side never materializes O(n²)
+    substrings."""
+    return suffix_lcp_stats(load_table(spark, sf_dir, "documents"))
 
 
 def _span_hashes(docs: DataFrame, min_len: int) -> DataFrame:

@@ -73,6 +73,43 @@ def test_suffix_ranks_random_docs(spark):
         assert got.get(i, {}) == _python_suffix_ranks(t[:32]), (i, t)
 
 
+def _python_lrs(s: str) -> tuple[int, str]:
+    """Longest repeated substring from the definition: every substring,
+    kept if it occurs >= 2 times, longest wins, min text on ties."""
+    best_len, best_text = 0, ""
+    seen_at_len: dict[int, dict[str, int]] = {}
+    for i in range(len(s)):
+        for L in range(1, len(s) - i + 1):
+            sub = s[i : i + L]
+            counts = seen_at_len.setdefault(L, {})
+            counts[sub] = counts.get(sub, 0) + 1
+    for L, counts in seen_at_len.items():
+        dups = sorted(t for t, c in counts.items() if c > 1)
+        if dups and (L > best_len):
+            best_len, best_text = L, dups[0]
+    return best_len, best_text
+
+
+def test_suffix_lcp_matches_definition(spark):
+    from etl_knlp_spark.operators.suffixarray import suffix_lcp_stats
+
+    rng = random.Random(0x1C9)
+    texts = ["banana", "abcdefg", "aaaaaaaa", "x", "ab ab ab x", "mississippi"]
+    texts += [
+        "".join(rng.choice("abc ") for _ in range(rng.choice([2, 15, 31, 32, 40])))
+        for _ in range(18)
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: (r.lrs_len, r.lrs_text)
+        for r in suffix_lcp_stats(docs, cap=32).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _python_lrs(t[:32]), (i, t)
+
+
 def test_doubling_spans_match_shingle_construction(spark):
     """duplicated_spans_doubling == duplicated_spans on a randomized
     corpus with planted duplicated spans — two independent
