@@ -360,3 +360,158 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_kept", F.col("doc_id") == F.col("keep_id"))
         .select("doc_id", "cluster_rep", "keep_id", "is_kept")
     )
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts and local clustering coefficients over
+    an undirected edge set — the graph-structure metric behind
+    community/spam detection on link and co-occurrence graphs.
+
+    Output: (node, degree, n_triangles, clustering_6dp) for every node
+    with degree >= 1, where clustering_6dp = 2T / (d·(d-1)) (0.0 when
+    d < 2), rounded at 6dp on both engines (single double division of
+    exact integers — deterministic cross-engine).
+
+    Scale design — degree-ordered orientation (Schank & Wagner 2005;
+    the MapReduce formulation is Suri & Vassilvitskii, WWW'11 "the
+    curse of the last reducer"): orient every edge from its lower
+    endpoint to its higher endpoint under the total order
+    (degree, node). Every triangle then has exactly one source node
+    (its π-minimum), so one wedge join (out-neighbors paired per
+    source) + one edge-existence join counts each triangle once — and
+    the wedge fan-out is bounded by the ORIENTED out-degree, which the
+    degree ordering caps at O(√E) even when a hub's raw degree is
+    O(N): a celebrity node's million followers generate no wedges at
+    the hub because nearly all its edges point INTO it. Without the
+    ordering, wedge count is Σ deg² (last-reducer death on skewed
+    graphs); with it, O(E^1.5) worst case and far less on real
+    graphs. Three shuffles total (degree count, wedge join,
+    existence join), all keyed on node/edge ids.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by degree + orientation + closure
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=False)
+    wedges = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+    )
+    tri = wedges.join(
+        oriented.alias("e3"),
+        (F.col("e3.u") == F.col("x")) & (F.col("e3.v") == F.col("z")),
+    ).select("x", "y", "z")
+    tcnt = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return deg.join(tcnt, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_6dp"),
+    )
+
+
+@query(
+    "triangle_clustering",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(floor(date_part('epoch', ts) / 300) AS BIGINT) AS bkt
+      FROM events
+    ), und AS (
+      SELECT DISTINCT a.user_id AS a, b.user_id AS b
+      FROM ev a JOIN ev b
+        ON a.bkt = b.bkt AND a.event_type = b.event_type
+       AND a.user_id < b.user_id
+    ), deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), tcnt AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node AS user_id,
+           CAST(d.degree AS BIGINT) AS degree,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(2.0 * COALESCE(t.n_triangles, 0)
+                           / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS clustering_6dp
+    FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+    """,
+)
+def triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for `triangle_counts` on the user co-activity
+    graph: users linked when they emit the same event_type inside the
+    same 5-minute epoch bucket (1,050 edges / 495 triangles at sf0.01
+    — non-trivial structure, not a clique and not a forest). The
+    oracle recomputes the graph from raw events and counts triangles
+    by plain id-orientation (a<b) — a DIFFERENT orientation than the
+    engine's degree ordering, so the driver also pins that triangle
+    counts are orientation-invariant. Both `unix_timestamp` and
+    `date_part('epoch')` floor-truncate microsecond timestamps to
+    seconds, so the bucket keys agree cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 300).alias("bkt"),
+    )
+    edges = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .select(
+            F.col("x.user_id").alias("src"), F.col("y.user_id").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_counts(edges).withColumnRenamed("node", "user_id")

@@ -176,3 +176,58 @@ def test_pagerank_query_contract(spark, sf_dir):
     assert len(c) == 1
     assert c[0]["rank_sum_ok"] and c[0]["ranks_positive"]
     assert c[0]["n_nodes"] == len(rows) and c[0]["n_suppliers"] == len(supp)
+
+
+def test_triangle_counts_known_graphs(spark):
+    from etl_knlp_spark.operators.graph import triangle_counts
+
+    # K4 (every node: deg 3, 3 triangles, coeff 1.0) plus a pendant
+    # node 5-0 (node 5: deg 1, 0 triangles, coeff 0.0) and an isolated
+    # edge 6-7.
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(5, 0), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.degree, r.n_triangles, r.clustering_6dp)
+           for r in triangle_counts(df).collect()}
+    for n in range(4):
+        want_deg = 4 if n == 0 else 3
+        want_coeff = round(2 * 3 / (want_deg * (want_deg - 1)), 6)
+        assert got[n] == (want_deg, 3, want_coeff), n
+    assert got[5] == (1, 0, 0.0)
+    assert got[6] == (2 - 1, 0, 0.0) or got[6] == (1, 0, 0.0)
+    assert got[7] == (1, 0, 0.0)
+
+
+def test_triangle_counts_match_naive_on_random_graphs(spark):
+    """Degree-ordered counting == brute-force enumeration on random
+    graphs (including duplicate/reversed/self-loop input edges, which
+    the operator must canonicalize away)."""
+    import itertools
+    import random
+
+    from etl_knlp_spark.operators.graph import triangle_counts
+
+    rng = random.Random(31337)
+    for trial in range(3):
+        n = rng.randint(8, 16)
+        und = {tuple(sorted((a, b)))
+               for a in range(n) for b in range(n)
+               if a != b and rng.random() < 0.35}
+        noisy = [e if rng.random() < 0.7 else (e[1], e[0]) for e in und]
+        noisy += [rng.choice(noisy) for _ in range(5)] + [(0, 0)]
+        df = spark.createDataFrame(noisy, "src long, dst long")
+        adj = {v: set() for v in range(n)}
+        for a, b in und:
+            adj[a].add(b); adj[b].add(a)
+        want_tri = {v: 0 for v in range(n)}
+        for x, y, z in itertools.combinations(range(n), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                for v in (x, y, z):
+                    want_tri[v] += 1
+        got = {r.node: (r.degree, r.n_triangles)
+               for r in triangle_counts(df).collect()}
+        for v in range(n):
+            if adj[v]:
+                assert got[v] == (len(adj[v]), want_tri[v]), (trial, v)
+            else:
+                assert v not in got, (trial, v)
