@@ -90,9 +90,15 @@ def _doubling_rounds(
         partner = r.select(
             "doc_id", (F.col("pos") - k).alias("pos"), F.col("rank").alias("r2")
         )
-        paired = r.join(partner, ["doc_id", "pos"], "left").withColumn(
-            "r2", F.coalesce("r2", F.lit(0))
-        )
+        # merge (sort-merge) join, pinned: the checkpointed sides have
+        # unknown stats, and at the 100× probe (100M positions) the
+        # planner's broadcast fallback OOMed the driver — and a
+        # shuffle_hash hint then OOMed executors (32 concurrent ~3M-row
+        # hash-map builds in one 8 GB JVM). SMJ sorts both sides and
+        # spills gracefully; keys are unique per side, no skew.
+        paired = r.join(
+            partner.hint("merge"), ["doc_id", "pos"], "left"
+        ).withColumn("r2", F.coalesce("r2", F.lit(0)))
         r = paired.select(
             "doc_id",
             "pos",
@@ -215,15 +221,17 @@ def suffix_lcp_stats(docs: DataFrame, cap: int = _LCP_CAP) -> DataFrame:
             F.col("doc_id").alias("db"), F.col("pos").alias("pb"),
             F.col("rank").alias("rb"),
         )
+        # merge hint for the same reason as the doubling rounds: the
+        # rung tables are corpus-position-sized with unknown stats.
         pairs = (
             pairs.join(
-                ra,
+                ra.hint("merge"),
                 (F.col("da") == F.col("doc_id"))
                 & (F.col("pa") == F.col("pos_a") + F.col("acc")),
                 "left",
             )
             .join(
-                rb,
+                rb.hint("merge"),
                 (F.col("db") == F.col("doc_id"))
                 & (F.col("pb") == F.col("pos_b") + F.col("acc")),
                 "left",
