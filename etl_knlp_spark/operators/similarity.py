@@ -519,3 +519,68 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+_JL_DIM_OUT = 16  # power of four: 1/sqrt(16) = 0.25 is EXACT in binary
+
+
+def jl_project(emb: DataFrame, dim_out: int = _JL_DIM_OUT) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``dim_out`` dims with
+    a deterministic ±1 sign matrix (Achlioptas 2001's database-friendly
+    variant: entries ±1 suffice for the JL guarantee, no Gaussians) —
+    the standard pre-shrink before ANN indexing / near-dup blocking
+    when the raw embedding dimension prices every downstream shuffle.
+
+    Everything is engine-portable EXACT arithmetic so the projection
+    carries a FULL value oracle instead of a distance-preservation
+    contract: the sign for (input dim i, output dim j) derives from an
+    overflow-free integer mix ((i·7349 + j)·2654435761 mod 2³¹, bit 10
+    — products stay < 2⁵³ so ANSI engines never overflow), each output
+    coordinate is a SEQUENTIAL left fold over input dims (both engines
+    add the same doubles in the same order — bit-identical, no
+    shuffle-order nondeterminism to round away), and the 1/√k scale is
+    0.25 exactly. One codegen'd projection per row, zero exchanges,
+    O(dim_in · dim_out) per vector.
+    """
+    def sign(i, j):
+        h = F.pmod((i * F.lit(7349) + j) * F.lit(2654435761), F.lit(2147483648))
+        bit = (h / F.lit(1024)).cast("bigint") % F.lit(2)
+        return F.lit(1) - (F.lit(2) * bit)
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(dim_out - 1)),
+        lambda j: F.round(
+            F.lit(0.25)
+            * F.aggregate(
+                F.sequence(F.lit(1), F.size("embedding")),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + sign(i, j).cast("double")
+                * F.element_at(F.col("embedding"), i).cast("double"),
+            ),
+            6,
+        ),
+    )
+    return emb.select("vec_id", proj.alias("projected"))
+
+
+@query(
+    "embedding_jl_projection",
+    oracle=f"""
+    SELECT vec_id,
+           list_transform(range(0, {_JL_DIM_OUT}), j ->
+             round(0.25 * list_sum(list_transform(range(1, 1 + len(embedding)), i ->
+               CAST(1 - (2 * ((((((i * 7349) + j) * 2654435761) % 2147483648) // 1024) % 2))
+                    AS DOUBLE)
+               * CAST(embedding[CAST(i AS INT)] AS DOUBLE))), 6)
+           ) AS projected
+    FROM embeddings
+    """,
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for `jl_project` on the embeddings table
+    (64 → 16 dims). FULL value oracle: DuckDB regenerates the sign
+    matrix from the same integer mix and folds the same doubles in
+    the same order, so every projected coordinate hash-verifies —
+    the determinism designed into the operator is what makes the
+    strongest oracle form possible for a 'random' projection."""
+    return jl_project(load_table(spark, sf_dir, "embeddings"))

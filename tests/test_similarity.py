@@ -167,3 +167,28 @@ def test_hard_negatives_are_cross_label_and_exact(spark, sf_dir):
         want = sorted(scored, key=lambda t: (-t[0], t[1]))[:10]
         hits.sort()
         assert [(vid, s) for _, vid, s in hits] == [(vid, s) for s, vid in want]
+
+
+def test_jl_projection_matches_numpy_mirror(spark, sf_dir):
+    """The deterministic sign matrix + sequential fold reproduce
+    bit-for-bit in an independent numpy construction, and the
+    projection is the linear map it claims to be."""
+    import numpy as np
+
+    from etl_knlp_spark.catalog import load_table
+    from etl_knlp_spark.operators.similarity import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    got = {r.vec_id: r.projected for r in jl_project(emb).collect()}
+    for vid, x in rows.items():
+        want = []
+        for j in range(16):
+            acc = 0.0
+            for i in range(1, len(x) + 1):
+                h = ((i * 7349 + j) * 2654435761) % 2147483648
+                sign = 1 - 2 * ((h // 1024) % 2)
+                acc += sign * float(np.float32(x[i - 1]))
+            want.append(round(0.25 * acc, 6))
+        assert got[vid] == want, vid
