@@ -57,6 +57,23 @@ from .dedup import _SUBSTR_MIN_TOKENS
 _SA_CAP = 200
 
 
+def _pair_round(r: DataFrame, k: int) -> DataFrame:
+    """One doubling round's positional self-join: attach rank at pos+k
+    as r2 (0 when past the suffix end). The merge (sort-merge) join is
+    PINNED: the checkpointed sides have unknown stats, and at the 100×
+    probe (100M positions) the planner's broadcast fallback OOMed the
+    driver — and a shuffle_hash hint then OOMed executors (32
+    concurrent ~3M-row hash-map builds in one 8 GB JVM). SMJ sorts
+    both sides and spills gracefully; keys are unique per side, no
+    skew. Plan-pinned in test_suffixarray."""
+    partner = r.select(
+        "doc_id", (F.col("pos") - k).alias("pos"), F.col("rank").alias("r2")
+    )
+    return r.join(partner.hint("merge"), ["doc_id", "pos"], "left").withColumn(
+        "r2", F.coalesce("r2", F.lit(0))
+    )
+
+
 def _doubling_rounds(
     docs: DataFrame, cap: int
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
@@ -87,18 +104,7 @@ def _doubling_rounds(
     rounds = [(1, r)]
     k = 1
     while k < cap:
-        partner = r.select(
-            "doc_id", (F.col("pos") - k).alias("pos"), F.col("rank").alias("r2")
-        )
-        # merge (sort-merge) join, pinned: the checkpointed sides have
-        # unknown stats, and at the 100× probe (100M positions) the
-        # planner's broadcast fallback OOMed the driver — and a
-        # shuffle_hash hint then OOMed executors (32 concurrent ~3M-row
-        # hash-map builds in one 8 GB JVM). SMJ sorts both sides and
-        # spills gracefully; keys are unique per side, no skew.
-        paired = r.join(
-            partner.hint("merge"), ["doc_id", "pos"], "left"
-        ).withColumn("r2", F.coalesce("r2", F.lit(0)))
+        paired = _pair_round(r, k)
         r = paired.select(
             "doc_id",
             "pos",

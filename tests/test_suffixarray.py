@@ -150,3 +150,29 @@ def test_doubling_spans_short_and_empty_docs(spark):
     )
     got = {tuple(r) for r in duplicated_spans_doubling(docs, min_len=8).collect()}
     assert got == {(3, 1, 8, 8), (4, 1, 8, 8)}
+
+
+def test_doubling_rounds_never_broadcast(spark):
+    """Regression pin for the 100×-probe OOM: the ladder's positional
+    self-joins must plan as SortMergeJoin — the checkpointed sides
+    have unknown stats, and an unpinned plan broadcast a 100M-row rank
+    table (driver OOM), then shuffle_hash OOMed executors."""
+    from etl_knlp_spark.operators.suffixarray import (
+        _doubling_rounds,
+        _pair_round,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="abracadabra"), Row(doc_id=2, text="banana")]
+    )
+    _, rounds = _doubling_rounds(docs, cap=4)
+    # the production join expression, fed a checkpointed rung exactly
+    # as _doubling_rounds does
+    plan = (
+        _pair_round(rounds[0][1], 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
