@@ -567,20 +567,25 @@ def jl_project(emb: DataFrame, dim_out: int = _JL_DIM_OUT) -> DataFrame:
     "embedding_jl_projection",
     oracle=f"""
     SELECT vec_id,
-           list_transform(range(0, {_JL_DIM_OUT}), j ->
-             round(0.25 * list_sum(list_transform(range(1, 1 + len(embedding)), i ->
-               CAST(1 - (2 * ((((((i * 7349) + j) * 2654435761) % 2147483648) // 1024) % 2))
-                    AS DOUBLE)
-               * CAST(embedding[CAST(i AS INT)] AS DOUBLE))), 6)
-           ) AS projected
-    FROM embeddings
+           CAST(j AS INT) AS dim_j,
+           round(0.25 * list_sum(list_transform(range(1, 1 + len(embedding)), i ->
+             CAST(1 - (2 * ((((((i * 7349) + j) * 2654435761) % 2147483648) // 1024) % 2))
+                  AS DOUBLE)
+             * CAST(embedding[CAST(i AS INT)] AS DOUBLE))), 6) AS coord
+    FROM embeddings, LATERAL unnest(range(0, {_JL_DIM_OUT})) AS g(j)
     """,
 )
 def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry for `jl_project` on the embeddings table
-    (64 → 16 dims). FULL value oracle: DuckDB regenerates the sign
-    matrix from the same integer mix and folds the same doubles in
-    the same order, so every projected coordinate hash-verifies —
-    the determinism designed into the operator is what makes the
-    strongest oracle form possible for a 'random' projection."""
-    return jl_project(load_table(spark, sf_dir, "embeddings"))
+    (64 → 16 dims), exploded to one (vec_id, dim_j, coord) row per
+    output coordinate — scalar columns only, per the driver
+    canonicalizer's no-naked-array rule (test_entry). FULL value
+    oracle: DuckDB regenerates the sign matrix from the same integer
+    mix and folds the same doubles in the same order, so every
+    projected coordinate hash-verifies — the determinism designed
+    into the operator is what makes the strongest oracle form
+    possible for a 'random' projection."""
+    proj = jl_project(load_table(spark, sf_dir, "embeddings"))
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("dim_j", "coord")
+    )

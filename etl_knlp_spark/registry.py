@@ -139,6 +139,16 @@ _STALE_SINCE: dict[str, int] = {
     # identical, function source changed.
     "unigram_train": 8,
     "stream_dedup_minhash": 8,
+    # round 8 session 4 (all three registered this same session, no
+    # driver rows exist yet; bumped because their sources changed
+    # post-registration and the audit bar is mechanical): the suffix
+    # ladder's round join moved to _pair_round with a pinned merge
+    # hint (100×-probe OOM fix — output identical); the JL projection
+    # output exploded to scalar (vec_id, dim_j, coord) rows for the
+    # driver canonicalizer's no-naked-array rule (oracle changed).
+    "suffix_array": 8,
+    "suffix_lcp": 8,
+    "embedding_jl_projection": 8,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
