@@ -589,3 +589,116 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "vec_id", F.posexplode("projected").alias("dim_j", "coord")
     )
+
+
+def jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro-Winkler similarity, matching DuckDB's builtin conventions
+    exactly (empirically pinned on 4k randomized cases at 1e-12:
+    match window max(len)/2 - 1 clamped at 0, either-empty → 0.0,
+    Winkler boost only above jaro 0.7, prefix capped at 4, p = 0.1).
+    Python reference kernel — the Arrow-batched UDF in
+    `jaro_winkler_names` wraps it row-wise; strings in the blocking
+    use-case are short, so the double loop is bounded."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    win = max(max(l1, l2) // 2 - 1, 0)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i in range(l1):
+        for j in range(max(0, i - win), min(l2, i + win + 1)):
+            if not m2[j] and s1[i] == s2[j]:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3
+    if jaro > 0.7:
+        p = 0
+        for a, b in zip(s1, s2):
+            if a == b and p < 4:
+                p += 1
+            else:
+                break
+        return jaro + p * 0.1 * (1 - jaro)
+    return jaro
+
+
+_JW_THRESHOLD = 0.85
+
+
+@query(
+    "jaro_winkler_names",
+    oracle=f"""
+    SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+           round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_6dp
+    FROM part a
+    JOIN part b
+      ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+     AND a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+    WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+          >= {_JW_THRESHOLD}
+    """,
+)
+def jaro_winkler_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler entity resolution over the `fuzzy_join_names`
+    blocking (brand + head noun — the O(n²)-avoidance shape documented
+    there), keeping pairs at similarity >= 0.85. A CROSS-IMPLEMENTATION
+    oracle, which is this query's point: Spark runs our from-scratch
+    Python kernel (Arrow-batched pandas UDF — the residual runs only
+    inside blocks, never all-pairs), DuckDB runs its independent C++
+    builtin, and the driver hash-compares every 6dp-rounded score —
+    two implementations of the published algorithm pinned equal on
+    real data, the dual-construction technique applied across ENGINES
+    rather than within one. (Threshold and rounding are applied on
+    the rounded value on both sides, so the cut is identical; the
+    convention pin lives in `jaro_winkler`'s docstring and
+    test_similarity's randomized mirror.)"""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _jw_batch(a, b):
+        return pd.Series(
+            [jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    jw_udf = pandas_udf(_jw_batch, "double")
+
+    p = load_table(spark, sf_dir, "part")
+    block = F.element_at(F.split(F.col("p_name"), " "), 2)
+    a = p.select(
+        F.col("p_partkey").alias("k1"),
+        F.col("p_name").alias("name1"),
+        F.col("p_brand").alias("brand1"),
+        block.alias("block1"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("k2"),
+        F.col("p_name").alias("name2"),
+        F.col("p_brand").alias("brand2"),
+        block.alias("block2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("block1") == F.col("block2"))
+            & (F.col("brand1") == F.col("brand2"))
+            & (F.col("k1") < F.col("k2")),
+        )
+        .withColumn("jw_6dp", F.round(jw_udf("name1", "name2"), 6))
+        .filter(F.col("jw_6dp") >= _JW_THRESHOLD)
+        .select("k1", "k2", "jw_6dp")
+    )

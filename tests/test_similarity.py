@@ -192,3 +192,29 @@ def test_jl_projection_matches_numpy_mirror(spark, sf_dir):
                 acc += sign * float(np.float32(x[i - 1]))
             want.append(round(0.25 * acc, 6))
         assert got[vid] == want, vid
+
+
+def test_jaro_winkler_conventions_vs_duckdb():
+    """The kernel's conventions (window clamp, empty rule, 0.7 boost
+    threshold, 4-char prefix cap) pinned against DuckDB's independent
+    C++ implementation on randomized and classic cases."""
+    import random
+
+    import duckdb
+
+    from etl_knlp_spark.operators.similarity import jaro_winkler
+
+    con = duckdb.connect()
+    rng = random.Random(99)
+    cases = [("martha", "marhta"), ("dixon", "dicksonx"), ("", ""),
+             ("a", ""), ("a", "a"), ("ab", "ba"), ("abc", "abc")]
+    cases += [
+        ("".join(rng.choice("abcd") for _ in range(rng.randint(0, 12))),
+         "".join(rng.choice("abcd") for _ in range(rng.randint(0, 12))))
+        for _ in range(800)
+    ]
+    for s1, s2 in cases:
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [s1, s2]
+        ).fetchone()[0]
+        assert abs(jaro_winkler(s1, s2) - want) < 1e-12, (s1, s2)
