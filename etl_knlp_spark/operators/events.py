@@ -388,3 +388,152 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(wp), 6).alias("p"),
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_keys: list[str],
+    b_keys: list[str],
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Generic interval-overlap join: rows of ``a`` (columns
+    ``a_keys`` + s/e epoch seconds) paired with rows of ``b`` whose
+    [s, e] intervals intersect.
+
+    Scale shape: a naive overlap join is a theta join — a cross
+    product with a residual, unrunnable at corpus scale. Instead each
+    interval explodes to the time BUCKETS it covers (width =
+    ``bucket_seconds``), the join is an equi-join on bucket id, the
+    exact overlap predicate runs as a residual inside buckets, and
+    dropDuplicates collapses pairs that co-occur in several buckets.
+    Fan-out per row is interval_length/bucket + 1 — bounded when the
+    bucket width is chosen near the typical interval length (the
+    standard interval-join design, e.g. Flink's bucketed interval
+    join). Skewed hot buckets are AQE's skew-join case, and the pair
+    output inside one bucket is the data's true overlap density —
+    the same "the graph genuinely has those edges" boundary as
+    `cooccurrence_edges`."""
+    ab = a.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / bucket_seconds),
+                F.floor(F.col("e") / bucket_seconds),
+            )
+        ),
+    ).select(*a_keys, F.col("s").alias("a_s"), F.col("e").alias("a_e"), "bkt")
+    bb = b.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / bucket_seconds),
+                F.floor(F.col("e") / bucket_seconds),
+            )
+        ),
+    ).select(*b_keys, F.col("s").alias("b_s"), F.col("e").alias("b_e"), "bkt")
+    return (
+        ab.join(bb, "bkt")
+        .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+        .dropDuplicates(a_keys + b_keys)
+        .select(
+            *a_keys,
+            *b_keys,
+            (
+                F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+            ).cast("long").alias("overlap_s"),
+        )
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR date_diff('second',
+                                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                 ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id,
+             ts
+      FROM marked
+    ), sessions AS (
+      -- floor() the endpoints BEFORE the interval arithmetic:
+      -- date_part('epoch') keeps the microsecond fraction, and
+      -- truncating the overlap DIFFERENCE instead of the endpoints
+      -- read one second off Spark's unix_timestamp (which truncates
+      -- endpoints) on ~0.1% of sf0.1 pairs
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             MIN(CAST(floor(date_part('epoch', ts)) AS BIGINT)) AS s,
+             MAX(CAST(floor(date_part('epoch', ts)) AS BIGINT)) AS e
+      FROM sess GROUP BY user_id, session_id
+    ), incidents AS (
+      SELECT event_id AS incident_id,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) - 300 AS s,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) + 300 AS e
+      FROM events WHERE event_type = 'error' AND value > 200
+    )
+    SELECT a.user_id, a.session_id, b.incident_id,
+           CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT) AS overlap_s
+    FROM sessions a JOIN incidents b
+      ON a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join on the events table: per-user activity
+    sessions (30-min-gap sessionization, the `sessionize_batch`
+    construction) overlapped against ±5-minute incident windows around
+    high-value error events. The ENGINE runs the bucket-exploded
+    equi-join (`interval_overlap_join`); the ORACLE runs the direct
+    theta join from the definition — independent constructions of the
+    same pair set, so the bucketing (boundary buckets, multi-bucket
+    dedup, residual predicate) is what the hash verifies. All
+    endpoints are integer epoch seconds: the overlap arithmetic is
+    exact cross-engine."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                <= 1800,
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .alias("new_sess"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_timestamp("ts")).alias("s"),
+            F.max(F.unix_timestamp("ts")).alias("e"),
+        )
+    )
+    incidents = (
+        e.filter((F.col("event_type") == "error") & (F.col("value") > 200))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            (F.unix_timestamp("ts") - 300).alias("s"),
+            (F.unix_timestamp("ts") + 300).alias("e"),
+        )
+    )
+    return interval_overlap_join(
+        sess, incidents, ["user_id", "session_id"], ["incident_id"]
+    )

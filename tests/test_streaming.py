@@ -355,3 +355,35 @@ def test_foreach_batch_band_ingest_feeds_screen(spark, sf_dir, tmp_path):
     flags = {r["doc_id"]: r["is_near_dup"] for r in via_index}
     assert flags[10_000_000] is True
     assert flags[10_000_001] is False
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Bucket-exploded overlap join == the direct theta join from the
+    definition, on randomized intervals spanning multiple buckets,
+    sub-bucket, and exact-boundary cases."""
+    import random
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.events import interval_overlap_join
+
+    rng = random.Random(404)
+    a_rows, b_rows = [], []
+    for i in range(120):
+        s = rng.randint(0, 50_000)
+        a_rows.append(Row(aid=i, s=s, e=s + rng.choice([0, 1, 1799, 3600, 9000])))
+    for j in range(80):
+        s = rng.randint(0, 50_000)
+        b_rows.append(Row(bid=j, s=s, e=s + rng.choice([0, 600, 3600, 7200])))
+    a = spark.createDataFrame(a_rows)
+    b = spark.createDataFrame(b_rows)
+    got = {
+        (r.aid, r.bid, r.overlap_s)
+        for r in interval_overlap_join(a, b, ["aid"], ["bid"]).collect()
+    }
+    want = set()
+    for ra in a_rows:
+        for rb in b_rows:
+            if ra.s <= rb.e and rb.s <= ra.e:
+                want.add((ra.aid, rb.bid, min(ra.e, rb.e) - max(ra.s, rb.s)))
+    assert got == want and want
