@@ -149,6 +149,11 @@ _STALE_SINCE: dict[str, int] = {
     "suffix_array": 8,
     "suffix_lcp": 8,
     "embedding_jl_projection": 8,
+    # round 8 session 4: PPJoin positional filter added between the
+    # prefix self-join and the gram-set verify (37% fewer candidates,
+    # 1.38× wall at sf0.1) — output provably identical (the filter
+    # removes only pairs the verify rejects), function source changed.
+    "dedup_jaccard_prefix": 8,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
