@@ -397,6 +397,56 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCK_PAIR_BUDGET = 2**24  # ~16.7M residual evaluations
+
+
+def _blocked_name_sides(
+    p: DataFrame, pair_budget: int | None = _BLOCK_PAIR_BUDGET
+) -> tuple[DataFrame, DataFrame]:
+    """The (brand, head-noun) blocking both name-resolution joins
+    share, with the pre-flight pair budget the dedup family's
+    emitters carry: blocked-join cost is Σ block_size², quadratic in
+    block DENSITY, not corpus size — measured at the 10× duplicated-
+    parts probe, the same blocking that yields 204k pairs at sf0.1
+    yields 100.9M (a ~hours-long UDF residual) because identical
+    names collapse into the same blocks. One linear aggregation
+    prices the join first and refuses over budget, naming the
+    hottest block and the remedies (more key components, length
+    bands, a deliberate budget raise)."""
+    block = F.element_at(F.split(F.col("p_name"), " "), 2)
+    if pair_budget is not None:
+        per = p.groupBy(F.col("p_brand"), block.alias("blk")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        row = per.agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("est"),
+            F.max("n").alias("hottest"),
+        ).collect()[0]
+        est = int(row["est"] or 0)
+        if est > pair_budget:
+            raise ValueError(
+                f"blocked name join refused: ~{est:,} candidate pairs "
+                f"(Σ block_size choose 2) exceeds pair_budget="
+                f"{pair_budget:,}; hottest (brand, head-noun) block has "
+                f"{row['hottest']:,} rows. Add blocking key components "
+                "(length bands, more name tokens) or raise the budget "
+                "to match cluster capacity."
+            )
+    a = p.select(
+        F.col("p_partkey").alias("k1"),
+        F.col("p_name").alias("name1"),
+        F.col("p_brand").alias("brand1"),
+        block.alias("block1"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("k2"),
+        F.col("p_name").alias("name2"),
+        F.col("p_brand").alias("brand2"),
+        block.alias("block2"),
+    )
+    return a, b
+
+
 @query(
     "fuzzy_join_names",
     oracle="""
@@ -427,19 +477,7 @@ def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy matching; this is the dedup-adjacent surface a training-data
     pipeline needs for near-identical titles/names."""
     p = load_table(spark, sf_dir, "part")
-    block = F.element_at(F.split(F.col("p_name"), " "), 2)
-    a = p.select(
-        F.col("p_partkey").alias("k1"),
-        F.col("p_name").alias("name1"),
-        F.col("p_brand").alias("brand1"),
-        block.alias("block1"),
-    )
-    b = p.select(
-        F.col("p_partkey").alias("k2"),
-        F.col("p_name").alias("name2"),
-        F.col("p_brand").alias("brand2"),
-        block.alias("block2"),
-    )
+    a, b = _blocked_name_sides(p)
     return (
         a.join(
             b,
@@ -678,19 +716,7 @@ def jaro_winkler_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     jw_udf = pandas_udf(_jw_batch, "double")
 
     p = load_table(spark, sf_dir, "part")
-    block = F.element_at(F.split(F.col("p_name"), " "), 2)
-    a = p.select(
-        F.col("p_partkey").alias("k1"),
-        F.col("p_name").alias("name1"),
-        F.col("p_brand").alias("brand1"),
-        block.alias("block1"),
-    )
-    b = p.select(
-        F.col("p_partkey").alias("k2"),
-        F.col("p_name").alias("name2"),
-        F.col("p_brand").alias("brand2"),
-        block.alias("block2"),
-    )
+    a, b = _blocked_name_sides(p)
     return (
         a.join(
             b,

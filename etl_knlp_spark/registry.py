@@ -154,6 +154,12 @@ _STALE_SINCE: dict[str, int] = {
     # 1.38× wall at sf0.1) — output provably identical (the filter
     # removes only pairs the verify rejects), function source changed.
     "dedup_jaccard_prefix": 8,
+    # round 8 session 4: both blocked name joins share
+    # _blocked_name_sides with its pre-flight pair budget (measured
+    # 100.9M-pair refusal on the 10× duplicated-parts probe) — output
+    # identical at graded SFs (guard inert), function sources changed.
+    "fuzzy_join_names": 8,
+    "jaro_winkler_names": 8,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

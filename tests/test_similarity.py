@@ -218,3 +218,22 @@ def test_jaro_winkler_conventions_vs_duckdb():
             "select jaro_winkler_similarity(?, ?)", [s1, s2]
         ).fetchone()[0]
         assert abs(jaro_winkler(s1, s2) - want) < 1e-12, (s1, s2)
+
+
+def test_blocked_name_join_budget_guard(spark):
+    """Pre-flight Σ C(block,2) refuses dense blocking regimes; a
+    generous budget stays inert and both joins share the guard."""
+    import pytest
+
+    from etl_knlp_spark.operators.similarity import _blocked_name_sides
+
+    rows = [(i, f"ivory linen {i}", "Brand#1") for i in range(40)]
+    p = spark.createDataFrame(rows, "p_partkey long, p_name string, p_brand string")
+    with pytest.raises(ValueError, match="candidate pairs"):
+        _blocked_name_sides(p, pair_budget=100)
+    a, b = _blocked_name_sides(p, pair_budget=10_000)
+    n = a.join(
+        b,
+        (a.block1 == b.block2) & (a.brand1 == b.brand2) & (a.k1 < b.k2),
+    ).count()
+    assert n == 40 * 39 // 2
