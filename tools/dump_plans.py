@@ -87,9 +87,14 @@ SHOWCASE = {
         "rarest (1−t)·n grams per doc enter the self-join (df-ascending "
         "canonical order), so hot grams generate zero candidates — the "
         "inverted-index O((p·N)²) blow-up never happens, with no "
-        "approximation. Verification is one sorted-array intersect per "
-        "surviving candidate. Every join keys on 8-byte gram hashes / "
-        "doc ids; nothing corpus-sized broadcasts."
+        "approximation. Since r8 the pair-dedup aggregate also applies "
+        "PPJoin's positional filter (max intersection bound from the "
+        "first shared prefix gram's canonical ranks — same shuffle, one "
+        "extra max()): 37% of candidates never reach the gram-set "
+        "verify, output provably identical. Verification is one "
+        "sorted-array intersect per surviving candidate. Every join "
+        "keys on 8-byte gram hashes / doc ids; nothing corpus-sized "
+        "broadcasts."
     ),
     "embedding_quantize": (
         "int8 quantization as a single scan-project of codegen'd "
@@ -308,6 +313,47 @@ SHOWCASE = {
         "BASELINE.md r8) — bounding candidates at 8 x reps per new "
         "doc at ANY historical duplicate density. The exact-verify "
         "joins touch only surviving candidates."
+    ),
+    "dedup_substring_doubling": (
+        "ExactSubstr via hash doubling: the span fingerprints build "
+        "INSIDE one projection per document row (nested HOF pairing "
+        "rounds, each localCheckpointed so the twice-referenced "
+        "previous round materializes once) — O(corpus·log L) "
+        "fixed-width hashes, zero exchanges, where direct shingling "
+        "hashes O(corpus·L) concatenated bytes (4x measured at L=512, "
+        "BASELINE.md). Downstream identical to dedup_substring: one "
+        "count shuffle + the per-doc islands window; byte-identical "
+        "oracle pins the two constructions equal."
+    ),
+    "triangle_clustering": (
+        "Degree-ordered triangle counting (Suri-Vassilvitskii): edges "
+        "orient from the (degree, id)-smaller endpoint, so each "
+        "triangle is counted once from its minimum node and wedge "
+        "fan-out is bounded by the ORIENTED out-degree (O(sqrt E)) — a "
+        "hub's raw degree never lands on one reducer. Three shuffles "
+        "(degree count, wedge join, existence join). The co-activity "
+        "edge BUILDER carries a pre-flight pair budget: its self-join "
+        "is quadratic in per-(bucket, type) cardinality by definition, "
+        "and the 100x shared-clock probe (1.65e9 pairs) refuses in 2s "
+        "where the unguarded join OOMed (BASELINE.md r8)."
+    ),
+    "suffix_array": (
+        "Per-doc suffix arrays by prefix doubling: log(cap) rounds of "
+        "(positional self-join + doc-partitioned rank window), every "
+        "window group bounded by doc length — parallelism = n_docs at "
+        "any corpus size, no global sort. The round join is PINNED "
+        "sort-merge (checkpoint barriers hide stats from Catalyst; the "
+        "unpinned plan broadcast a 100M-row rank table at the 100x "
+        "probe — driver OOM — and shuffle_hash OOMed executors; "
+        "BASELINE.md r8). Plan-guarded in test_suffixarray."
+    ),
+    "join_interval_overlap": (
+        "Interval-overlap join: intervals explode to covered time "
+        "buckets, equi-join on bucket id, exact overlap residual, "
+        "multi-bucket dedup — the theta join the oracle runs directly "
+        "is unrunnable at scale; fan-out per row is length/bucket + 1. "
+        "3.9x wall at the 100x events probe with output exactly 100x "
+        "(BASELINE.md r8)."
     ),
     "dedup_substring": (
         "ExactSubstr spans without suffix arrays: the checkpointed "
