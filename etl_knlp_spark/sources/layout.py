@@ -513,3 +513,134 @@ def runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
     return out
+
+
+def hilbert_value(col_a, col_b, bits: int = 16):
+    """Hilbert-curve index of two ``bits``-bit dimensions as ONE
+    codegen'd fold (no UDF): the classic xy2d bit-level walk — at each
+    scale s the quadrant digit (3·rx)^ry joins the index and the
+    frame rotates (reflect at rx=1, then swap) so the child quadrant
+    is re-oriented. The Hilbert curve is the space-filling curve with
+    unit steps (every consecutive pair of index values is an adjacent
+    cell), so file ranges cover tighter rectangles than the Morton
+    curve's quadrant jumps — same write-side machinery as
+    `write_zordered`, strictly better worst-case locality."""
+    from pyspark.sql import functions as F
+
+    n = 1 << bits
+    s_values = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(bits - 1, -1, -1)]
+    )
+    init = F.struct(
+        col_a.bitwiseAND(n - 1).cast("long").alias("x"),
+        col_b.bitwiseAND(n - 1).cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc, s):
+        one = F.lit(1).cast("long")
+        zero = F.lit(0).cast("long")
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, one).otherwise(zero)
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, one).otherwise(zero)
+        d2 = acc["d"] + s * s * ((F.lit(3).cast("long") * rx).bitwiseXOR(ry))
+        xf = F.when(rx == 1, F.lit(n - 1).cast("long") - acc["x"]).otherwise(
+            acc["x"]
+        )
+        yf = F.when(rx == 1, F.lit(n - 1).cast("long") - acc["y"]).otherwise(
+            acc["y"]
+        )
+        nx = F.when(ry == 0, yf).otherwise(acc["x"])
+        ny = F.when(ry == 0, xf).otherwise(acc["y"])
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    return F.aggregate(s_values, init, step)["d"]
+
+
+def write_hilbert(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 32
+) -> None:
+    """Hilbert-clustered parquet — `write_zordered` with the Hilbert
+    index as the cluster key. Same one-time write cost, tighter
+    per-file min/max rectangles on both dimensions (measured against
+    z-order in test_layout_graph)."""
+    from pyspark.sql import functions as F
+
+    h = hilbert_value(F.col(col_a), F.col(col_b)).alias("__h")
+    (
+        df.withColumn("__h", h)
+        .repartitionByRange(n_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@query(
+    "layout_hilbert",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT o_custkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+      FROM orders
+    ), walk AS (
+      SELECT o_custkey, day,
+             CAST(o_custkey & 65535 AS BIGINT) AS x,
+             CAST(day & 65535 AS BIGINT)       AS y,
+             CAST(0 AS BIGINT) AS d,
+             CAST(32768 AS BIGINT) AS s
+      FROM base
+      UNION ALL
+      SELECT o_custkey, day,
+             CASE WHEN (y & s) = 0
+                  THEN (CASE WHEN (x & s) > 0 THEN 65535 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & s) = 0
+                  THEN (CASE WHEN (x & s) > 0 THEN 65535 - x ELSE x END)
+                  ELSE y END AS y,
+             d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                             (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)) AS d,
+             s // 2 AS s
+      FROM walk WHERE s > 0
+    )
+    SELECT d >> 16                        AS h_bucket,
+           CAST(COUNT(*) AS BIGINT)       AS n_orders,
+           MIN(o_custkey)                 AS min_cust,
+           MAX(o_custkey)                 AS max_cust,
+           CAST(MIN(day) AS BIGINT)       AS min_day,
+           CAST(MAX(day) AS BIGINT)       AS max_day
+    FROM walk WHERE s = 0 GROUP BY 1
+    """,
+)
+def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering demo, hash-verified — the `layout_zorder`
+    contract on the Hilbert index: bucket (o_custkey, epoch-day) by
+    the index's high bits and emit per-bucket counts + min/max of
+    both dimensions. The oracle replays the SAME bit walk as a
+    recursive CTE (16 halvings of s, reflect-then-swap rotation as
+    simultaneous CASEs over the pre-update x/y), so every index value
+    is pinned by exact integer arithmetic. test_layout_graph measures
+    the payoff: Hilbert buckets' dimension rectangles are no wider
+    than z-order's on the same data (unit-step locality vs quadrant
+    jumps)."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    base = orders.select("o_custkey", day.alias("day"))
+    h = hilbert_value(F.col("o_custkey"), F.col("day"))
+    return (
+        base.select("o_custkey", "day", F.shiftright(h, 16).alias("h_bucket"))
+        .groupBy("h_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day").cast("bigint").alias("min_day"),
+            F.max("day").cast("bigint").alias("max_day"),
+        )
+    )

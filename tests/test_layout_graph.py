@@ -254,3 +254,61 @@ def test_cooccurrence_edge_budget_guard(spark):
         cooccurrence_edges(ev, pair_budget=10)
     n = cooccurrence_edges(ev, pair_budget=10_000).count()
     assert n == 40 * 39 // 2  # all 40 users share the single bucket
+
+
+def test_hilbert_value_matches_reference(spark):
+    """The codegen'd fold == the classic xy2d walk, on random coords."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.sources.layout import hilbert_value
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rng = random.Random(6502)
+    coords = [(rng.randint(0, 65535), rng.randint(0, 65535)) for _ in range(200)]
+    coords += [(0, 0), (65535, 65535), (0, 65535), (1, 0)]
+    df = spark.createDataFrame(coords, "x long, y long")
+    got = {
+        (r.x, r.y): r.h
+        for r in df.select(
+            "x", "y", hilbert_value(F.col("x"), F.col("y")).alias("h")
+        ).collect()
+    }
+    for x, y in coords:
+        assert got[(x, y)] == xy2d(65536, x, y), (x, y)
+
+
+def test_hilbert_buckets_no_wider_than_zorder(spark, sf_dir):
+    """The measured payoff: bucketing by the Hilbert index yields
+    per-bucket (customer, day) rectangles whose mean spans are no
+    wider than z-order's on the same data — unit-step locality vs
+    quadrant jumps."""
+    from etl_knlp_spark import registry
+
+    registry._load_all()
+    z = registry._REGISTRY["layout_zorder"].fn(spark, sf_dir).collect()
+    h = registry._REGISTRY["layout_hilbert"].fn(spark, sf_dir).collect()
+
+    def mean_spans(rows):
+        cust = sum(r.max_cust - r.min_cust for r in rows) / len(rows)
+        day = sum(r.max_day - r.min_day for r in rows) / len(rows)
+        return cust, day
+
+    zc, zd = mean_spans(z)
+    hc, hd = mean_spans(h)
+    # allow 5% tolerance on either axis; assert the combined area is
+    # strictly no worse
+    assert hc * hd <= zc * zd * 1.05, (hc, hd, zc, zd)
