@@ -220,3 +220,163 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users")
     )
+
+
+_KMV_K = 256
+
+
+def kmv_sketch(keys: DataFrame, key_col: str, k: int = _KMV_K) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch: the k smallest values
+    of a deterministic uniform hash over the distinct keys — the
+    mergeable bottom-k form of the theta sketch (Beyer et al. 2007;
+    Dasgupta et al.'s theta unification). One column (h); the
+    k-th value IS the sketch's theta. Built as distinct → TakeOrdered
+    (per-partition top-k heaps, no global sort); dedup happens on the
+    hash value itself so the sketch is deterministic even under
+    (2^-32-rare) hash collisions. Unlike HLL, KMV sketches support
+    INTERSECTION estimates (sample-and-scale below the smaller
+    theta), which is what the registered query demonstrates."""
+    from ..operators.sampling import uniform_by_hash
+
+    return (
+        keys.select(uniform_by_hash(F.col(key_col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def _kmv_stats(sketch: DataFrame, n_exact: DataFrame) -> DataFrame:
+    """(theta, n_sk) scalar frame for a sketch + exact-count frame."""
+    return sketch.agg(
+        F.max("h").alias("theta"), F.count(F.lit(1)).alias("n_sk")
+    ).crossJoin(n_exact)
+
+
+@query(
+    "theta_sketch_ops",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             user_id || ':' ||
+             CAST(CAST(floor(date_part('epoch', ts) / 3600) AS BIGINT) AS VARCHAR)
+               AS key
+      FROM events WHERE event_type IN ('click', 'view')
+    ), hs AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substring(md5(key), 1, 8))::BIGINT / 4294967296.0 AS h
+      FROM ev
+    ), ka AS (
+      SELECT h FROM hs WHERE event_type = 'click' ORDER BY h LIMIT {_KMV_K}
+    ), kb AS (
+      SELECT h FROM hs WHERE event_type = 'view' ORDER BY h LIMIT {_KMV_K}
+    ), ku AS (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      ORDER BY h LIMIT {_KMV_K}
+    ), stats AS (
+      SELECT
+        (SELECT COUNT(*) FROM hs WHERE event_type = 'click') AS n_a,
+        (SELECT COUNT(*) FROM hs WHERE event_type = 'view')  AS n_b,
+        (SELECT COUNT(*) FROM (SELECT h FROM hs WHERE event_type='click'
+                               INTERSECT
+                               SELECT h FROM hs WHERE event_type='view')) AS n_int,
+        (SELECT MAX(h) FROM ka) AS th_a, (SELECT COUNT(*) FROM ka) AS c_a,
+        (SELECT MAX(h) FROM kb) AS th_b, (SELECT COUNT(*) FROM kb) AS c_b,
+        (SELECT MAX(h) FROM ku) AS th_u, (SELECT COUNT(*) FROM ku) AS c_u,
+        (SELECT COUNT(*) FROM ka JOIN kb USING (h)
+          WHERE h < LEAST((SELECT MAX(h) FROM ka), (SELECT MAX(h) FROM kb)))
+          AS matched
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a_exact,
+           CAST(n_b AS BIGINT) AS n_b_exact,
+           CAST(n_int AS BIGINT) AS n_intersect_exact,
+           round(CASE WHEN c_a < {_KMV_K} THEN c_a ELSE ({_KMV_K} - 1) / th_a END, 4) AS est_a,
+           round(CASE WHEN c_b < {_KMV_K} THEN c_b ELSE ({_KMV_K} - 1) / th_b END, 4) AS est_b,
+           round(CASE WHEN c_u < {_KMV_K} THEN c_u ELSE ({_KMV_K} - 1) / th_u END, 4) AS est_union,
+           round(CASE WHEN c_a < {_KMV_K} AND c_b < {_KMV_K}
+                      THEN (SELECT COUNT(*) FROM ka JOIN kb USING (h))
+                      ELSE matched / LEAST(th_a, th_b) END, 4) AS est_intersect
+    FROM stats
+    """,
+)
+def theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta sketch set operations over (user, hour) activity
+    keys: distinct-estimates for 'click' and 'view' activity, their
+    UNION (merge sketches, re-take bottom-k — the mergeability HLL
+    also has) and their INTERSECTION (sample-and-scale below
+    theta = min(theta_a, theta_b) — the operation HLL cannot do
+    without inclusion-exclusion error compounding). Everything is
+    deterministic (the hash is the engine's md5 uniform, dedup is on
+    hash values, estimators are single divisions of exact dyadic
+    rationals), so the sketch pipeline carries a FULL value oracle —
+    DuckDB replays hash, bottom-k, merge, and both estimators and
+    every estimate hash-verifies at 4dp. Exact counts ride along as
+    contract instrumentation (cheap at graded SFs; a production run
+    drops them — that's the point of the sketch). Scale: the sketch
+    build is distinct + TakeOrdered (per-partition heaps, k rows out);
+    set ops touch only k-row frames."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    key = F.concat_ws(
+        ":",
+        F.col("user_id"),
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long"),
+    )
+    keys = e.select("event_type", key.alias("key"))
+    from ..operators.sampling import uniform_by_hash
+
+    hs = keys.select(
+        "event_type", uniform_by_hash(F.col("key")).alias("h")
+    ).distinct()
+    a = hs.filter(F.col("event_type") == "click").select("h")
+    b = hs.filter(F.col("event_type") == "view").select("h")
+    ka = a.orderBy("h").limit(_KMV_K).localCheckpoint(eager=False)
+    kb = b.orderBy("h").limit(_KMV_K).localCheckpoint(eager=False)
+    ku = ka.union(kb).distinct().orderBy("h").limit(_KMV_K)
+    n_a = a.agg(F.count(F.lit(1)).cast("bigint").alias("n_a_exact"))
+    n_b = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_b_exact"))
+    n_int = (
+        a.join(b, "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_intersect_exact"))
+    )
+    sa = ka.agg(F.max("h").alias("th_a"), F.count(F.lit(1)).alias("c_a"))
+    sb = kb.agg(F.max("h").alias("th_b"), F.count(F.lit(1)).alias("c_b"))
+    su = ku.agg(F.max("h").alias("th_u"), F.count(F.lit(1)).alias("c_u"))
+    matched_all = ka.join(kb, "h")
+    m_all = matched_all.agg(F.count(F.lit(1)).alias("m_all"))
+    row = (
+        n_a.crossJoin(n_b).crossJoin(n_int)
+        .crossJoin(sa).crossJoin(sb).crossJoin(su).crossJoin(m_all)
+    )
+    theta = F.least("th_a", "th_b")
+    m_below = matched_all.crossJoin(sa.select("th_a")).crossJoin(
+        sb.select("th_b")
+    ).filter(F.col("h") < F.least("th_a", "th_b")).agg(
+        F.count(F.lit(1)).alias("matched")
+    )
+    row = row.crossJoin(m_below)
+
+    def est(c, th):
+        return F.round(
+            F.when(F.col(c) < _KMV_K, F.col(c).cast("double")).otherwise(
+                F.lit(float(_KMV_K - 1)) / F.col(th)
+            ),
+            4,
+        )
+
+    return row.select(
+        "n_a_exact",
+        "n_b_exact",
+        "n_intersect_exact",
+        est("c_a", "th_a").alias("est_a"),
+        est("c_b", "th_b").alias("est_b"),
+        est("c_u", "th_u").alias("est_union"),
+        F.round(
+            F.when(
+                (F.col("c_a") < _KMV_K) & (F.col("c_b") < _KMV_K),
+                F.col("m_all").cast("double"),
+            ).otherwise(F.col("matched") / theta),
+            4,
+        ).alias("est_intersect"),
+    )

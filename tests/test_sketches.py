@@ -70,3 +70,28 @@ def test_inverted_index_bounded_postings(spark, sf_dir):
         assert ids == sorted(ids)
         assert len(ids) == min(r["n_docs"], 20)
         assert r["total_tf"] >= r["n_docs"] >= 5
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """Mergeability, exactly: bottom-k of (sketch(A) ∪ sketch(B)) ==
+    sketch(A ∪ B) — deterministic, no tolerance. Plus the estimator's
+    accuracy on a set well above k."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.operators.sketches import _KMV_K, kmv_sketch
+
+    a = spark.createDataFrame([Row(key=f"a{i}") for i in range(3000)])
+    b = spark.createDataFrame(
+        [Row(key=f"a{i}") for i in range(1500, 3000)]
+        + [Row(key=f"b{i}") for i in range(2000)]
+    )
+    ka, kb = kmv_sketch(a, "key"), kmv_sketch(b, "key")
+    merged = sorted(
+        r.h for r in ka.union(kb).distinct().orderBy("h").limit(_KMV_K).collect()
+    )
+    direct = sorted(r.h for r in kmv_sketch(a.union(b), "key").collect())
+    assert merged == direct and len(direct) == _KMV_K
+    theta = direct[-1]
+    est = (_KMV_K - 1) / theta
+    assert abs(est - 5000) / 5000 < 0.25  # |A∪B| = 5000, k=256 → rse ~6%
