@@ -564,3 +564,127 @@ def triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(cooccurrence_edges(e)).withColumnRenamed(
         "node", "user_id"
     )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, 'Connected
+    Components in MapReduce and Beyond'): every node links its
+    STRICTLY-LARGER neighbors to the minimum of its closed
+    neighborhood. Each round is one symmetrize + one min-aggregate +
+    one join — all keyed on node ids."""
+    sym = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    m = sym.groupBy("a").agg(F.min("b").alias("mn"))
+    m = m.select("a", F.least("a", "mn").alias("m"))
+    return (
+        sym.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge toward its larger
+    endpoint, then link every smaller neighbor (and the node itself)
+    to the neighborhood minimum."""
+    directed = (
+        edges.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        directed.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+    self_edge = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return nbr.union(self_edge).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction — the O(log² n)-round algorithm that replaces
+    min-label propagation when the graph is DEEP: propagation moves
+    labels one hop per round (O(diameter) rounds — a 3000-node path
+    graph needs 3000), while star contraction halves component height
+    per alternation, so path graphs, comment chains, and adversarial
+    link farms converge in tens of rounds regardless of diameter.
+    Same output contract as `connected_components`: (node, component)
+    with component = the component's minimum node id. Each round is
+    two aggregate+join plans over the shrinking edge set,
+    localCheckpointed (lineage truncation, the iterative-Spark rule);
+    convergence = the small-star edge set reaching fixpoint (checked
+    with one exceptAll count per round — star edges at fixpoint ARE
+    the (node, root) assignment)."""
+    cur = (
+        edges.selectExpr(f"{src} AS a", f"{dst} AS b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = cur.select(F.col("a").alias("node")).union(
+        cur.select(F.col("b").alias("node"))
+    ).distinct()
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        changed = (
+            nxt.exceptAll(cur).count() + cur.exceptAll(nxt).count()
+        )
+        cur = nxt
+        if changed == 0:
+            assigned = cur.select(
+                F.col("a").alias("node"), F.col("b").alias("component")
+            )
+            return nodes.join(assigned, "node", "left").select(
+                "node", F.coalesce("component", F.col("node")).alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} "
+        f"alternations — raise max_iter (expected O(log^2 n))"
+    )
+
+
+@query(
+    "near_dup_clusters_star",
+    # BYTE-IDENTICAL oracle to near_dup_clusters: the driver pins the
+    # star-contraction and min-label-propagation algorithms to the
+    # same answer as the recursive-CTE closure — three independent
+    # constructions of the same components.
+    oracle=_CLUSTER_CTE
+    + """
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_rep,
+           d.doc_id = COALESCE(c.component, d.doc_id) AS is_kept
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`near_dup_clusters` resolved by large-star/small-star
+    contraction instead of min-label propagation — identical output
+    (same exact-Jaccard edges, same min-id representative), different
+    algorithm, same oracle string. Propagation remains the cheap
+    choice for shallow dup clusters; contraction is the one that
+    survives deep graphs (path-graph test in test_layout_graph)."""
+    from .dedup import shingle_jaccard_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = shingle_jaccard_exact(docs, 0.7).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components_star(edges)
+    all_docs = docs.select("doc_id")
+    return (
+        all_docs.join(comp, all_docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_rep"),
+        )
+        .withColumn("is_kept", F.col("doc_id") == F.col("cluster_rep"))
+    )

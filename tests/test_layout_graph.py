@@ -312,3 +312,40 @@ def test_hilbert_buckets_no_wider_than_zorder(spark, sf_dir):
     # allow 5% tolerance on either axis; assert the combined area is
     # strictly no worse
     assert hc * hd <= zc * zd * 1.05, (hc, hd, zc, zd)
+
+
+def test_star_contraction_survives_deep_graphs(spark):
+    """A 600-node path graph (diameter 599): min-label propagation
+    moves one hop per round and raises at max_iter, star contraction
+    converges in O(log² n) alternations with the same components."""
+    import pytest
+
+    from etl_knlp_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    path = [(i, i + 1) for i in range(599)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    got = {r.node: r.component
+           for r in connected_components_star(df).collect()}
+    assert got == {i: 0 for i in range(600)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=5)
+
+
+def test_star_contraction_matches_propagation_random(spark):
+    import random
+
+    from etl_knlp_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(2718)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(70)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {(r.node, r.component) for r in connected_components(df, max_iter=30).collect()}
+    b = {(r.node, r.component) for r in connected_components_star(df).collect()}
+    assert a == b
