@@ -349,3 +349,73 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.n_chars").alias("n_chars_rt"),
         (F.length("p.text") > 0).alias("has_text"),
     )
+
+
+@query(
+    "soundex_names",
+    oracle="""
+    WITH RECURSIVE src AS (
+      SELECT p_partkey, upper(p_name) AS s FROM part
+    ), walk AS (
+      SELECT p_partkey, s, 1 AS i,
+             substr(s, 1, 1) AS out,
+             CASE WHEN translate(substr(s, 1, 1),
+                                 'BFPVCGJKQSXZDTLMNR',
+                                 '111122222222334556')
+                       BETWEEN '1' AND '6'
+                  THEN translate(substr(s, 1, 1),
+                                 'BFPVCGJKQSXZDTLMNR',
+                                 '111122222222334556')
+                  ELSE '' END AS last
+      FROM src WHERE substr(s, 1, 1) BETWEEN 'A' AND 'Z'
+      UNION ALL
+      SELECT p_partkey, s, i + 1,
+             CASE WHEN substr(s, i + 1, 1) BETWEEN 'A' AND 'Z'
+                       AND substr(s, i + 1, 1) NOT IN ('H', 'W')
+                       AND translate(substr(s, i + 1, 1),
+                                     'BFPVCGJKQSXZDTLMNR',
+                                     '111122222222334556')
+                           BETWEEN '1' AND '6'
+                       AND translate(substr(s, i + 1, 1),
+                                     'BFPVCGJKQSXZDTLMNR',
+                                     '111122222222334556') <> last
+                       AND length(out) < 4
+                  THEN out || translate(substr(s, i + 1, 1),
+                                        'BFPVCGJKQSXZDTLMNR',
+                                        '111122222222334556')
+                  ELSE out END,
+             CASE WHEN NOT substr(s, i + 1, 1) BETWEEN 'A' AND 'Z' THEN ''
+                  WHEN substr(s, i + 1, 1) IN ('H', 'W') THEN last
+                  WHEN translate(substr(s, i + 1, 1),
+                                 'BFPVCGJKQSXZDTLMNR',
+                                 '111122222222334556')
+                       BETWEEN '1' AND '6'
+                  THEN translate(substr(s, i + 1, 1),
+                                 'BFPVCGJKQSXZDTLMNR',
+                                 '111122222222334556')
+                  ELSE '' END
+      FROM walk WHERE i < length(s)
+    )
+    SELECT p_partkey, rpad(out, 4, '0') AS sx
+    FROM walk WHERE i = length(s)
+    """,
+)
+def soundex_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex phonetic codes of part names — a CROSS-IMPLEMENTATION
+    oracle like `jaro_winkler_names`: Spark evaluates its JVM builtin
+    (`F.soundex`, whole-stage codegen), DuckDB replays the EXACT
+    convention as a recursive-CTE character walk, and every code
+    hash-verifies. The convention was pinned empirically (0 mismatches
+    on 1,015 adversarial strings, regression-tested in
+    test_skew_sql): the first letter's code seeds the duplicate-run
+    state, H/W are transparent (the run survives them), any non-alpha
+    RESETS the run, vowels break it — the variant American Soundex
+    most implementations document loosely and implement differently.
+    Part names contain spaces, so the reset path runs on graded data,
+    not just in the pytest."""
+    from ..catalog import load_table
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.soundex(F.upper(F.col("p_name"))).alias("sx")
+    )

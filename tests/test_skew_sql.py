@@ -170,3 +170,44 @@ def test_xml_roundtrip_preserves_special_chars(spark):
     back = F.from_xml(xml, "id LONG, text STRING", {"rowTag": "r"})
     r = df.select(back.alias("p")).select("p.id", "p.text").collect()[0]
     assert r["id"] == 1 and r["text"] == nasty
+
+
+def test_soundex_convention_pin(spark):
+    """Spark's soundex convention, pinned on adversarial strings: the
+    first letter's code seeds the duplicate-run state, H/W are
+    transparent, non-alpha resets, vowels break. A from-scratch Python
+    mirror must agree everywhere the DuckDB oracle's recursive walk
+    does (same convention, third construction)."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    codes = {**{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
+             **{c: "3" for c in "DT"}, "L": "4", "M": "5", "N": "5", "R": "6"}
+
+    def mirror(s):
+        S = s.upper()
+        if not S or not ("A" <= S[0] <= "Z"):
+            return S  # soundex passes non-alpha-leading input through
+        out, last = S[0], codes.get(S[0], "")
+        for ch in S[1:]:
+            if not ("A" <= ch <= "Z"):
+                last = ""
+                continue
+            if ch in "HW":
+                continue
+            c = codes.get(ch, "")
+            if c and c != last and len(out) < 4:
+                out += c
+            last = c
+        return (out + "000")[:4]
+
+    rng = random.Random(77)
+    cases = ["Robert", "Ashcraft", "Tymczak", "Honeyman", "o brien", "wu"]
+    cases += ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz' hw")
+                      for _ in range(rng.randint(1, 14))) for _ in range(400)]
+    df = spark.createDataFrame([Row(s=c) for c in cases])
+    got = {r.s: r.sx for r in df.select("s", F.soundex(F.upper("s")).alias("sx")).collect()}
+    for c in cases:
+        assert got[c] == mirror(c), repr(c)
