@@ -523,3 +523,109 @@ def column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "base_mean_tokens",
         "cand_mean_tokens",
     )
+
+
+_EQ_QS = (0.25, 0.5, 0.75, 0.875)  # dyadic: q*n is exact in double
+_EQ_BUCKETS = 1024
+_EQ_EXACT_THRESHOLD = 65536
+
+
+def exact_discrete_quantile(
+    df: DataFrame,
+    col: str,
+    q: float,
+    buckets: int = _EQ_BUCKETS,
+    exact_threshold: int = _EQ_EXACT_THRESHOLD,
+    max_rounds: int = 64,
+) -> float:
+    """EXACT discrete quantile (the rank-ceil(q·n) order statistic,
+    DuckDB's quantile_disc convention) WITHOUT a global sort — the
+    100 TB answer when approx_percentile's error bound isn't
+    acceptable and sorting 100 TB to read one element is absurd.
+
+    Iterative histogram refinement: each round buckets the candidate
+    value range into ``buckets`` equal slices with ONE aggregation
+    (B-row driver sync), walks the cumulative counts to the slice
+    holding the target rank, and recurses into it. The candidate set
+    shrinks ~B× per round, so log_B(n) scans total; the endgame
+    (≤ ``exact_threshold`` rows, or an all-equal slice detected by
+    min==max) resolves with a bounded TakeOrdered. Every driver sync
+    is ≤ B rows; no shuffle is ever keyed on the value column.
+    """
+    import math
+
+    stats = df.agg(
+        F.count(col).alias("n"), F.min(col).alias("mn"), F.max(col).alias("mx")
+    ).collect()[0]
+    n, lo, hi = stats["n"], float(stats["mn"]), float(stats["mx"])
+    if n == 0:
+        raise ValueError("exact_discrete_quantile: empty input")
+    k = max(1, math.ceil(q * n))  # 1-based target rank
+    cur = df.select(F.col(col).alias("x"))
+    for _ in range(max_rounds):
+        if lo == hi:
+            return lo
+        cnt_row = cur.agg(
+            F.count("x").alias("c"), F.min("x").alias("mn"), F.max("x").alias("mx")
+        ).collect()[0]
+        c, mn, mx = cnt_row["c"], float(cnt_row["mn"]), float(cnt_row["mx"])
+        if mn == mx:
+            return mn
+        if c <= exact_threshold:
+            rows = cur.orderBy("x").limit(k).agg(F.max("x")).collect()
+            return float(rows[0][0])
+        width = (mx - mn) / buckets
+        b = F.least(
+            F.floor((F.col("x") - F.lit(mn)) / F.lit(width)).cast("int"),
+            F.lit(buckets - 1),
+        )
+        hist = {
+            r["b"]: r["ct"]
+            for r in cur.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("ct")).collect()
+        }
+        cum = 0
+        for i in range(buckets):
+            ct = hist.get(i, 0)
+            if cum + ct >= k:
+                lo = mn + i * width
+                hi = mx if i == buckets - 1 else mn + (i + 1) * width
+                k -= cum
+                # [lo, hi): the last bucket is closed on the right
+                cond = (F.col("x") >= F.lit(lo)) & (
+                    (F.col("x") <= F.lit(mx))
+                    if i == buckets - 1
+                    else (F.col("x") < F.lit(hi))
+                )
+                cur = cur.filter(cond).localCheckpoint(eager=False)
+                break
+            cum += ct
+    raise RuntimeError("exact_discrete_quantile did not converge")
+
+
+@query(
+    "quantile_iterative",
+    oracle=f"""
+    SELECT q,
+           CASE q
+             WHEN 0.25  THEN quantile_disc(l_extendedprice, 0.25)
+             WHEN 0.5   THEN quantile_disc(l_extendedprice, 0.5)
+             WHEN 0.75  THEN quantile_disc(l_extendedprice, 0.75)
+             WHEN 0.875 THEN quantile_disc(l_extendedprice, 0.875)
+           END AS value
+    FROM lineitem, (SELECT unnest([0.25, 0.5, 0.75, 0.875]) AS q)
+    GROUP BY q
+    """,
+)
+def quantile_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact l_extendedprice quartiles (+ the 0.875 octile) computed by
+    `exact_discrete_quantile`'s histogram refinement — one row per
+    dyadic q (dyadic so ceil(q·n) is boundary-safe cross-engine),
+    hash-compared against DuckDB's quantile_disc, which sorts. The
+    point the oracle proves: log_B(n) bucketing scans + a bounded
+    endgame return the IDENTICAL order statistic a full sort would,
+    at any scale where sorting is not an option."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = [
+        (q, exact_discrete_quantile(li, "l_extendedprice", q)) for q in _EQ_QS
+    ]
+    return spark.createDataFrame(rows, "q double, value double")

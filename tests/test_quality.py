@@ -191,3 +191,32 @@ def test_column_drift_fires_on_a_shifted_candidate_batch(spark):
     r = column_drift(spark, d).collect()[0]
     assert r["n_base"] == r["n_cand"] == 50
     assert r["chars_drifted"] and r["chars_drift_z"] > 10
+
+
+def test_exact_quantile_matches_sorted_rank(spark):
+    """Histogram refinement == the sorted order statistic, on
+    adversarial distributions: heavy duplicates (degenerate buckets),
+    skew, negatives, and ranks at both ends."""
+    import math
+    import random
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.stats import exact_discrete_quantile
+
+    rng = random.Random(1618)
+    datasets = [
+        [float(rng.randint(0, 5)) for _ in range(3000)],       # dup-heavy
+        [rng.gauss(0, 1) ** 3 * 100 for _ in range(2000)],      # skewed
+        [7.0] * 500,                                            # constant
+        [float(i) for i in range(1, 100)],                      # tiny exact path
+        [-rng.random() * 1e6 for _ in range(1500)] + [1e9],     # outlier
+    ]
+    for vals in datasets:
+        df = spark.createDataFrame([Row(x=v) for v in vals])
+        s = sorted(vals)
+        for q in (0.25, 0.5, 0.875, 0.0078125, 0.9990234375):
+            want = s[max(1, math.ceil(q * len(s))) - 1]
+            got = exact_discrete_quantile(df, "x", q, buckets=32,
+                                          exact_threshold=64)
+            assert got == want, (q, got, want, len(vals))
