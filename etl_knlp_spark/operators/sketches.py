@@ -380,3 +380,106 @@ def theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("est_intersect"),
     )
+
+
+_MG_K = 64
+
+
+@query(
+    "mg_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), exact AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), n AS (SELECT SUM(c) AS n FROM exact)
+    SELECT CAST(n.n AS BIGINT) AS n_tokens,
+           CAST((SELECT COUNT(*) FROM exact, n WHERE c > n.n / {_MG_K + 1})
+                AS BIGINT) AS n_true_heavy,
+           TRUE AS all_heavy_present,
+           TRUE AS est_le_exact,
+           TRUE AS exact_le_est_plus_d,
+           TRUE AS d_within_bound
+    FROM n
+    """,
+)
+def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent tokens with a DETERMINISTIC error bound —
+    the guarantee the count-min sketch can't give (CMS bounds error
+    only probabilistically): each partition reduces its token counts
+    to the offline-MG summary (the ≤ k items whose count exceeds the
+    (k+1)-th largest, estimates decremented by that pivot d_p — the
+    classic 'decrement all counters' run, computed closed-form since
+    the partition is materialized anyway), summaries merge by summing
+    estimates, and the merged undercount is bounded by D = Σ d_p ≤
+    N/(k+1) (Agarwal et al. 2012's mergeable-summaries bound). The
+    summary itself is partition-layout-dependent, so the driver
+    contract is the assertion form (the approx_distinct pattern):
+    exact-side columns (token total, true heavy-hitter count at the
+    N/(k+1) threshold) hash-verify against DuckDB, and four booleans
+    — every true heavy hitter present, est ≤ exact everywhere,
+    exact ≤ est + D everywhere, D ≤ N/(k+1) — are computed from the
+    ACTUAL summary against exact counts and pinned TRUE. Scale: one
+    applyInPandas pass per partition emitting ≤ k rows each, a ≤
+    (partitions·k)-row merge, and the verify joins run only for the
+    contract."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    k = _MG_K
+
+    def _mg_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = pdf["tok"].value_counts()
+        if len(counts) > k:
+            d = int(counts.iloc[k])  # (k+1)-th largest
+        else:
+            d = 0
+        kept = counts[counts > d] - d
+        out = kept.reset_index()
+        out.columns = ["tok", "est"]
+        out["d"] = d
+        out["pid"] = int(pdf["pid"].iloc[0])
+        return out
+
+    part = toks.withColumn("pid", F.spark_partition_id())
+    summaries = part.groupBy("pid").applyInPandas(
+        _mg_partition, "tok string, est long, d long, pid long"
+    ).localCheckpoint(eager=False)
+    d_total = summaries.groupBy("pid").agg(F.max("d").alias("d")).agg(
+        F.sum("d").alias("d_sum")
+    )
+    merged = summaries.groupBy("tok").agg(F.sum("est").alias("est"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_row = exact.agg(F.sum("c").alias("n_tokens"))
+    checked = (
+        exact.join(merged, "tok", "left")
+        .crossJoin(d_total)
+        .crossJoin(n_row)
+        .select(
+            "tok",
+            "c",
+            F.coalesce("est", F.lit(0)).alias("est"),
+            "d_sum",
+            "n_tokens",
+        )
+    )
+    return checked.agg(
+        F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("c") > F.col("n_tokens") / (k + 1), 1).otherwise(0)
+        ).cast("bigint").alias("n_true_heavy"),
+        F.bool_and(
+            (F.col("c") <= F.col("n_tokens") / (k + 1)) | (F.col("est") > 0)
+        ).alias("all_heavy_present"),
+        F.bool_and(F.col("est") <= F.col("c")).alias("est_le_exact"),
+        F.bool_and(F.col("c") <= F.col("est") + F.col("d_sum")).alias(
+            "exact_le_est_plus_d"
+        ),
+        F.bool_and(
+            F.col("d_sum") <= F.col("n_tokens") / (k + 1)
+        ).alias("d_within_bound"),
+    )

@@ -95,3 +95,61 @@ def test_kmv_merge_equals_sketch_of_union(spark):
     theta = direct[-1]
     est = (_KMV_K - 1) / theta
     assert abs(est - 5000) / 5000 < 0.25  # |A∪B| = 5000, k=256 → rse ~6%
+
+
+def test_mg_guarantee_on_planted_skew(spark):
+    """MG bound exercised where it's tight: a Zipf-ish stream where
+    the summary must surface every item above N/(k+1) and never
+    overcount, across an adversarial partition layout."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    stream = (["hot"] * 4000 + ["warm"] * 900
+              + [f"cold{rng.randint(0, 4000)}" for _ in range(5000)])
+    rng.shuffle(stream)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(stream[i::97])) for i in range(97)]
+    ).repartition(13)
+    from etl_knlp_spark.operators import sketches
+
+    # drive the registered query's machinery through a tiny k by
+    # monkey-binding: rebuild the aggregate inline with k=8
+    import pandas as pd
+
+    k = 8
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+
+    def mg(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = pdf["tok"].value_counts()
+        d = int(counts.iloc[k]) if len(counts) > k else 0
+        kept = counts[counts > d] - d
+        out = kept.reset_index()
+        out.columns = ["tok", "est"]
+        out["d"] = d
+        out["pid"] = int(pdf["pid"].iloc[0])
+        return out
+
+    part = toks.withColumn("pid", F.spark_partition_id())
+    summ = part.groupBy("pid").applyInPandas(
+        mg, "tok string, est long, d long, pid long"
+    )
+    rows = summ.collect()
+    d_sum = sum({r.pid: r.d for r in rows}.values())
+    est = {}
+    for r in rows:
+        est[r.tok] = est.get(r.tok, 0) + r.est
+    exact = {}
+    for t in stream:
+        exact[t] = exact.get(t, 0) + 1
+    n = len(stream)
+    assert d_sum <= n / (k + 1)
+    for t, c in exact.items():
+        if c > n / (k + 1):
+            assert est.get(t, 0) > 0, t
+        assert est.get(t, 0) <= c
+        assert c <= est.get(t, 0) + d_sum, t
