@@ -629,3 +629,124 @@ def quantile_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
         (q, exact_discrete_quantile(li, "l_extendedprice", q)) for q in _EQ_QS
     ]
     return spark.createDataFrame(rows, "q double, value double")
+
+
+def weighted_discrete_quantile(
+    df: DataFrame,
+    val_col: str,
+    w_col: str,
+    p: float,
+    buckets: int = _EQ_BUCKETS,
+    exact_threshold: int = _EQ_EXACT_THRESHOLD,
+    max_rounds: int = 64,
+) -> float:
+    """Weighted discrete quantile without a sort: the smallest value v
+    such that rows with value ≤ v carry ≥ p of the total weight —
+    `exact_discrete_quantile`'s histogram refinement with per-bucket
+    SUM(weight) instead of COUNT. The corpus-curation reading: with
+    value = quality score and weight = token count, v is the score
+    threshold that splits the corpus at a token-budget fraction — the
+    selector `budget_select` realizes with a per-source window SORT,
+    answered here in log_B(n) scans for the scale where sorting the
+    corpus to find one cut point is not an option."""
+    import math  # noqa: F401
+
+    tot = df.agg(F.sum(w_col).alias("w")).collect()[0]["w"]
+    if not tot:
+        raise ValueError("weighted_discrete_quantile: zero total weight")
+    target = p * float(tot)  # exact for dyadic p (w is integral)
+    cur = df.select(F.col(val_col).alias("x"), F.col(w_col).alias("w"))
+    for _ in range(max_rounds):
+        row = cur.agg(
+            F.count("x").alias("c"), F.min("x").alias("mn"), F.max("x").alias("mx")
+        ).collect()[0]
+        c, mn, mx = row["c"], float(row["mn"]), float(row["mx"])
+        if mn == mx:
+            return mn
+        if c <= exact_threshold:
+            rows = sorted(cur.collect(), key=lambda r: r["x"])
+            cum = 0.0
+            for r in rows:
+                cum += r["w"]
+                if cum >= target:
+                    return float(r["x"])
+            return float(rows[-1]["x"])
+        width = (mx - mn) / buckets
+        b = F.least(
+            F.floor((F.col("x") - F.lit(mn)) / F.lit(width)).cast("int"),
+            F.lit(buckets - 1),
+        )
+        hist = {
+            r["b"]: r["ws"]
+            for r in cur.groupBy(b.alias("b")).agg(F.sum("w").alias("ws")).collect()
+        }
+        cum = 0.0
+        for i in range(buckets):
+            ws = float(hist.get(i, 0))
+            if cum + ws >= target:
+                lo = mn + i * width
+                hi = mx if i == buckets - 1 else mn + (i + 1) * width
+                target -= cum
+                cond = (F.col("x") >= F.lit(lo)) & (
+                    (F.col("x") <= F.lit(mx))
+                    if i == buckets - 1
+                    else (F.col("x") < F.lit(hi))
+                )
+                cur = cur.filter(cond).localCheckpoint(eager=False)
+                break
+            cum += ws
+    raise RuntimeError("weighted_discrete_quantile did not converge")
+
+
+@query(
+    "token_weighted_quantile",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             LEAST(n_chars / 500.0, 1.0) * 0.5
+               + LEAST(len(list_filter(toks, x -> x IN ('the', 'a'))) * 5.0
+                       / len(toks), 1.0) * 0.5 AS score,
+             len(toks)::BIGINT AS n_tokens
+      FROM t
+    ), tot AS (SELECT SUM(n_tokens) AS w FROM scored),
+    ranked AS (
+      SELECT score,
+             SUM(n_tokens) OVER (ORDER BY score, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    )
+    SELECT p,
+           (SELECT MIN(score) FROM ranked, tot WHERE cum >= p * tot.w)
+             AS threshold
+    FROM (SELECT unnest([0.25, 0.5, 0.75, 0.875]) AS p)
+    """,
+)
+def token_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score thresholds at dyadic TOKEN-mass fractions — the
+    curation question 'what score cut keeps the top X% of tokens',
+    answered by `weighted_discrete_quantile`'s log-scan refinement and
+    hash-compared against DuckDB computing the same cut by a full
+    window sort. Scores are the `sample_importance` quality heuristic
+    (identical IEEE arithmetic both sides), weights the whitespace
+    token counts; ties inside a score value can't move the returned
+    VALUE, so the answer is order-independent and exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    score = (
+        F.least(F.col("n_chars") / 500.0, F.lit(1.0)) * 0.5
+        + F.least(n_stop * 5.0 / n_tok, F.lit(1.0)) * 0.5
+    )
+    scored = docs.select(
+        score.alias("score"), n_tok.cast("bigint").alias("n_tokens")
+    ).localCheckpoint(eager=False)
+    rows = [
+        (p, weighted_discrete_quantile(scored, "score", "n_tokens", p))
+        for p in _EQ_QS
+    ]
+    return spark.createDataFrame(rows, "p double, threshold double")

@@ -220,3 +220,37 @@ def test_exact_quantile_matches_sorted_rank(spark):
             got = exact_discrete_quantile(df, "x", q, buckets=32,
                                           exact_threshold=64)
             assert got == want, (q, got, want, len(vals))
+
+
+def test_weighted_quantile_matches_sorted_cumsum(spark):
+    """Weighted refinement == the sorted weighted rank, on planted
+    distributions: weight skew (one massive-weight row), dup values,
+    fractional targets."""
+    import random
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.stats import weighted_discrete_quantile
+
+    rng = random.Random(4242)
+    datasets = [
+        [(rng.random() * 10, rng.randint(1, 50)) for _ in range(2000)],
+        [(5.0, 1)] * 300 + [(1.0, 10_000)],        # weight skew + dups
+        [(float(i % 7), 3) for i in range(900)],   # heavy value ties
+    ]
+    for vals in datasets:
+        df = spark.createDataFrame([Row(x=v, w=w) for v, w in vals])
+        total = sum(w for _, w in vals)
+        s = sorted(vals)
+        for p in (0.25, 0.5, 0.875, 0.0625):
+            target = p * total
+            cum, want = 0, s[-1][0]
+            for v, w in s:
+                cum += w
+                if cum >= target:
+                    want = v
+                    break
+            got = weighted_discrete_quantile(
+                df, "x", "w", p, buckets=16, exact_threshold=64
+            )
+            assert got == want, (p, got, want)
