@@ -432,10 +432,18 @@ def interval_overlap_join(
             )
         ),
     ).select(*b_keys, F.col("s").alias("b_s"), F.col("e").alias("b_e"), "bkt")
+    # Dedup on keys + interval endpoints, not keys alone: a pair that
+    # co-occurs in several buckets always collapses to one row, but if a
+    # caller's keys do NOT functionally determine the interval, keeping an
+    # arbitrary surviving row's endpoints would make overlap_s
+    # nondeterministic. With endpoints in the dedup key, every surviving
+    # row's overlap_s is computed from its own (deterministic) interval;
+    # when keys do determine intervals (as in the registered query) this
+    # is exactly the old one-row-per-key-pair output.
     return (
         ab.join(bb, "bkt")
         .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
-        .dropDuplicates(a_keys + b_keys)
+        .dropDuplicates(a_keys + b_keys + ["a_s", "a_e", "b_s", "b_e"])
         .select(
             *a_keys,
             *b_keys,

@@ -733,6 +733,11 @@ def jaro_winkler_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MMR_K = 10
 _MMR_POOL = 20
 _MMR_LAMBDA = 0.7
+# Diversity weight as its OWN literal, not 1 - _MMR_LAMBDA: the Python
+# greedy and the SQL oracle must multiply by the identical double
+# (1 - 0.7 = 0.30000000000000004 is one ulp off the literal 0.3, enough
+# to flip pick order on exact-arithmetic ties of 6dp-rounded scores).
+_MMR_ONE_MINUS = 0.3
 
 
 @query(
@@ -771,7 +776,7 @@ _MMR_LAMBDA = 0.7
         SELECT c.id FROM cand c
         WHERE c.qid = sel.qid AND NOT list_contains(sel.sel_ids, c.id)
         ORDER BY {_MMR_LAMBDA} * c.rel
-                 - {1 - _MMR_LAMBDA:.1f} * COALESCE(
+                 - {_MMR_ONE_MINUS!r} * COALESCE(
                      (SELECT MAX(p.sim) FROM pair p
                       WHERE p.qid = sel.qid AND p.ia = c.id
                         AND list_contains(sel.sel_ids, p.ib)), 0) DESC,
@@ -856,7 +861,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ms = max(
                     (sim_of.get((qid, i, s), 0.0) for s in sel), default=0.0
                 )
-                return _MMR_LAMBDA * remaining[i] - (1 - _MMR_LAMBDA) * ms
+                return _MMR_LAMBDA * remaining[i] - _MMR_ONE_MINUS * ms
             pick = min(remaining, key=lambda i: (-mmr(i), i))
             sel.append(pick)
             del remaining[pick]

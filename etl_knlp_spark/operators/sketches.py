@@ -443,7 +443,13 @@ def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.columns = ["tok", "est"]
         out["d"] = d
         out["pid"] = int(pdf["pid"].iloc[0])
-        return out
+        # Sentinel row (tok=NULL, est=0) so the pivot d reaches d_sum even
+        # when the top k+1 counts tie and kept is empty — dropping the pid
+        # would undercount D and falsify exact <= est + D on legal data.
+        sentinel = pd.DataFrame(
+            {"tok": [None], "est": [0], "d": [d], "pid": [int(pdf["pid"].iloc[0])]}
+        )
+        return pd.concat([out, sentinel], ignore_index=True)
 
     part = toks.withColumn("pid", F.spark_partition_id())
     summaries = part.groupBy("pid").applyInPandas(
@@ -452,7 +458,11 @@ def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_total = summaries.groupBy("pid").agg(F.max("d").alias("d")).agg(
         F.sum("d").alias("d_sum")
     )
-    merged = summaries.groupBy("tok").agg(F.sum("est").alias("est"))
+    merged = (
+        summaries.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.sum("est").alias("est"))
+    )
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     n_row = exact.agg(F.sum("c").alias("n_tokens"))
     checked = (
@@ -463,7 +473,7 @@ def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
             "c",
             F.coalesce("est", F.lit(0)).alias("est"),
-            "d_sum",
+            F.coalesce("d_sum", F.lit(0)).alias("d_sum"),
             "n_tokens",
         )
     )

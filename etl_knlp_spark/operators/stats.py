@@ -590,13 +590,12 @@ def exact_discrete_quantile(
                 lo = mn + i * width
                 hi = mx if i == buckets - 1 else mn + (i + 1) * width
                 k -= cum
-                # [lo, hi): the last bucket is closed on the right
-                cond = (F.col("x") >= F.lit(lo)) & (
-                    (F.col("x") <= F.lit(mx))
-                    if i == buckets - 1
-                    else (F.col("x") < F.lit(hi))
-                )
-                cur = cur.filter(cond).localCheckpoint(eager=False)
+                # Filter with the SAME bucket expression used for the
+                # histogram: recomputed range boundaries (x >= lo, x < hi)
+                # can disagree with floor((x-mn)/width) at bucket edges
+                # under float rounding, desynchronizing rank k from the
+                # retained set. b == i cannot disagree with its own count.
+                cur = cur.filter(b == F.lit(i)).localCheckpoint(eager=False)
                 break
             cum += ct
     raise RuntimeError("exact_discrete_quantile did not converge")
@@ -684,15 +683,12 @@ def weighted_discrete_quantile(
         for i in range(buckets):
             ws = float(hist.get(i, 0))
             if cum + ws >= target:
-                lo = mn + i * width
-                hi = mx if i == buckets - 1 else mn + (i + 1) * width
                 target -= cum
-                cond = (F.col("x") >= F.lit(lo)) & (
-                    (F.col("x") <= F.lit(mx))
-                    if i == buckets - 1
-                    else (F.col("x") < F.lit(hi))
-                )
-                cur = cur.filter(cond).localCheckpoint(eager=False)
+                # Same-expression filter as exact_discrete_quantile: the
+                # histogram's bucket assignment and the retained set must
+                # come from the identical float expression or boundary
+                # values can be counted in one and filtered by the other.
+                cur = cur.filter(b == F.lit(i)).localCheckpoint(eager=False)
                 break
             cum += ws
     raise RuntimeError("weighted_discrete_quantile did not converge")

@@ -160,6 +160,20 @@ _STALE_SINCE: dict[str, int] = {
     # identical at graded SFs (guard inert), function sources changed.
     "fuzzy_join_names": 8,
     "jaro_winkler_names": 8,
+    # round 9 advice fixes (all four verified green at sf0.01 + sf0.1
+    # on arrival; bumped because outputs could differ from the buggy
+    # versions on boundary data even though graded-SF rows are
+    # identical): the histogram quantiles now filter refinement rounds
+    # with the same bucket expression they count with (boundary-float
+    # desync fix); mg_heavy_hitters emits a per-partition sentinel so
+    # tied-top-(k+1) partitions still contribute their pivot to D;
+    # mmr_rerank multiplies by the literal 0.3 both engines see;
+    # interval_overlap_join dedups on keys + interval endpoints.
+    "quantile_iterative": 9,
+    "token_weighted_quantile": 9,
+    "mg_heavy_hitters": 9,
+    "mmr_rerank": 9,
+    "join_interval_overlap": 9,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

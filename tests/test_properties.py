@@ -54,6 +54,40 @@ def test_pack_group_invariants(lengths, budget):
         assert seq_sums[k - 1] + firsts[k] > budget
 
 
+# --------------------------------------------- histogram quantile boundary
+
+
+quantile_vals = st.lists(
+    st.one_of(
+        st.integers(-50, 50).map(lambda i: i / 10.0),  # decimal grid: many
+        st.floats(-5, 5, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=20,
+    max_size=60,
+)
+
+
+@given(vals=quantile_vals, q=st.sampled_from([0.25, 0.5, 0.75, 0.875]))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_histogram_quantile_equals_sorted_order_statistic(spark, vals, q):
+    """Regression (r8 advice): the histogram refinement must filter the
+    next round with the SAME bucket expression it counted with —
+    recomputed range boundaries can disagree with floor((x-mn)/width)
+    at bucket edges under float rounding. Non-representable decimal
+    values (i/10) land near boundaries constantly; tiny buckets and a
+    tiny exact-threshold force many refinement rounds."""
+    import math
+
+    from etl_knlp_spark.operators.stats import exact_discrete_quantile
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = exact_discrete_quantile(
+        df, "x", q, buckets=4, exact_threshold=4, max_rounds=64
+    )
+    want = sorted(vals)[max(1, math.ceil(q * len(vals))) - 1]
+    assert got == want, (got, want, sorted(vals))
+
+
 # ------------------------------------------------------------- salted agg
 
 rows = st.lists(

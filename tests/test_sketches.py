@@ -97,6 +97,34 @@ def test_kmv_merge_equals_sketch_of_union(spark):
     assert abs(est - 5000) / 5000 < 0.25  # |A∪B| = 5000, k=256 → rse ~6%
 
 
+def test_mg_all_tied_partitions_keep_pivot(spark, tmp_path):
+    """Regression (r8 advice): when a partition's top k+1 token counts
+    all tie, the per-partition MG summary keeps NO tokens — but its
+    pivot d must still reach the merged undercount bound D, or
+    exact <= est + D fails on legal data. Every token distinct →
+    every partition's counts all equal 1 → every summary empty."""
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.sketches import mg_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"uniq{i}a uniq{i}b uniq{i}c",
+                lang="en", source="t", n_chars=20)
+            for i in range(300)  # 900 distinct tokens >> k=64 per partition
+        ]
+    )
+    sf = str(tmp_path)
+    docs.repartition(4).write.parquet(f"{sf}/documents.parquet")
+    row = mg_heavy_hitters(spark, sf).collect()[0]
+    assert row.n_tokens == 900
+    assert row.n_true_heavy == 0
+    assert row.all_heavy_present
+    assert row.est_le_exact
+    assert row.exact_le_est_plus_d  # pre-fix: FALSE (d_sum undercounted/NULL)
+    assert row.d_within_bound
+
+
 def test_mg_guarantee_on_planted_skew(spark):
     """MG bound exercised where it's tight: a Zipf-ish stream where
     the summary must surface every item above N/(k+1) and never
