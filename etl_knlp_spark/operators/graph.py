@@ -566,6 +566,137 @@ def triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 200,
+) -> DataFrame:
+    """k-core of an undirected graph by iterative peeling: repeatedly
+    delete nodes whose degree within the surviving subgraph is < k,
+    until a fixpoint. Returns (u, core_degree) for the nodes of the
+    (possibly empty) k-core, with core_degree ≥ k their degree INSIDE
+    the core.
+
+    Dense-subgraph extraction is the link-graph analog of the dedup
+    family's cluster steps: spam farms, mutual-citation rings, and
+    bot cliques all live in high cores, and coreness is the standard
+    cheap proxy for graph density at crawl scale (Seidman 1983;
+    peeling is the textbook O(E)-work algorithm). Each round is one
+    degree aggregate plus two semi-joins, all hash-keyed on node id —
+    no driver state beyond the scalar edge count that detects the
+    fixpoint, and `localCheckpoint` truncates lineage per round (the
+    iterative-Spark requirement, same as `connected_components`).
+    Round count is the peel DEPTH (number of onion layers ≤ k), not
+    the diameter — small for real graphs; `max_iter` guards the
+    adversarial chain-of-layers construction."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = sym
+    prev_edges = cur.count()
+    for _ in range(max_iter):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("u")
+        )
+        pruned = cur.join(keep, "u", "semi").join(
+            keep.withColumnRenamed("u", "v"), "v", "semi"
+        )
+        n = pruned.count()  # scalar fixpoint probe, never row data
+        if n == prev_edges:
+            break
+        prev_edges = n
+        cur = pruned.localCheckpoint()
+    else:
+        raise RuntimeError(f"k_core: no fixpoint within {max_iter} rounds")
+    return cur.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+
+
+@query(
+    "kcore_users",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type,
+             CAST(floor(date_part('epoch', ts) / 300) AS BIGINT) AS bkt
+      FROM events
+    ), und AS (
+      SELECT DISTINCT a.user_id AS a, b.user_id AS b
+      FROM ev a JOIN ev b
+        ON a.bkt = b.bkt AND a.event_type = b.event_type
+       AND a.user_id < b.user_id
+    ), sym AS (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+    ), kk AS (
+      SELECT CAST(GREATEST(2, MIN(d) + CEIL((MAX(d) - MIN(d)) / 8.0))
+                  AS BIGINT) AS k
+      FROM (SELECT COUNT(*) AS d FROM sym GROUP BY u)
+    ), core(nodes) AS (
+      -- working state = ONE row holding the sorted surviving-node
+      -- list; UNION (distinct) recursion terminates at the first
+      -- repeated list, i.e. the peeling fixpoint
+      SELECT list_sort(list(DISTINCT u)) FROM sym
+      UNION
+      SELECT list_sort(COALESCE(list(u), [])) FROM (
+        SELECT s.u FROM sym s, core c, kk
+        WHERE list_contains(c.nodes, s.u) AND list_contains(c.nodes, s.v)
+        GROUP BY s.u, kk.k
+        HAVING COUNT(*) >= kk.k
+      )
+    ), final AS (
+      SELECT nodes FROM core ORDER BY len(nodes) ASC LIMIT 1
+    )
+    SELECT CAST(s.u AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS core_degree,
+           CAST(kk.k AS BIGINT) AS k
+    FROM sym s, final f, kk
+    WHERE list_contains(f.nodes, s.u) AND list_contains(f.nodes, s.v)
+    GROUP BY s.u, kk.k
+    """,
+)
+def kcore_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the user co-activity graph (same edges as
+    `triangle_clustering`): the dense nucleus of users whose in-core
+    co-activity degree stays ≥ k after everyone more peripheral is
+    peeled away. k adapts to the graph — min_deg + ceil(range/8),
+    floored at 2 — because the co-activity graph's density scales
+    with SF (integer-exact on both engines, so the adaptive choice
+    can't drift). The oracle is a true FIXPOINT in SQL: a recursive
+    CTE whose working state is the sorted surviving-node list,
+    terminating via UNION-distinct when peeling repeats a state —
+    an independent construction of the same fixpoint the Spark
+    driver loop reaches by edge-count convergence, hash-compared on
+    every surviving node's in-core degree."""
+    import math
+
+    e = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(e)
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    row = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+        .collect()[0]
+    )  # two scalars: the adaptive-k inputs
+    k = max(2, int(row["mn"]) + math.ceil((int(row["mx"]) - int(row["mn"])) / 8))
+    return k_core(edges, k).select(
+        F.col("u").alias("user_id"), "core_degree", F.lit(k).cast("bigint").alias("k")
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al. 2014, 'Connected
     Components in MapReduce and Beyond'): every node links its

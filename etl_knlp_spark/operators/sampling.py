@@ -280,3 +280,80 @@ def budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.sum("n_tokens").over(w).alias("cum_tokens"),
     ).withColumn("selected", F.col("cum_tokens") <= 800)
+
+
+_WRS_K = 100
+
+
+def weighted_reservoir_keys(key: Column, weight: Column) -> Column:
+    """Efraimidis–Spirakis A-ES sort key: each row draws an
+    exponential race time -ln(u)/w from a DETERMINISTIC uniform
+    u ∈ (0,1) derived from the row key's md5 (first 12 hex digits →
+    48 uniform bits). Taking the k SMALLEST race times yields a
+    weighted sample without replacement — inclusion probability
+    proportional to weight at each of the k draws — the distributed
+    formulation of weighted reservoir sampling (Efraimidis & Spirakis
+    2006, eq. via u^(1/w) ⇔ Exp(w) race). Deterministic across runs,
+    engines, and repartitioning, like every sampler here."""
+    u = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**48))
+    return -F.log(u) / weight
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT
+               AS n_tokens,
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+              + 1.0) / 281474976710656.0 AS u
+      FROM documents
+      WHERE length(trim(text)) > 0
+    ), keyed AS (
+      SELECT doc_id, n_tokens,
+             -ln(u) / n_tokens AS race
+      FROM t
+    )
+    SELECT doc_id, n_tokens, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY race, doc_id) AS rank
+      FROM keyed
+    ) WHERE rank <= {_WRS_K}
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted sample of {_WRS_K} documents: longer documents
+    proportionally likelier, the curation primitive for 'sample by
+    token mass, not by doc count' (mixture rebalancing, eval-set
+    carving). The k-smallest filter over the A-ES race keys runs as
+    TakeOrdered per partition (each partition forwards ≤ k rows), the
+    distributed-reservoir merge with no driver state. The oracle
+    replays the identical md5→uniform→exponential arithmetic in
+    DuckDB; cross-engine float safety comes from the keys being
+    continuous (adjacent race times differ by ~1/n, astronomically
+    wider than libm's ulp disagreement), with doc_id breaking any
+    exact tie the same way on both sides."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("bigint")
+    keyed = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        weighted_reservoir_keys(F.col("doc_id"), n_tok).alias("race"),
+    )
+    from pyspark.sql import Window
+
+    # sort-limit FIRST (TakeOrdered: per-partition k-row heaps, no
+    # global sort), then rank the surviving ≤ k rows — the unpartitioned
+    # row_number window only ever sees the k-row winner set
+    winners = keyed.orderBy("race", "doc_id").limit(_WRS_K)
+    w = Window.orderBy("race", "doc_id")
+    return winners.select(
+        "doc_id", "n_tokens", F.row_number().over(w).alias("rank")
+    )

@@ -349,3 +349,51 @@ def test_star_contraction_matches_propagation_random(spark):
     a = {(r.node, r.component) for r in connected_components(df, max_iter=30).collect()}
     b = {(r.node, r.component) for r in connected_components_star(df).collect()}
     assert a == b
+
+
+def test_kcore_known_onion_graph(spark):
+    """Layered 'onion': a 5-clique core, each core node also linked to
+    a chain of degree-2/1 pendants — peeling must remove pendant
+    layers one round at a time and stop exactly at the clique."""
+    from etl_knlp_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chains = []
+    nxt = 5
+    for root in range(5):
+        chains += [(root, nxt), (nxt, nxt + 1)]  # 2-deep pendant chain
+        nxt += 2
+    df = spark.createDataFrame(clique + chains, "src long, dst long")
+    got = {r.u: r.core_degree for r in k_core(df, 3).collect()}
+    # only the clique survives k=3; in-core degree is 4 everywhere
+    assert got == {i: 4 for i in range(5)}
+    # k=2: chains' inner nodes have degree 2 but peel anyway once the
+    # leaf (degree 1) goes — classic cascade
+    got2 = {r.u: r.core_degree for r in k_core(df, 2).collect()}
+    assert set(got2) == set(range(5))
+
+
+def test_kcore_matches_naive_peel_random(spark):
+    import random
+
+    from etl_knlp_spark.operators.graph import k_core
+
+    rng = random.Random(97)
+    edges = list({(a, b) for a, b in
+                  ((rng.randint(0, 40), rng.randint(0, 40)) for _ in range(120))
+                  if a != b})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for k in (2, 3, 4, 5):
+        nodes = set(adj)
+        while True:
+            drop = {u for u in nodes if len(adj[u] & nodes) < k}
+            if not drop:
+                break
+            nodes -= drop
+        want = {u: len(adj[u] & nodes) for u in nodes}
+        got = {r.u: r.core_degree for r in k_core(df, k).collect()}
+        assert got == want, k

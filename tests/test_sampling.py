@@ -86,3 +86,26 @@ def test_budget_select_takes_greedy_quality_prefix(spark):
     assert out[1]["selected"] and out[1]["cum_tokens"] == 600
     assert not out[2]["selected"] and out[2]["cum_tokens"] == 900
     assert not out[3]["selected"] and out[3]["cum_tokens"] == 1000
+
+
+def test_weighted_sample_biased_toward_long_docs(spark, sf_dir):
+    """A-ES with token-count weights must overrepresent long docs:
+    the sample's mean token count should exceed the corpus mean (the
+    size-biased expectation), and the draw must be deterministic."""
+    from etl_knlp_spark.operators.sampling import sample_weighted
+
+    got = sample_weighted(spark, sf_dir).collect()
+    assert len(got) == 100
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == list(range(1, 101))
+    sample_mean = sum(r.n_tokens for r in got) / len(got)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    corpus_mean = (
+        docs.select(
+            F.avg(F.size(F.split(F.trim(F.lower("text")), r"\s+"))).alias("m")
+        ).collect()[0]["m"]
+    )
+    assert sample_mean > corpus_mean
+    again = sample_weighted(spark, sf_dir).collect()
+    assert {(r.doc_id, r.rank) for r in again} == {(r.doc_id, r.rank) for r in got}
