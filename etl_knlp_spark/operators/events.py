@@ -545,3 +545,82 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(
         sess, incidents, ["user_id", "session_id"], ["incident_id"]
     )
+
+
+_EWMA_ALPHA = 0.25  # exact binary fraction: 0.25 and 0.75 are exact doubles
+
+
+@query(
+    "ewma_event_values",
+    oracle=f"""
+    WITH ord AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), lists AS (
+      SELECT user_id,
+             list(value ORDER BY rn) AS xs,
+             list(event_id ORDER BY rn) AS eids
+      FROM ord GROUP BY user_id
+    ), expanded AS (
+      SELECT user_id, xs, eids,
+             unnest(generate_series(1, len(xs))) AS i
+      FROM lists
+    )
+    SELECT user_id,
+           CAST(eids[i] AS BIGINT) AS event_id,
+           CAST(FLOOR(list_reduce(xs[1:i],
+                                  (acc, x) -> {_EWMA_ALPHA} * x
+                                              + {1 - _EWMA_ALPHA} * acc)
+                      * 1000000.0) AS BIGINT)
+             AS ewma_micro
+    FROM expanded
+    """,
+)
+def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values — the standard smoothing feature for behavioral signals
+    (anomaly baselines, engagement trend). The recursion e_1 = x_1,
+    e_t = α·x_t + (1−α)·e_{t−1} runs with α = 0.25, chosen because
+    0.25 and 0.75 are EXACT doubles: both engines evaluate the
+    identical IEEE operation sequence in the identical order (the
+    Python loop here, a sequential list_reduce in the oracle), so
+    every intermediate is bit-identical cross-engine. The output is
+    FLOORED integer micro-units, not ROUND(x, 6): EWMA values are
+    dyadic rationals (multiples of 4^-t), so exact .5 micro-halves
+    occur on real data, and Python's banker's rounding disagrees
+    with DuckDB's half-away there (two rows at sf0.001) — floor of
+    the same double is unambiguous in both engines.
+
+    Scale shape: one shuffle on user_id into applyInPandas groups —
+    the recursion is inherently sequential WITHIN a user but users
+    are independent, so the op parallelizes across the key space
+    like every sessionization here. No closed-form pow() rewrite:
+    (1−α)^(t−1) underflows/reorders float arithmetic and breaks the
+    exactness the oracle pins."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+
+    import math
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        out, acc = [], None
+        for x in pdf["value"]:
+            acc = x if acc is None else _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * acc
+            out.append(math.floor(acc * 1000000.0))
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "ewma_micro": out,
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(ewma, "user_id long, event_id long, ewma_micro long")
+    )

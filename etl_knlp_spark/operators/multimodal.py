@@ -375,6 +375,26 @@ def _decode_wav(payload: bytes):
     return np.frombuffer(data, dtype="<i2").reshape(-1, n_ch)
 
 
+def _encode_wav_pcm16(data: bytes, rate: int = 8000) -> bytes:
+    """Minimal spec-conformant mono PCM16 RIFF/WAVE emitter — the
+    forward dual of `_decode_wav` (the `_encode_flac_pcm16` pattern):
+    each input byte becomes one int16 sample, letting corpus-scale
+    queries gate the decoder's chunk-walk on real driver data."""
+    import struct
+
+    import numpy as np
+
+    samples = np.frombuffer(bytes(data), np.uint8).astype("<i2")
+    d = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(d)) + d
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -2559,3 +2579,93 @@ def multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(stats, AUDIO_STATS_SCHEMA).withColumn(
         "mean_sample", F.round("mean_sample", 4)
     )
+
+
+PITCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("best_lag", T.IntegerType()),
+        T.StructField("peak_corr", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_pitch",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, LEAST(128, length(text))),
+                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS s
+      FROM documents WHERE length(text) >= 8
+    ), lagged AS (
+      SELECT doc_id, s, len(s) AS n,
+             list_transform(
+               generate_series(1, len(s) // 2),
+               L -> list_sum(list_transform(
+                      generate_series(1, len(s) - L), j -> s[j] * s[j + L]))
+             ) AS ac
+      FROM t
+    )
+    SELECT doc_id AS media_id,
+           CAST(n AS INT) AS n_samples,
+           CAST(list_position(ac, list_max(ac)) AS INT) AS best_lag,
+           CAST(list_max(ac) AS BIGINT) AS peak_corr,
+           CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy
+    FROM lagged
+    """,
+)
+def multimodal_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation pitch detection over decoded audio — the
+    classic time-domain fundamental-frequency estimator (argmax of
+    the autocorrelation over candidate lags), the audio twin of
+    `multimodal_features`. Each document's first 128 bytes become one
+    int16 sample each in a real RIFF/WAVE container
+    (`_encode_wav_pcm16`), the Arrow-batched kernel decodes it with
+    the production `_decode_wav` chunk walk, and numpy computes the
+    exact INTEGER autocorrelation r(L) = Σ x_j·x_{j+L} for L in
+    [1, n/2] — argmax lag, peak value, and signal energy are all
+    int64, so the DuckDB oracle recomputing them from the raw text
+    codepoints hash-matches bit-for-bit (no float anywhere; first-max
+    tie-break = smallest lag on both engines: np.argmax and
+    list_position both take the first occurrence).
+
+    Map-side only: payloads are built, decoded, and reduced to four
+    scalars inside one mapInPandas pass — nothing binary shuffles,
+    the 100 TB shape for per-asset feature extraction."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 128), "UTF-8").alias("raw"),
+    )
+
+    def pitch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                arr = _decode_wav(_encode_wav_pcm16(bytes(raw)))
+                x = arr[:, 0].astype("int64")
+                n = x.shape[0]
+                ac = np.array(
+                    [int(np.dot(x[:-lag], x[lag:])) for lag in range(1, n // 2 + 1)],
+                    dtype="int64",
+                )
+                out.append(
+                    (
+                        mid,
+                        n,
+                        int(np.argmax(ac)) + 1,
+                        int(ac.max()),
+                        int(np.dot(x, x)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_samples", "best_lag", "peak_corr", "energy"],
+            )
+
+    return media.mapInPandas(pitch, PITCH_SCHEMA)

@@ -546,3 +546,29 @@ def test_unigram_contracts_hold(spark, sf_dir):
     assert row.monotone_ok and row.compression_ok
     tok = unigram_tokenize(spark, sf_dir)
     assert tok.filter("NOT reconstruct_ok OR NOT bounded_ok").count() == 0
+
+
+def test_ewma_matches_closed_recursion(spark, tmp_path):
+    """EWMA kernel vs a hand-rolled recursion on a known sequence,
+    including the floored-micro output contract."""
+    import datetime
+    import math
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.events import ewma_event_values
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=t0 + datetime.timedelta(seconds=i), user_id=7,
+            event_type="view", value=float(v), props="{}")
+        for i, v in enumerate([10.0, 20.0, 0.0, 4.0, 4.0])
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+    got = {r.event_id: r.ewma_micro for r in ewma_event_values(spark, sf).collect()}
+    acc, want = None, {}
+    for i, v in enumerate([10.0, 20.0, 0.0, 4.0, 4.0]):
+        acc = v if acc is None else 0.25 * v + 0.75 * acc
+        want[i] = math.floor(acc * 1e6)
+    assert got == want

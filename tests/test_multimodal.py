@@ -1843,3 +1843,29 @@ def test_lossless_jpeg_unsupported_shapes_raise_contract_errors():
     # truncated entropy stream stays in the ValueError contract
     with pytest.raises(ValueError):
         _decode_jpeg(bytes(payload[:-5]) + b"\xff\xd9")
+
+
+def test_pitch_detects_period_on_synthetic_signal(spark, tmp_path):
+    """Autocorrelation pitch: a periodic byte signal whose per-term
+    AM-GM gap outweighs the extra boundary term of smaller lags must
+    put the correlation peak at its period, detected through the full
+    WAV encode→decode path. (Low-contrast signals like 'ab'*32 peak
+    at lag 1 — unnormalized autocorrelation of a positive signal
+    favors lag count — so the test uses wide-contrast periods.)"""
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.multimodal import multimodal_pitch
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="az" * 32, lang="en", source="t", n_chars=64),
+            Row(doc_id=1, text="a  z" * 16, lang="en", source="t", n_chars=64),
+        ]
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    got = {r.media_id: r for r in multimodal_pitch(spark, sf).collect()}
+    assert got[0].best_lag == 2 and got[0].n_samples == 64
+    assert got[1].best_lag == 4
+    # energy is the exact integer sum of squared codepoints
+    assert got[0].energy == 32 * (ord("a") ** 2 + ord("z") ** 2)
