@@ -1772,3 +1772,50 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(n_sym).cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+@query(
+    "lexical_diversity",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), counts AS (
+      SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS ttr,
+           CAST(SUM(c * (c - 1)) AS BIGINT) AS simpson_num,
+           CAST(SUM(c) * (SUM(c) - 1) AS BIGINT) AS simpson_den
+    FROM counts GROUP BY source
+    """,
+)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity profile: type-token ratio and the
+    Simpson repeated-draw index Σc(c−1)/N(N−1) — the standard corpus
+    health metrics for spotting template/boilerplate-heavy sources
+    before they skew a training mix (a source whose Simpson index is
+    high repeats the same tokens; one whose TTR collapses as it grows
+    is templated). Simpson ships as an exact integer
+    numerator/denominator pair (the divide would be the only float,
+    so the contract keeps it rational); TTR's single division rounds
+    at 6dp. One token explode + two-level aggregate, partial
+    map-side; per-source rows are fixed-cardinality."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("ttr"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("simpson_num"),
+        (F.sum("c") * (F.sum("c") - 1)).cast("bigint").alias("simpson_den"),
+    )

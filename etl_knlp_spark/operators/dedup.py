@@ -2837,3 +2837,55 @@ def dedup_lcs_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, threshold=_LCS_PAIR_THRESHOLD, max_df_abs=256
     )
     return lcs_span_pairs(docs, pairs)
+
+
+@query(
+    "dedup_bagofwords",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(list_aggregate(
+                   list_sort(list_distinct(
+                     string_split_regex(trim(lower(text)), '\s+'))),
+                   'string_agg', ' ')) AS bow_fp
+      FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT MIN(doc_id) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count,
+           bow_fp
+    FROM fp GROUP BY bow_fp
+    """,
+)
+def dedup_bagofwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive exact dedup: the fingerprint is the md5 of
+    the SORTED DISTINCT token set, so documents that differ only by
+    sentence/paragraph reordering or repetition collapse into one
+    group — the reordering blind spot of positional shingling
+    (`dedup_exact` normalizes whitespace but keeps order;
+    `dedup_ngram_jaccard` catches HIGH overlap but pays a pair join).
+    A bag-of-words digest catches the scrambled-copy case in one
+    map-side projection + one 32-byte-wide groupBy, the same
+    shuffle-the-digest-not-the-text economics as `dedup_exact`.
+    Ordering conventions pinned cross-engine: array_sort/list_sort
+    both sort UTF-8 byte order for ASCII tokens, single-space join,
+    distinct-before-sort."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    bow = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+            ),
+            " ",
+        )
+    )
+    return (
+        docs.select(bow.alias("bow_fp"), "doc_id")
+        .groupBy("bow_fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("dup_count"),
+        )
+        .select("doc_id", "dup_count", "bow_fp")
+    )

@@ -180,3 +180,55 @@ def shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "doc_id", "shard", F.row_number().over(w).alias("pos")
     )
+
+
+@query(
+    "text_sentences",
+    oracle=r"""
+    WITH ext AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[^.!?]+[.!?]*') AS sents
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, sents,
+             unnest(generate_series(1, len(sents))) AS i
+      FROM ext
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS sent_idx,
+           trim(sents[i]) AS sentence,
+           CAST(length(trim(sents[i])) AS INT) AS n_chars_sent
+    FROM idx
+    WHERE length(trim(sents[i])) > 0
+    """,
+)
+def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation — the unit-of-text primitive between
+    documents and tokens (chunking for RAG, per-sentence quality and
+    decontamination all start here). The splitter is
+    regexp_extract_all('[^.!?]+[.!?]*'): a run of non-terminators
+    plus its trailing terminator run, a pattern whose semantics agree
+    between Java regex (Spark, codegen'd JVM-side — no UDF) and RE2
+    (DuckDB): no lookbehind (RE2 has none), no empty matches, leading
+    terminator runs skipped by both. sent_idx numbers the RAW match
+    list before empty-after-trim filtering, so indices agree
+    cross-engine even when whitespace-only fragments drop.
+
+    Scale: pure map-side explode — scan, extract, posexplode, filter;
+    zero exchanges, output rows bounded by terminator count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.regexp_extract_all("text", F.lit(r"[^.!?]+[.!?]*"), 0)
+            ).alias("sent_idx", "raw"),
+        )
+        .select(
+            "doc_id",
+            F.col("sent_idx").cast("int").alias("sent_idx"),
+            F.trim("raw").alias("sentence"),
+            F.length(F.trim("raw")).cast("int").alias("n_chars_sent"),
+        )
+        .filter(F.col("n_chars_sent") > 0)
+    )

@@ -820,3 +820,24 @@ def test_lcs_span_pairs_budget_guard_refuses_over_budget(spark):
         lcs_span_pairs(docs, pairs, point_budget=4)
     rows = lcs_span_pairs(docs, pairs, point_budget=10**6).collect()
     assert rows[0]["lcs_len"] == 8
+
+
+def test_bagofwords_collapses_reordered_docs(spark, tmp_path):
+    """Scrambled-copy detection: same token multiset in any order and
+    multiplicity collapses; a one-token difference does not."""
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.dedup import dedup_bagofwords
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="alpha beta gamma", lang="en", source="t", n_chars=16),
+            Row(doc_id=1, text="gamma alpha beta alpha", lang="en", source="t", n_chars=22),
+            Row(doc_id=2, text="alpha beta delta", lang="en", source="t", n_chars=16),
+        ]
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    rows = dedup_bagofwords(spark, sf).collect()
+    by_rep = {r.doc_id: r.dup_count for r in rows}
+    assert by_rep == {0: 2, 2: 1}

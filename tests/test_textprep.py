@@ -121,3 +121,33 @@ def test_markov_transition_rows_normalize_to_one(spark, sf_dir):
         by_prev[r["prev_type"]] += r["p"]
     # each row of the transition matrix is a probability distribution
     assert all(abs(s - 1.0) < 1e-4 for s in by_prev.values())
+
+
+def test_sentence_segmentation_crafted(spark, tmp_path):
+    """Multi-sentence splitting semantics: terminator runs absorbed,
+    whitespace-only fragments dropped but indices keep raw positions,
+    leading terminators skipped."""
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.textprep import text_sentences
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="One. Two!! Three?", lang="en", source="t",
+                n_chars=17),
+            Row(doc_id=1, text="...leading. trailing", lang="en", source="t",
+                n_chars=20),
+            Row(doc_id=2, text="no terminator at all", lang="en", source="t",
+                n_chars=20),
+        ]
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    got = {(r.doc_id, r.sent_idx): r.sentence
+           for r in text_sentences(spark, sf).collect()}
+    assert got[(0, 0)] == "One."
+    assert got[(0, 1)] == "Two!!"
+    assert got[(0, 2)] == "Three?"
+    assert got[(1, 0)] == "leading."
+    assert got[(1, 1)] == "trailing"
+    assert got[(2, 0)] == "no terminator at all"
