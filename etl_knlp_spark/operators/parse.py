@@ -296,3 +296,57 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
     )
+
+
+def read_fixed_width(
+    spark: SparkSession, path: str, fields: list[tuple[str, int, str]]
+) -> DataFrame:
+    """Fixed-width text source: `fields` is (name, width, cast-type)
+    in record order. One `spark.read.text` scan + substring/trim/cast
+    projections — whole-stage-codegen'd, no UDF, no shuffle; the
+    classic mainframe/warehouse staging format Spark has no built-in
+    reader for."""
+    raw = spark.read.text(path)
+    cols, pos = [], 1
+    for name, width, typ in fields:
+        c = F.trim(F.substring("value", pos, width))
+        cols.append((c.cast(typ) if typ != "string" else c).alias(name))
+        pos += width
+    return raw.select(*cols)
+
+
+@query(
+    "fixedwidth_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer",
+)
+def fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width sink→source roundtrip: `customer` rendered as
+    padded fixed-width records (format_string, JVM-side), read back by
+    `read_fixed_width`'s substring projections, identity-oracled.
+    Fixed-width survives where delimiters can't (values containing
+    the delimiter — the reference's `:`-split corruption class by
+    construction cannot happen) at the cost of a widths contract;
+    TPC-H string values carry no trailing spaces, so trim is
+    lossless here."""
+    import tempfile
+
+    c = load_table(spark, sf_dir, "customer")
+    lines = c.select(
+        F.format_string(
+            "%-12d%-28s%-6d%-12s",
+            "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        ).alias("value")
+    )
+    # Unique per invocation — see csv_roundtrip's race note.
+    path = tempfile.mkdtemp(prefix="etl_knlp_io_fw_") + "/data"
+    lines.write.text(path)
+    return read_fixed_width(
+        spark,
+        path,
+        [
+            ("c_custkey", 12, "bigint"),
+            ("c_name", 28, "string"),
+            ("c_nationkey", 6, "int"),
+            ("c_mktsegment", 12, "string"),
+        ],
+    )

@@ -572,3 +572,35 @@ def test_ewma_matches_closed_recursion(spark, tmp_path):
         acc = v if acc is None else 0.25 * v + 0.75 * acc
         want[i] = math.floor(acc * 1e6)
     assert got == want
+
+
+def test_ewma_within_one_micro_of_pandas_ewm(spark, tmp_path):
+    """Independent-construction cross-check: pandas' own ewm
+    (adjust=False) implements the same recursion with its own
+    arithmetic; results must agree within 1 floored micro-unit on
+    random sequences (op-order ulp differences can move a floor by
+    one, never more)."""
+    import datetime
+    import random
+
+    import pandas as pd
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.events import ewma_event_values
+
+    rng = random.Random(13)
+    vals = [round(rng.uniform(-100, 100), 3) for _ in range(200)]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=t0 + datetime.timedelta(seconds=i), user_id=3,
+            event_type="view", value=v, props="{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+    got = {r.event_id: r.ewma_micro for r in ewma_event_values(spark, sf).collect()}
+    ref = pd.Series(vals).ewm(alpha=0.25, adjust=False).mean()
+    for i, r in enumerate(ref):
+        import math
+        assert abs(got[i] - math.floor(r * 1e6)) <= 1, i

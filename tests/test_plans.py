@@ -476,3 +476,33 @@ def test_incremental_screen_collapses_history_before_probe(spark):
     # r7 form paid is gone
     assert "collect_list" in plan and "band_hash" in plan
     assert "row_number" not in plan
+
+
+def test_weighted_sample_plans_as_top_k_heaps(plans):
+    """sample_weighted must NOT global-sort the corpus: the k-smallest
+    race keys come from per-partition TakeOrdered heaps, and the rank
+    window runs over the k-row winner set only."""
+    p = plans("sample_weighted")
+    assert "TakeOrderedAndProject" in p
+    # no full-corpus Sort node feeding an Exchange (global sort shape)
+    assert "Sort [race" not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_sentence_split_is_exchange_free(plans):
+    """text_sentences is a pure map-side explode — any Exchange means
+    someone added an accidental shuffle to a scan-shaped op."""
+    p = plans("text_sentences")
+    assert "Exchange" not in p
+
+
+def test_bagofwords_shuffles_digests_not_text(plans):
+    """dedup_bagofwords groups on the 32-byte md5, with partial
+    aggregation below the exchange."""
+    p = plans("dedup_bagofwords")
+    assert "Exchange hashpartitioning(bow_fp" in p
+    assert p.index("partial_min") > p.index("Exchange hashpartitioning(bow_fp")
+
+
+def test_fixedwidth_read_is_projection_only(plans):
+    p = plans("fixedwidth_roundtrip")
+    assert "Exchange" not in p
