@@ -229,3 +229,176 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows LONG, n_null_text LONG, max_chars LONG, total_chars LONG",
     )
+
+
+@query(
+    "fk_orphans",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders.o_custkey->customer' AS relationship,
+             CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+             CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+               AS n_orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+      FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    """,
+)
+def fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: per foreign
+    key, child rows and orphan rows (children whose parent key is
+    missing) — the DQ check a warehouse runs after every load, and
+    the one the reference's IDENTITY-keyed staging cannot express
+    (its keys are generated, never validated; dag-knlp.py:243-279
+    checks counts and lengths only). Each relationship is one left
+    join counted: at scale the parent side's distinct keys broadcast
+    when bounded (nation/supplier) and shuffle-hash otherwise —
+    counts aggregate map-side either way, so the audit's output is
+    five rows regardless of corpus size."""
+    def audit(child: DataFrame, ck: str, parent: DataFrame, pk: str,
+              name: str) -> DataFrame:
+        j = child.select(F.col(ck)).join(
+            parent.select(F.col(pk)), child[ck] == parent[pk], "left"
+        )
+        return j.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+            F.count_if(F.col(pk).isNull()).cast("bigint").alias("n_orphans"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    parts = [
+        audit(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"),
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders"),
+        audit(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part"),
+        audit(li, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey->supplier"),
+        audit(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation"),
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+_GAP_BUCKET = 1024
+
+
+@query(
+    "id_gaps",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey // {_GAP_BUCKET} AS bucket, COUNT(*) AS n_present
+      FROM orders GROUP BY 1
+    ), bounds AS (
+      SELECT MIN(o_orderkey) // {_GAP_BUCKET} AS lo,
+             MAX(o_orderkey) // {_GAP_BUCKET} AS hi
+      FROM orders
+    ), all_buckets AS (
+      SELECT unnest(generate_series(lo, hi)) AS bucket FROM bounds
+    )
+    SELECT a.bucket AS bucket,
+           CAST(COALESCE(b.n_present, 0) AS BIGINT) AS n_present,
+           CAST({_GAP_BUCKET} - COALESCE(b.n_present, 0) AS BIGINT)
+             AS n_missing
+    FROM all_buckets a LEFT JOIN b ON a.bucket = b.bucket
+    """,
+)
+def id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit WITHOUT a global sort: the classic
+    gap-detection query (lag over ORDER BY id) funnels every row
+    through one partition — unrunnable at scale — so this buckets the
+    key space ({_GAP_BUCKET} ids per bucket), counts presence per
+    bucket (one map-side-partial groupBy), and joins against the full
+    bucket range so fully-empty buckets surface too. TPC-H orderkeys
+    are sparse by construction (the key space is ~4× the row count),
+    so the audit fires on real structure, not a synthetic hole.
+    Output is keyspace/{_GAP_BUCKET} rows — an aggregate, not a scan."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy(
+        (F.col("o_orderkey") / _GAP_BUCKET).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_present"))
+    bounds = o.agg(
+        (F.min("o_orderkey") / _GAP_BUCKET).cast("bigint").alias("lo"),
+        (F.max("o_orderkey") / _GAP_BUCKET).cast("bigint").alias("hi"),
+    )
+    all_buckets = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("bucket")
+    )
+    return all_buckets.join(b, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_present", F.lit(0)).cast("bigint").alias("n_present"),
+        (F.lit(_GAP_BUCKET) - F.coalesce("n_present", F.lit(0)))
+        .cast("bigint")
+        .alias("n_missing"),
+    )
+
+
+@query(
+    "benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+                    1, 1) AS digit
+      FROM lineitem WHERE l_extendedprice >= 1
+    ), tot AS (SELECT COUNT(*) AS n FROM d)
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / MAX(tot.n), 6) AS observed_p,
+           ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p
+    FROM d, tot GROUP BY digit
+    """,
+)
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law digit profile of `l_extendedprice` — the
+    fraud/synthetic-data smell test: naturally-occurring multiplicative
+    quantities put ~30.1% of leading digits at 1, and a column that
+    deviates hard was generated, capped, or tampered with (TPC-H
+    prices, being uniform-ish products, deviate — that's the point of
+    profiling rather than asserting). Leading digit extraction goes
+    through EXACT integer-to-string (substr of the floored BIGINT) —
+    never log10-of-value, whose float boundary at powers of ten
+    misclassifies; the Benford reference column is log10(1+1/d) at
+    6dp, far from any rounding boundary for all nine digits. One scan,
+    one 9-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+    d = li.select(
+        F.substring(
+            F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = d.agg(F.count(F.lit(1)).alias("tot_n"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("tot_n"), 6).alias("observed_p"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit").cast("double")), 6).alias(
+            "benford_p"
+        ),
+    )

@@ -254,3 +254,56 @@ def test_weighted_quantile_matches_sorted_cumsum(spark):
                 df, "x", "w", p, buckets=16, exact_threshold=64
             )
             assert got == want, (p, got, want)
+
+
+def test_fk_orphans_fires_on_planted_orphan(spark, tmp_path):
+    """The audit must actually count orphans, not just emit zeros:
+    plant a child row whose parent is missing."""
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.quality import fk_orphans
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 0)], "c_custkey long, c_nationkey long"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1), (11, 999)], "o_orderkey long, o_custkey long"
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(10,)], "p_partkey long"
+    ).write.parquet(f"{sf}/part.parquet")
+    spark.createDataFrame(
+        [(10,)], "s_suppkey long"
+    ).write.parquet(f"{sf}/supplier.parquet")
+    spark.createDataFrame(
+        [(10,)], "n_nationkey long"
+    ).write.parquet(f"{sf}/nation.parquet")
+    spark.createDataFrame(
+        [(10, 10, 10)], "l_orderkey long, l_partkey long, l_suppkey long"
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    got = {r.relationship: r.n_orphans for r in fk_orphans(spark, sf).collect()}
+    assert got["orders.o_custkey->customer"] == 1
+    assert got["lineitem.l_orderkey->orders"] == 0
+    assert got["customer.c_nationkey->nation"] == 1  # nation table has key 10 only
+
+
+def test_id_gaps_counts_fully_empty_buckets(spark, tmp_path):
+    """A bucket with NO surviving ids must still appear with
+    n_missing = bucket width — the failure mode the lag-based
+    formulation shares but per-bucket grouping alone would miss."""
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.quality import id_gaps
+
+    sf = str(tmp_path)
+    keys = list(range(0, 100)) + list(range(3000, 3050))  # bucket 1 empty
+    spark.createDataFrame(
+        [(k,) for k in keys], "o_orderkey long"
+    ).write.parquet(f"{sf}/orders.parquet")
+    got = {r.bucket: (r.n_present, r.n_missing)
+           for r in id_gaps(spark, sf).collect()}
+    assert got[0] == (100, 924)
+    assert got[1] == (0, 1024)
+    assert got[2] == (50, 974)
+    assert set(got) == {0, 1, 2}
