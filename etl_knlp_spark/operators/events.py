@@ -624,3 +624,55 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(ewma, "user_id long, event_id long, ewma_micro long")
     )
+
+
+@query(
+    "ohlc_hourly",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS hour,
+             value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, hour,
+           MAX(CASE WHEN rn_open = 1 THEN value END)  AS open,
+           MAX(value)                                  AS high,
+           MIN(value)                                  AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END)  AS close,
+           CAST(COUNT(*) AS BIGINT)                    AS n_events
+    FROM ranked GROUP BY event_type, hour
+    """,
+)
+def ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (open/high/low/close per event_type × hour) —
+    the financial-bar aggregation every time-series engine ships.
+    Open/close are ORDER-dependent aggregates, so both engines pin
+    the same total order (ts, event_id) — min_by/max_by over a
+    (ts, event_id) struct here, mirror row_number windows in the
+    oracle; high/low/count are plain aggregates. One shuffle on the
+    (type, hour) key, partials map-side; bars are fixed-cardinality
+    output. No value rounding anywhere: every output is one of the
+    input doubles, selected not computed."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+            key.alias("ord"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.min_by("value", F.col("ord")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("ord")).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )

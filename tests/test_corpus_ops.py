@@ -604,3 +604,33 @@ def test_ewma_within_one_micro_of_pandas_ewm(spark, tmp_path):
     for i, r in enumerate(ref):
         import math
         assert abs(got[i] - math.floor(r * 1e6)) <= 1, i
+
+
+def test_ohlc_open_close_respect_total_order(spark, tmp_path):
+    """OHLC open/close are order-dependent: same-hour rows with
+    crafted (ts, event_id) ties must pick by the pinned total order."""
+    import datetime
+
+    from etl_knlp_spark.operators.events import ohlc_hourly
+
+    t0 = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        # (event_id, ts offset s, value) — two rows share ts=5s: the
+        # smaller event_id is 'earlier' by the total order
+        (4, 5, 40.0),
+        (3, 5, 30.0),
+        (9, 59, 99.0),
+        (1, 0, 10.0),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(eid, t0 + datetime.timedelta(seconds=s), 1, "view", v, "{}")
+         for eid, s, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = ohlc_hourly(spark, sf).collect()
+    assert len(got) == 1
+    bar = got[0]
+    assert bar.open == 10.0 and bar.close == 99.0
+    assert bar.high == 99.0 and bar.low == 10.0 and bar.n_events == 4

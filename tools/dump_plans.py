@@ -367,6 +367,27 @@ SHOWCASE = {
         "deliberately NOT hinted broadcast (AQE picks broadcast at "
         "small SFs, shuffled-hash at corpus scale)."
     ),
+    "sample_weighted": (
+        "Weighted reservoir (A-ES): the k smallest race keys come from "
+        "TakeOrderedAndProject — per-partition k-row heaps merged on "
+        "the driver, NEVER a global sort; the rank window runs over "
+        "the k-row winner set only. Map-side race-key projection is "
+        "codegen'd (md5 + conv + log). Plan-guarded in test_plans."
+    ),
+    "kcore_users": (
+        "k-core peeling round (shown: the first iteration's plan): one "
+        "degree HashAggregate with map-side partials + two LeftSemi "
+        "joins keyed on node id; the driver loop localCheckpoints each "
+        "round so lineage stays flat and the only driver data is the "
+        "scalar edge count probing the fixpoint. Round count = peel "
+        "depth, not diameter."
+    ),
+    "id_gaps": (
+        "Sequence audit without ORDER BY id: presence counts per "
+        "1024-id bucket (partial agg map-side) left-joined against the "
+        "exploded bucket range — the lag-window formulation funnels "
+        "the corpus through one partition; this shape never does."
+    ),
 }
 
 
