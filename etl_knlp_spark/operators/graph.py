@@ -572,6 +572,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 200,
+    edge_budget: int = 2**26,
 ) -> DataFrame:
     """k-core of an undirected graph by iterative peeling: repeatedly
     delete nodes whose degree within the surviving subgraph is < k,
@@ -590,7 +591,31 @@ def k_core(
     iterative-Spark requirement, same as `connected_components`).
     Round count is the peel DEPTH (number of onion layers ≤ k), not
     the diameter — small for real graphs; `max_iter` guards the
-    adversarial chain-of-layers construction."""
+    adversarial chain-of-layers construction.
+
+    ``edge_budget`` prices the peel before running it (the
+    `cooccurrence_edges` pre-flight philosophy one layer up, for
+    callers whose edge source has no guard of its own): the
+    symmetrized edge list is checkpointed once and re-joined every
+    round, so its size bounds peak storage — the measured failure
+    mode past the budget on a single 8g JVM is a mid-peel executor
+    OOM (round-9 25×-density probe), which a deliberate refusal
+    with remedies strictly dominates. On a real cluster, raise it."""
+    # Pre-flight BEFORE the checkpoint materializes anything: 2×|edges|
+    # upper-bounds the symmetrized distinct set, and counting the input
+    # is one cheap scan. Refusing here beats refusing after caching a
+    # hundred-million-row edge list.
+    n_in = edges.count()
+    if 2 * n_in > edge_budget:
+        raise RuntimeError(
+            f"k_core: up to {2 * n_in:,} directed edges exceeds "
+            f"edge_budget={edge_budget:,}. The graph genuinely has this "
+            f"many edges — peeling re-joins the full edge set every "
+            f"round, so either raise edge_budget deliberately (cluster "
+            f"memory permitting), pre-filter trivially-peelable nodes "
+            f"(degree < k in one aggregate) before calling, or densify "
+            f"the blocking key upstream (see cooccurrence_edges)."
+        )
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

@@ -174,6 +174,10 @@ _STALE_SINCE: dict[str, int] = {
     "mg_heavy_hitters": 9,
     "mmr_rerank": 9,
     "join_interval_overlap": 9,
+    # round 9 (same session as registration, no driver rows yet; the
+    # audit bar is mechanical): k_core gained the pre-flight edge
+    # budget after the 25x-density probe OOMed an unguarded peel.
+    "kcore_users": 9,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

@@ -397,3 +397,17 @@ def test_kcore_matches_naive_peel_random(spark):
         want = {u: len(adj[u] & nodes) for u in nodes}
         got = {r.u: r.core_degree for r in k_core(df, k).collect()}
         assert got == want, k
+
+
+def test_kcore_edge_budget_refuses_with_remedies(spark):
+    import pytest
+
+    from etl_knlp_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="edge_budget"):
+        k_core(df, 2, edge_budget=50)
+    # under budget still works
+    assert k_core(df, 1, edge_budget=10_000).count() == 101
