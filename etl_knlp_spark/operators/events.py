@@ -557,8 +557,12 @@ _EWMA_ALPHA = 0.25  # exact binary fraction: 0.25 and 0.75 are exact doubles
       SELECT user_id, event_id, value,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ), lists AS (
+      -- NULL values are excluded symmetrically on both sides (ord
+      -- filters below): a NULL inside the recursion would poison every
+      -- subsequent EWMA in SQL but crash the Python kernel — neither
+      -- is the semantics anyone wants from a smoother.
       SELECT user_id,
              list(value ORDER BY rn) AS xs,
              list(event_id ORDER BY rn) AS eids
@@ -621,6 +625,7 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         events.select("user_id", "event_id", "ts", "value")
+        .filter(F.col("value").isNotNull())
         .groupBy("user_id")
         .applyInPandas(ewma, "user_id long, event_id long, ewma_micro long")
     )

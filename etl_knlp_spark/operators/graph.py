@@ -716,6 +716,10 @@ def kcore_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
         .collect()[0]
     )  # two scalars: the adaptive-k inputs
+    if row["mn"] is None:  # edgeless graph: the k-core is empty, not a crash
+        return spark.createDataFrame(
+            [], "user_id long, core_degree bigint, k bigint"
+        )
     k = max(2, int(row["mn"]) + math.ceil((int(row["mx"]) - int(row["mn"])) / 8))
     return k_core(edges, k).select(
         F.col("u").alias("user_id"), "core_degree", F.lit(k).cast("bigint").alias("k")

@@ -176,8 +176,11 @@ _STALE_SINCE: dict[str, int] = {
     "join_interval_overlap": 9,
     # round 9 (same session as registration, no driver rows yet; the
     # audit bar is mechanical): k_core gained the pre-flight edge
-    # budget after the 25x-density probe OOMed an unguarded peel.
+    # budget after the 25x-density probe OOMed an unguarded peel, then
+    # the empty-graph early return; ewma gained the symmetric
+    # NULL-value exclusion (oracle changed).
     "kcore_users": 9,
+    "ewma_event_values": 9,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
