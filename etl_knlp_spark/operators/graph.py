@@ -704,7 +704,11 @@ def kcore_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     e = load_table(spark, sf_dir, "events")
-    edges = cooccurrence_edges(e)
+    # checkpoint the (quadratic) co-activity join ONCE: it feeds three
+    # consumers — k_core's pre-flight count, the adaptive-k degree
+    # stats, and the peel itself — and would otherwise recompute per
+    # action (measured ~3x the join cost at sf0.1)
+    edges = cooccurrence_edges(e).localCheckpoint(eager=False)
     sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
