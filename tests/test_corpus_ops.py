@@ -634,3 +634,49 @@ def test_ohlc_open_close_respect_total_order(spark, tmp_path):
     bar = got[0]
     assert bar.open == 10.0 and bar.close == 99.0
     assert bar.high == 99.0 and bar.low == 10.0 and bar.n_events == 4
+
+
+def test_dtw_rhythm_matches_definition_dp(spark, tmp_path):
+    """dtw_user_rhythm's batch-vectorized kernel vs the textbook
+    per-pair DP, on crafted profiles with known alignments (shifted
+    rhythms must be closer than Euclidean would say)."""
+    import datetime
+
+    from etl_knlp_spark.operators.events import dtw_user_rhythm
+
+    INF = 1 << 60
+
+    def dtw_ref(xs, ys):
+        m = len(ys)
+        prev = [0] + [INF] * m
+        for x in xs:
+            cur = [INF]
+            for j in range(1, m + 1):
+                cur.append(abs(x - ys[j - 1]) + min(prev[j], prev[j - 1], cur[j - 1]))
+            prev = cur
+        return prev[m]
+
+    # three users, same peak hour (12), different rhythms
+    profiles = {
+        1: [0] * 10 + [3, 8, 9, 4] + [0] * 10,      # peak at 12
+        2: [0] * 9 + [3, 8, 9, 4, 0] + [0] * 10,    # same shape shifted -1h... peak 11
+        3: [0] * 10 + [1, 2, 9, 8] + [0] * 10,      # peak 12, different shape
+    }
+    # keep only users whose argmax is hour 12 in the same block: 1 and 3
+    rows = []
+    eid = 0
+    t0 = datetime.datetime(2024, 1, 1)
+    for uid, prof in profiles.items():
+        for h, c in enumerate(prof):
+            for _ in range(c):
+                rows.append((eid, t0 + datetime.timedelta(hours=h), uid,
+                             "view", 1.0, "{}"))
+                eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {(r.user_a, r.user_b): r.dtw_dist
+           for r in dtw_user_rhythm(spark, sf).collect()}
+    assert got == {(1, 3): dtw_ref(profiles[1], profiles[3])}
