@@ -775,6 +775,28 @@ def dtw_user_rhythm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("peak_hour"),
     )
+    # Pre-flight pair budget (the cooccurrence_edges discipline): the
+    # blocked join is quadratic in block DENSITY — one linear aggregate
+    # prices Σ C(block,2) exactly and refuses instead of melting the
+    # kernel when every user shares a peak hour.
+    est_row = (
+        peaked.groupBy("peak_hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("est"),
+            F.max("n").alias("hottest"),
+        )
+        .collect()[0]
+    )
+    est = int(est_row["est"] or 0)
+    if est > 2**24:
+        raise RuntimeError(
+            f"dtw_user_rhythm: pre-flight estimate {est:,} blocked pairs "
+            f"exceeds 2^24 (hottest peak-hour block has "
+            f"{est_row['hottest']:,} users). Sub-block on another "
+            f"dimension (e.g. total-activity bucket) or sample users "
+            f"per block before pairing."
+        )
     a = peaked.select(
         F.col("user_id").alias("user_a"),
         F.col("p").alias("pa"),
