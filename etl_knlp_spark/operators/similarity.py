@@ -869,3 +869,121 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (qid, rank, vid) for rank, vid in enumerate(sel, start=1)
         )
     return spark.createDataFrame(out, "query_id long, rank int, vec_id long")
+
+
+@query(
+    "entity_golden_record",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.p_partkey AS k1, b.p_partkey AS k2
+      FROM part a JOIN part b
+        ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+       AND a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+            >= {_JW_THRESHOLD}
+    ), sym AS (
+      SELECT k1 AS a, k2 AS b FROM pairs UNION SELECT k2, k1 FROM pairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ), comp AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    ), member AS (
+      SELECT p.p_partkey,
+             COALESCE(c.component, p.p_partkey) AS cluster_rep,
+             p.p_brand, p.p_size, p.p_retailprice
+      FROM part p LEFT JOIN comp c ON c.node = p.p_partkey
+    ), golden AS (
+      SELECT cluster_rep,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(MAX(p_size) AS INT) AS max_size,
+             MIN(p_retailprice)       AS min_price
+      FROM member GROUP BY cluster_rep
+    ), bm AS (
+      SELECT cluster_rep, p_brand,
+             ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                                ORDER BY COUNT(*) DESC, p_brand) AS rn
+      FROM member GROUP BY cluster_rep, p_brand
+    )
+    SELECT g.cluster_rep, g.n_members, g.max_size, g.min_price,
+           bm.p_brand AS brand_mode
+    FROM golden g JOIN bm ON bm.cluster_rep = g.cluster_rep AND bm.rn = 1
+    WHERE g.n_members >= 2
+    """,
+)
+def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end — the composition the pieces exist
+    for: (brand, head-noun) blocking → Jaro-Winkler match ≥ {_JW_THRESHOLD}
+    (the `jaro_winkler_names` cross-implementation edge set) →
+    connected components (min-label propagation; name-dup clusters
+    are shallow) → SURVIVORSHIP per cluster: the golden record keeps
+    the min-key representative, the modal brand (ties → lexicographic
+    min, pinned identically in both engines' mode computation), the
+    max size, and the min retail price (selected input doubles,
+    never computed — no rounding anywhere). Only multi-member
+    clusters ship; singletons are their own golden record by
+    definition. The oracle rebuilds every stage independently:
+    DuckDB's C++ Jaro-Winkler for edges, a recursive-CTE closure for
+    components, window mode for survivorship.
+
+    Scale: the blocked pair join carries `_blocked_name_sides`' Σ
+    C(block,2) pre-flight budget; components over match edges touch
+    only matched keys; survivorship is one groupBy + one window over
+    cluster-sized groups."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from .graph import connected_components
+
+    def _jw_batch(a, b):
+        return pd.Series(
+            [jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    jw_udf = F.pandas_udf(_jw_batch, "double")
+    p = load_table(spark, sf_dir, "part")
+    a, b = _blocked_name_sides(p)
+    edges = (
+        a.join(
+            b,
+            (F.col("block1") == F.col("block2"))
+            & (F.col("brand1") == F.col("brand2"))
+            & (F.col("k1") < F.col("k2")),
+        )
+        .withColumn("jw_6dp", F.round(jw_udf("name1", "name2"), 6))
+        .filter(F.col("jw_6dp") >= _JW_THRESHOLD)
+        .select(F.col("k1").alias("src"), F.col("k2").alias("dst"))
+    )
+    comp = connected_components(edges)
+    member = (
+        p.select("p_partkey", "p_brand", "p_size", "p_retailprice")
+        .join(comp, p.p_partkey == comp.node, "left")
+        .select(
+            "p_partkey",
+            F.coalesce("component", "p_partkey").alias("cluster_rep"),
+            "p_brand",
+            "p_size",
+            "p_retailprice",
+        )
+    )
+    golden = member.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max("p_size").cast("int").alias("max_size"),
+        F.min("p_retailprice").alias("min_price"),
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("c").desc(), "p_brand"
+    )
+    bm = (
+        member.groupBy("cluster_rep", "p_brand")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_rep", F.col("p_brand").alias("brand_mode"))
+    )
+    return (
+        golden.join(bm, "cluster_rep")
+        .filter(F.col("n_members") >= 2)
+        .select("cluster_rep", "n_members", "max_size", "min_price", "brand_mode")
+    )
