@@ -293,3 +293,76 @@ def rollup_hierarchical_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("matches_direct"),
         )
     )
+
+
+@query(
+    "stream_ohlc",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS window_start,
+             value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, window_start,
+           MAX(CASE WHEN rn_open = 1 THEN value END)  AS open,
+           MAX(value)                                  AS high,
+           MIN(value)                                  AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END)  AS close,
+           CAST(COUNT(*) AS BIGINT)                    AS n_events
+    FROM ranked GROUP BY event_type, window_start
+    """,
+)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ohlc_hourly` as a REAL micro-batch stream — the streaming form
+    of order-dependent bar aggregation. The trick that makes open and
+    close STREAMABLE: they're expressed as min/max over a
+    (ts, event_id, value) struct — true commutative-associative
+    aggregates whose result is independent of arrival order across
+    micro-batches, so no state-store sequence tracking and no
+    event-time sorting is needed; the struct's lexicographic order IS
+    the (ts, event_id) total order both engines pin. File-source
+    stream → windowed struct-min/max in complete mode → memory sink;
+    the converged sink equals the batch bars, which is plain SQL —
+    the stream_stateful_totals pattern giving the state-store path a
+    full value oracle."""
+    import tempfile
+    import uuid
+
+    from ..catalog import load_events_stream
+
+    ord_struct = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    bars = (
+        load_events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min(ord_struct).alias("o"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(ord_struct).alias("c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    sink = f"stream_ohlc_{uuid.uuid4().hex[:12]}"
+    q = (
+        bars.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="etl_knlp_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "event_type",
+        F.col("w.start").alias("window_start"),
+        F.col("o.value").alias("open"),
+        "high",
+        "low",
+        F.col("c.value").alias("close"),
+        "n_events",
+    )
