@@ -232,3 +232,74 @@ def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_chars_sent") > 0)
     )
+
+
+@query(
+    "readability_flesch",
+    oracle=r"""
+    WITH parts AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS words,
+             len(list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                             s -> length(trim(s)) > 0)) AS ns
+      FROM documents WHERE length(trim(text)) > 0
+    ), counted AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(GREATEST(1, ns) AS BIGINT) AS n_sentences,
+             CAST(list_sum(list_transform(words,
+                    w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+                  AS BIGINT) AS n_syllables
+      FROM parts
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                         - 84.6 * (n_syllables * 1.0 / n_words), 4)
+             AS flesch
+    FROM counted
+    """,
+)
+def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality signal (syllables approximated as vowel-group runs with a
+    per-word floor of 1, the standard cheap heuristic; the formula's
+    constants are the published ones). Every count is an exact
+    integer on both engines, and the score is one fixed expression
+    over two integer ratios — identical doubles cross-engine, with
+    the 4dp round as presentation. Map-side only: split, two
+    regexp_extract_all passes, a higher-order sum; zero exchanges."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    ns = F.size(
+        F.filter(
+            F.regexp_extract_all("text", F.lit(r"[^.!?]+[.!?]*"), 0),
+            lambda s: F.length(F.trim(s)) > 0,
+        )
+    )
+    nsyl = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0))
+            ),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    counted = docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.greatest(F.lit(1), ns).cast("bigint").alias("n_sentences"),
+        nsyl.cast("bigint").alias("n_syllables"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") * 1.0 / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables") * 1.0 / F.col("n_words")),
+        4,
+    )
+    return counted.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", flesch.alias("flesch")
+    )
