@@ -804,3 +804,54 @@ def test_wordpiece_greedy_matches_glen_walk_mirror(words, raw_vocab, mark_cont):
             w,
             sorted(vocab),
         )
+
+
+# ------------------------------------------------------ DTW batch kernel
+
+
+dtw_profiles = st.lists(
+    st.tuples(
+        st.lists(st.integers(0, 30), min_size=24, max_size=24),
+        st.lists(st.integers(0, 30), min_size=24, max_size=24),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(pairs=dtw_profiles)
+@settings(max_examples=150, deadline=None)
+def test_dtw_batch_kernel_matches_definition_dp(pairs):
+    """The batch-vectorized DTW kernel (every pair advanced as one
+    numpy vector per DP cell) must equal the textbook per-pair
+    rolling-row DP on arbitrary integer profiles — pure numpy, no
+    Spark, so hundreds of examples are free."""
+    import numpy as np
+
+    INF = 1 << 60
+
+    def ref(xs, ys):
+        m = len(ys)
+        prev = [0] + [INF] * m
+        for x in xs:
+            cur = [INF]
+            for j in range(1, m + 1):
+                cur.append(abs(x - ys[j - 1]) + min(prev[j], prev[j - 1], cur[j - 1]))
+            prev = cur
+        return prev[m]
+
+    pa = np.array([a for a, _ in pairs], dtype=np.int64)
+    pb = np.array([b for _, b in pairs], dtype=np.int64)
+    n, m = pa.shape
+    prev = np.full((n, m + 1), INF, dtype=np.int64)
+    prev[:, 0] = 0
+    for i in range(m):
+        cost = np.abs(pa[:, i : i + 1] - pb)
+        cur = np.full((n, m + 1), INF, dtype=np.int64)
+        for j in range(1, m + 1):
+            best = np.minimum(np.minimum(prev[:, j], prev[:, j - 1]), cur[:, j - 1])
+            cur[:, j] = cost[:, j - 1] + best
+        prev = cur
+    got = prev[:, m]
+    for k, (a, b) in enumerate(pairs):
+        assert got[k] == ref(a, b), k
