@@ -411,3 +411,54 @@ def test_kcore_edge_budget_refuses_with_remedies(spark):
         k_core(df, 2, edge_budget=50)
     # under budget still works
     assert k_core(df, 1, edge_budget=10_000).count() == 101
+
+
+def test_ktruss_matches_naive_peel_random(spark):
+    import collections
+    import random
+
+    from etl_knlp_spark.operators.graph import k_truss
+
+    rng = random.Random(31)
+    edges = list({(min(a, b), max(a, b)) for a, b in
+                  ((rng.randint(0, 30), rng.randint(0, 30)) for _ in range(140))
+                  if a != b})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (3, 4, 5):
+        cur = set(edges)
+        while True:
+            nb = collections.defaultdict(set)
+            for a, b in cur:
+                nb[a].add(b)
+                nb[b].add(a)
+            drop = {(a, b) for a, b in cur if len(nb[a] & nb[b]) < k - 2}
+            if not drop:
+                break
+            cur -= drop
+        nb = collections.defaultdict(set)
+        for a, b in cur:
+            nb[a].add(b)
+            nb[b].add(a)
+        want = {(a, b): len(nb[a] & nb[b]) for a, b in cur}
+        got = {(r.a, r.b): r.support for r in k_truss(df, k).collect()}
+        assert got == want, k
+
+
+def test_ktruss_is_subgraph_of_kminus1_core(spark):
+    """Structural invariant: the k-truss's nodes lie inside the
+    (k-1)-core (every truss edge has >= k-2 triangle partners, so
+    every truss node has degree >= k-1 within the truss)."""
+    import random
+
+    from etl_knlp_spark.operators.graph import k_core, k_truss
+
+    rng = random.Random(77)
+    edges = list({(min(a, b), max(a, b)) for a, b in
+                  ((rng.randint(0, 25), rng.randint(0, 25)) for _ in range(120))
+                  if a != b})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    truss_nodes = set()
+    for r in k_truss(df, 4).collect():
+        truss_nodes |= {r.a, r.b}
+    core_nodes = {r.u for r in k_core(df, 3).collect()}
+    assert truss_nodes <= core_nodes
