@@ -1819,3 +1819,125 @@ def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("simpson_num"),
         (F.sum("c") * (F.sum("c") - 1)).cast("bigint").alias("simpson_den"),
     )
+
+
+@query(
+    "pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ), uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ), ucnt AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w
+    ), big AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> struct_pack(w1 := t[i], w2 := t[i + 1])))
+               AS g
+      FROM toks WHERE len(t) >= 2
+    ), bcnt AS (
+      SELECT g.w1 AS w1, g.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM big GROUP BY 1, 2
+    ), tot AS (
+      SELECT (SELECT SUM(c) FROM ucnt) AS n_u,
+             (SELECT SUM(c_xy) FROM bcnt) AS n_b
+    ), lift AS (
+      SELECT b.w1, b.w2, b.c_xy,
+             CAST(FLOOR(CAST(b.c_xy AS DOUBLE) * t.n_u / t.n_b * t.n_u
+                        / cx.c / cy.c * 1000000.0) AS BIGINT) AS lift_micro
+      FROM bcnt b
+      JOIN ucnt cx ON cx.w = b.w1
+      JOIN ucnt cy ON cy.w = b.w2
+      CROSS JOIN tot t
+      WHERE b.c_xy >= 5
+    )
+    SELECT w1, w2, c_xy, lift_micro, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY lift_micro DESC, w1, w2) AS rn
+      FROM lift
+    ) WHERE rn <= 100
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PMI collocations (statistically-associated word
+    bigrams) over the corpus — the classic collocation extractor
+    (Church & Hanks 1990) used to spot boilerplate phrases, named
+    entities, and template artifacts in a training mix. Reports the
+    PMI *lift* p(xy)/(p(x)p(y)) rather than its log, in exact-ish
+    integer micro-units: every factor is an exact integer count cast
+    to double, and BOTH engines evaluate the identical left-to-right
+    IEEE sequence `c_xy * N_u / N_b * N_u / c_x / c_y * 1e6` before
+    one floor — no cross-engine log() or summation-order hazard.
+    Support floor c_xy >= 5 (the standard PMI low-count guard: rare
+    pairs otherwise dominate the ranking on noise).
+
+    Scale shape: token explode -> two hash aggregates (unigram,
+    bigram counts, both partial map-side), two shuffle joins of the
+    bigram table against the unigram vocab keyed on the word, and a
+    broadcast of the two scalar totals. The final top-100 is a
+    single-partition WindowGroupLimit over per-partition top-k heaps
+    — never a global sort of the full pair table. Vocab-sized
+    shuffles, not corpus-sized: the heavy join keys are words, whose
+    cardinality grows sublinearly in corpus bytes (Heaps' law)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lift = collocation_lift(docs)
+    w = Window.orderBy(F.col("lift_micro").desc(), "w1", "w2")
+    return (
+        lift.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("w1", "w2", "c_xy", "lift_micro", "rn")
+    )
+
+
+def collocation_lift(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """PMI-lift table behind `pmi_collocations`: one row per word
+    bigram with support >= ``min_count``, scored by the exact-order
+    IEEE lift described there. Split out so the unit suite can pin
+    hand-computed lifts on tiny corpora."""
+    docs = docs.filter(F.length(F.trim("text")) > 0)
+    toks = docs.select(F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - F.lit(1))).alias("i"),
+        )
+        .select(
+            F.expr("element_at(t, i)").alias("w1"),
+            F.expr("element_at(t, i + 1)").alias("w2"),
+        )
+    )
+    bcnt = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    tot = F.broadcast(
+        ucnt.agg(F.sum("c").alias("n_u")).crossJoin(
+            bcnt.agg(F.sum("c_xy").alias("n_b"))
+        )
+    )
+    cx = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    cy = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    return (
+        bcnt.filter(F.col("c_xy") >= min_count)
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(tot)
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.floor(
+                F.col("c_xy").cast("double")
+                * F.col("n_u")
+                / F.col("n_b")
+                * F.col("n_u")
+                / F.col("c_x")
+                / F.col("c_y")
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )

@@ -998,3 +998,120 @@ def ktruss_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_truss(edges, _TRUSS_K).select(
         F.col("a").alias("user_a"), F.col("b").alias("user_b"), "support"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected edge set: every node starts labeled with its own id;
+    each round every node simultaneously adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label —
+    the deterministic variant (classic LPA breaks ties randomly,
+    which no cross-engine oracle could pin). Returns (node, lab)
+    after ``rounds`` rounds.
+
+    Community detection is the graph sibling of dedup clustering:
+    connected components over-merge through single spurious edges,
+    while LPA needs local majority support, so it splits
+    bridge-joined blobs — the standard cheap community pass on
+    co-activity / link graphs before per-community stats.
+
+    Scale shape per round: one shuffle join of the directed edge
+    list against the node→label table (keyed on the neighbor id),
+    one (node, label) hash aggregate with map-side partials, and a
+    per-node top-1 window that WindowGroupLimit reduces to
+    per-partition heaps. State between rounds is one row per node —
+    never materialized on the driver — and `localCheckpoint`
+    truncates the growing lineage (the iterative-Spark requirement,
+    same as `connected_components`). Rounds are FIXED, not run to
+    convergence: synchronous LPA can 2-cycle on bipartite-ish
+    structure, so production runs pick a small round budget (3-5);
+    the round count is part of the operator's contract and the
+    oracle replays the identical number."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    dirs = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    labels = dirs.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(rounds):
+        counts = (
+            dirs.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("lab"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "lab")
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+_LPA_ROUND = """
+    , {out} AS (
+      SELECT u AS node, lab FROM (
+        SELECT d.u AS u, l.lab AS lab, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY d.u
+                                  ORDER BY COUNT(*) DESC, l.lab) AS rn
+        FROM dir d JOIN {prev} l ON l.node = d.v
+        GROUP BY d.u, l.lab
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "labelprop_users",
+    oracle=(
+        """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(floor(date_part('epoch', ts) / 300) AS BIGINT) AS bkt
+      FROM events
+    ), und AS (
+      SELECT DISTINCT a.user_id AS a, b.user_id AS b
+      FROM ev a JOIN ev b
+        ON a.bkt = b.bkt AND a.event_type = b.event_type
+       AND a.user_id < b.user_id
+    ), dir AS (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+    ), l0 AS (
+      SELECT DISTINCT u AS node, u AS lab FROM dir
+    )"""
+        + _LPA_ROUND.format(out="r1", prev="l0")
+        + _LPA_ROUND.format(out="r2", prev="r1")
+        + _LPA_ROUND.format(out="r3", prev="r2")
+        + """
+    SELECT CAST(node AS BIGINT) AS user_id, CAST(lab AS BIGINT) AS community
+    FROM r3
+    """
+    ),
+)
+def labelprop_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities of the user co-activity graph (same edge builder
+    as `kcore_users`/`ktruss_users`, incl. its pre-flight pair
+    budget) by 3 rounds of deterministic synchronous label
+    propagation. The oracle replays the identical 3 rounds as
+    unrolled CTEs — same majority + min-label tiebreak — so every
+    node's final community is value-pinned, not just counted."""
+    e = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(e)
+    return label_propagation(edges, rounds=3).select(
+        F.col("node").alias("user_id"), F.col("lab").alias("community")
+    )

@@ -680,3 +680,98 @@ def test_dtw_rhythm_matches_definition_dp(spark, tmp_path):
     got = {(r.user_a, r.user_b): r.dtw_dist
            for r in dtw_user_rhythm(spark, sf).collect()}
     assert got == {(1, 3): dtw_ref(profiles[1], profiles[3])}
+
+
+def test_cusum_matches_hand_recursion_and_alarm_boundary(spark, tmp_path):
+    """CUSUM kernel vs the hand recursion s_t = max(0, s+x-56) on a
+    known sequence, including the integer-micro alarm compare: the
+    fourth value pushes the statistic near h, the fifth crosses it."""
+    import datetime
+    import math
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.events import cusum_changepoint
+
+    vals = [60.0, 60.0, 50.0, 300.0, 300.0, 1.0]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=t0 + datetime.timedelta(seconds=i), user_id=7,
+            event_type="view", value=v, props="{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.event_id: (r.cusum_micro, r.alarm)
+        for r in cusum_changepoint(spark, sf).collect()
+    }
+    acc, want = 0.0, {}
+    for i, v in enumerate(vals):
+        acc = max(0.0, acc + v - 56.0)
+        micro = math.floor(acc * 1e6)
+        want[i] = (micro, micro > 250_000_000)
+    assert got == want
+    # the sequence genuinely exercises both sides of the threshold
+    assert {a for _, a in got.values()} == {True, False}
+
+
+def test_cusum_resets_to_zero_between_bursts(spark, tmp_path):
+    """Below-k values drain the statistic to exactly 0 (the max
+    clamp), so a later burst starts from a clean slate — the property
+    that distinguishes CUSUM from a plain cumulative sum."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.events import cusum_changepoint
+
+    vals = [500.0] + [1.0] * 10 + [500.0]  # 444/55 -> drained after 9 ones
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=t0 + datetime.timedelta(seconds=i), user_id=1,
+            event_type="view", value=v, props="{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+    got = {r.event_id: r.cusum_micro for r in cusum_changepoint(spark, sf).collect()}
+    assert got[10] == 0  # fully drained before the second burst
+    assert got[11] == got[0]  # identical restart
+
+
+def test_collocation_lift_exact_on_tiny_corpus(spark):
+    """PMI lift pinned by hand: a 12-token alternating corpus gives
+    ab support 6, ba support 5; the expected micro values replay the
+    identical left-to-right IEEE sequence in Python."""
+    import math
+
+    from etl_knlp_spark.operators.analysis import collocation_lift
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b a b a b")], ["doc_id", "text"]
+    )
+    got = {
+        (r.w1, r.w2): (r.c_xy, r.lift_micro)
+        for r in collocation_lift(docs).collect()
+    }
+    n_u, n_b = 12, 11
+    want = {}
+    for (w1, w2), c_xy in {("a", "b"): 6, ("b", "a"): 5}.items():
+        lift = float(c_xy) * n_u / n_b * n_u / 6 / 6 * 1000000.0
+        want[(w1, w2)] = (c_xy, math.floor(lift))
+    assert got == want
+
+
+def test_collocation_min_count_floors_rare_pairs(spark):
+    """Pairs under the support floor never appear, however high
+    their lift would be."""
+    from etl_knlp_spark.operators.analysis import collocation_lift
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "a b a b a b a b a b a b")], ["doc_id", "text"]
+    )
+    pairs = {
+        (r.w1, r.w2) for r in collocation_lift(docs, min_count=5).collect()
+    }
+    assert ("x", "y") not in pairs and ("a", "b") in pairs

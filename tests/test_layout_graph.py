@@ -462,3 +462,29 @@ def test_ktruss_is_subgraph_of_kminus1_core(spark):
         truss_nodes |= {r.a, r.b}
     core_nodes = {r.u for r in k_core(df, 3).collect()}
     assert truss_nodes <= core_nodes
+
+
+def test_label_propagation_splits_bridged_triangles(spark):
+    """Two triangles joined by a single bridge: connected components
+    would merge them, LPA's local-majority rule keeps them apart —
+    final labels hand-simulated for the deterministic min-label
+    tiebreak over 3 synchronous rounds."""
+    from etl_knlp_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        ["src", "dst"],
+    )
+    got = {r.node: r.lab for r in label_propagation(edges, rounds=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 3, 11: 3, 12: 3}
+
+
+def test_label_propagation_clique_converges_to_min_id(spark):
+    """A clique stabilizes on the minimum node id (the tiebreak
+    winner of round 1 floods the majority by round 2)."""
+    from etl_knlp_spark.operators.graph import label_propagation
+
+    k5 = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    edges = spark.createDataFrame(k5, ["src", "dst"])
+    got = {r.node: r.lab for r in label_propagation(edges, rounds=3).collect()}
+    assert set(got.values()) == {1}
