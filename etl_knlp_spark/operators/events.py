@@ -926,3 +926,194 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(cusum, "user_id long, event_id long, cusum_micro long")
         .withColumn("alarm", F.col("cusum_micro") > F.lit(_CUSUM_H_MICRO))
     )
+
+
+# Holt's linear-trend constants — exact dyadic doubles (the EWMA/CUSUM
+# cross-engine-exact requirement): alpha smooths the level, beta the
+# trend.
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.25
+
+
+@query(
+    "holt_linear_trend",
+    oracle="""
+    WITH ord AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ), lists AS (
+      SELECT user_id,
+             list(value ORDER BY rn) AS xs,
+             list(event_id ORDER BY rn) AS eids
+      FROM ord GROUP BY user_id
+    ), expanded AS (
+      SELECT user_id, xs, eids,
+             unnest(generate_series(1, len(xs))) AS i
+      FROM lists
+    ), st AS (
+      SELECT user_id,
+             CAST(eids[i] AS BIGINT) AS event_id,
+             list_reduce(
+               list_prepend([xs[1], CAST(0.0 AS DOUBLE)],
+                            list_transform(xs[2:i],
+                                            x -> [x, CAST(0.0 AS DOUBLE)])),
+               (acc, e) -> [
+                 0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                 0.25 * (0.5 * e[1] + 0.5 * (acc[1] + acc[2]) - acc[1])
+                   + 0.75 * acc[2]
+               ]) AS s
+      FROM expanded
+    )
+    SELECT user_id, event_id,
+           CAST(FLOOR(s[1] * 1000000.0) AS BIGINT) AS level_micro,
+           CAST(FLOOR(s[2] * 1000000.0) AS BIGINT) AS trend_micro,
+           CAST(FLOOR((s[1] + s[2]) * 1000000.0) AS BIGINT) AS forecast_micro
+    FROM st
+    """,
+)
+def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957)
+    per user: level l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}) and trend
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, seeded l_1 = x_1, b_1 = 0,
+    with α = 0.5, β = 0.25 — the one-step forecast l+b is the
+    standard trending-metric predictor EWMA can't give (EWMA lags a
+    ramp by a constant; Holt tracks it). Same cross-engine-exact
+    discipline as `ewma_event_values`/`cusum_changepoint`: dyadic
+    constants, identical IEEE op order, floored integer micro-units.
+
+    The oracle's fold state is (level, trend) — a 2-element DOUBLE
+    LIST accumulator, deliberately NOT a STRUCT: DuckDB 1.0.0's
+    list_reduce evaluates struct_pack fields against an accumulator
+    it mutates field-by-field, so a `b :=` expression referencing
+    acc.l reads the freshly-written NEW level (minimal repro: fold
+    (acc, e) -> struct_pack(l := acc.l + e.l, b := acc.l) over 3+
+    elements returns b == the final l). List elements don't alias
+    that way — regression-pinned in test_corpus_ops.
+
+    Scale shape: identical to the EWMA kernel — one shuffle on
+    user_id into applyInPandas groups, sequential within a key,
+    parallel across keys (measured 8.6× at the 100× probe for this
+    kernel shape)."""
+    import math
+
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        lvl = trd = fc = None
+        out_l, out_t, out_f = [], [], []
+        for x in pdf["value"]:
+            if lvl is None:
+                lvl, trd = x, 0.0
+            else:
+                new_l = _HOLT_ALPHA * x + (1 - _HOLT_ALPHA) * (lvl + trd)
+                trd = _HOLT_BETA * (new_l - lvl) + (1 - _HOLT_BETA) * trd
+                lvl = new_l
+            out_l.append(math.floor(lvl * 1000000.0))
+            out_t.append(math.floor(trd * 1000000.0))
+            out_f.append(math.floor((lvl + trd) * 1000000.0))
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "level_micro": out_l,
+                "trend_micro": out_t,
+                "forecast_micro": out_f,
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .applyInPandas(
+            holt,
+            "user_id long, event_id long, level_micro long, "
+            "trend_micro long, forecast_micro long",
+        )
+    )
+
+
+@query(
+    "attribution_time_decay",
+    oracle="""
+    WITH cand AS (
+      SELECT p.event_id AS purchase_id,
+             v.event_id AS view_id,
+             CAST(1000000 AS BIGINT) >> CAST(
+               (CAST(floor(date_part('epoch', p.ts)) AS BIGINT)
+                - CAST(floor(date_part('epoch', v.ts)) AS BIGINT)) // 86400
+               AS INT) AS weight_ppm
+      FROM events p
+      JOIN events v
+        ON v.user_id = p.user_id
+       AND v.event_type = 'view'
+       AND v.ts <= p.ts
+       AND v.ts >= p.ts - INTERVAL '3 days'
+      WHERE p.event_type = 'purchase'
+    ), tot AS (
+      SELECT *, SUM(weight_ppm) OVER (PARTITION BY purchase_id) AS total_ppm
+      FROM cand
+    )
+    SELECT purchase_id, view_id,
+           weight_ppm,
+           CAST((weight_ppm * 1000000) // total_ppm AS BIGINT) AS share_ppm
+    FROM tot
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every view inside the
+    3-day lookback shares a purchase's credit, halving per elapsed
+    day — the standard middle ground between last-touch (100% to one
+    row) and linear (flat split). The decay weight is an INTEGER
+    BIT-SHIFT, 1000000 >> floor(Δseconds/86400), and the normalized
+    share an integer division (weight·10⁶ // Σweights) — so unlike
+    textbook exp(−Δt/τ) implementations the whole op is exact
+    integer arithmetic, no cross-engine exp()/rounding hazard
+    anywhere (the exp curve is sampled at day granularity, which is
+    what marketing reporting buckets by anyway).
+
+    Scale shape: same bounded candidate join as
+    `attribution_last_touch` (user-keyed shuffle, 3-day predicate
+    prunes fan-out), then one per-purchase window SUM — no top-1
+    limit here since every candidate row IS output. Purchases with
+    no prior view drop out (inner join)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    cand = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 3 DAYS")),
+    ).select(
+        "purchase_id",
+        "view_id",
+        F.expr(
+            "CAST(shiftright(1000000, CAST((unix_timestamp(purchase_ts)"
+            " - unix_timestamp(view_ts)) div 86400 AS INT)) AS BIGINT)"
+        ).alias("weight_ppm"),
+    )
+    w = Window.partitionBy("purchase_id")
+    return cand.withColumn("total_ppm", F.sum("weight_ppm").over(w)).select(
+        "purchase_id",
+        "view_id",
+        F.col("weight_ppm").cast("bigint").alias("weight_ppm"),
+        F.expr("CAST((weight_ppm * 1000000) div total_ppm AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    )

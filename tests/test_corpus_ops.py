@@ -775,3 +775,85 @@ def test_collocation_min_count_floors_rare_pairs(spark):
         (r.w1, r.w2) for r in collocation_lift(docs, min_count=5).collect()
     }
     assert ("x", "y") not in pairs and ("a", "b") in pairs
+
+
+def test_holt_tracks_a_ramp_where_ewma_lags(spark, tmp_path):
+    """The reason Holt exists: on a pure linear ramp the one-step
+    forecast converges onto the next value, while EWMA (trendless)
+    lags behind. Also pins the hand recursion incl. the floored
+    contract."""
+    import datetime
+    import math
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.events import holt_linear_trend
+
+    vals = [float(10 * t) for t in range(40)]  # ramp: x_t = 10t
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=t0 + datetime.timedelta(seconds=i), user_id=7,
+            event_type="view", value=v, props="{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.event_id: (r.level_micro, r.trend_micro, r.forecast_micro)
+        for r in holt_linear_trend(spark, sf).collect()
+    }
+    lvl, trd, want = None, None, {}
+    for i, x in enumerate(vals):
+        if lvl is None:
+            lvl, trd = x, 0.0
+        else:
+            new_l = 0.5 * x + 0.5 * (lvl + trd)
+            trd = 0.25 * (new_l - lvl) + 0.75 * trd
+            lvl = new_l
+        want[i] = (
+            math.floor(lvl * 1e6),
+            math.floor(trd * 1e6),
+            math.floor((lvl + trd) * 1e6),
+        )
+    assert got == want
+    # converged trend ~ the true slope 10; forecast within 1 unit of
+    # the next ramp value (EWMA's steady-state lag on this ramp is 30)
+    assert abs(got[39][1] / 1e6 - 10.0) < 0.1
+    assert abs(got[39][2] / 1e6 - 400.0) < 1.0
+
+
+def test_time_decay_attribution_shares_are_exact_shifts(spark, tmp_path):
+    """Three views at 0/1/2 days before a purchase get 4:2:1 credit
+    (integer bit-shift halving), shares in exact integer ppm."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.events import attribution_time_decay
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        Row(event_id=100, ts=t0, user_id=1, event_type="purchase",
+            value=1.0, props="{}"),
+        Row(event_id=1, ts=t0 - datetime.timedelta(hours=1), user_id=1,
+            event_type="view", value=1.0, props="{}"),
+        Row(event_id=2, ts=t0 - datetime.timedelta(days=1, hours=1), user_id=1,
+            event_type="view", value=1.0, props="{}"),
+        Row(event_id=3, ts=t0 - datetime.timedelta(days=2, hours=1), user_id=1,
+            event_type="view", value=1.0, props="{}"),
+        # outside the 3-day lookback: no credit
+        Row(event_id=4, ts=t0 - datetime.timedelta(days=5), user_id=1,
+            event_type="view", value=1.0, props="{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.view_id: (r.weight_ppm, r.share_ppm)
+        for r in attribution_time_decay(spark, sf).collect()
+    }
+    total = 1000000 + 500000 + 250000
+    assert got == {
+        1: (1000000, 1000000 * 1000000 // total),
+        2: (500000, 500000 * 1000000 // total),
+        3: (250000, 250000 * 1000000 // total),
+    }
