@@ -1941,3 +1941,145 @@ def collocation_lift(docs: DataFrame, min_count: int = 5) -> DataFrame:
             .alias("lift_micro"),
         )
     )
+
+
+# RAKE stopword set — the phrase delimiters. Fixed tiny list shared
+# verbatim by the Spark plan and the oracle SQL; the synthetic corpus
+# contains 'a'/'the', the rest are there so real English input
+# segments sensibly too.
+_RAKE_STOPS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+)
+
+
+@query(
+    "rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ), pos AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+      FROM toks
+    ), ns AS (
+      SELECT doc_id, w, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM pos WHERE w NOT IN {_RAKE_STOPS!r}
+    ), phrases AS (
+      SELECT doc_id, grp,
+             list(w ORDER BY pos) AS ws,
+             array_to_string(list(w ORDER BY pos), ' ') AS phrase
+      FROM ns GROUP BY doc_id, grp
+    ), words AS (
+      SELECT unnest(ws) AS w, len(ws) AS plen FROM phrases
+    ), stats AS (
+      SELECT w,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM words GROUP BY w
+    ), dphrase AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM phrases GROUP BY phrase
+    ), pw AS (
+      SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w
+      FROM dphrase
+    ), pj AS (
+      SELECT p.phrase, p.n_occ, s.w, s.deg, s.freq
+      FROM pw p JOIN stats s ON s.w = p.w
+    ), scored AS (
+      SELECT phrase, n_occ,
+             CAST(FLOOR(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(
+                   list_sort(list({{'w': w, 'deg': deg, 'freq': freq}})),
+                   s -> s.deg / s.freq)),
+               (acc, x) -> acc + x) * 1000000.0) AS BIGINT) AS score_micro
+      FROM pj GROUP BY phrase, n_occ
+    )
+    SELECT phrase, n_occ, score_micro, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC, phrase) AS rn
+      FROM scored
+    ) WHERE rn <= 50
+    """,
+)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (gaps-and-islands over the
+    token stream); every word accumulates freq (occurrences) and deg
+    (sum of lengths of the phrases it appears in); a phrase scores
+    Σ deg(w)/freq(w) over its words — long multi-word phrases of
+    well-connected words win, which is the property that makes RAKE
+    the cheap keyword/topic extractor for corpus triage.
+
+    Cross-engine determinism: each deg/freq term is ONE IEEE division
+    of exact integer counts, and both engines sum the terms in the
+    SAME pinned order (sort the (w, deg, freq) structs, then a
+    sequential left fold — Spark F.aggregate, oracle list_reduce);
+    a shuffled SUM() would reassociate float addition. Score ships
+    floored to integer micro-units; top-50 with a lexicographic
+    tiebreak on the phrase.
+
+    Scale shape: token posexplode → per-doc island numbering (one
+    doc-keyed window), word stats one vocab-keyed aggregate
+    (Heaps-sublinear), phrase scoring a vocab-keyed join + one
+    phrase-keyed aggregate, top-50 via WindowGroupLimit heaps. No
+    driver state, no UDF — the whole extractor is codegen'd
+    expressions."""
+    from pyspark.sql.types import DoubleType
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    pos = toks.select("doc_id", F.posexplode("t").alias("pos", "w"))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    ns = pos.filter(~F.col("w").isin(*_RAKE_STOPS)).withColumn(
+        "grp", F.col("pos") - F.row_number().over(w_doc)
+    )
+    phrases = (
+        ns.groupBy("doc_id", "grp")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("pw"))
+        .select(F.expr("transform(pw, s -> s.w)").alias("ws"))
+        .select("ws", F.array_join("ws", " ").alias("phrase"))
+    )
+    stats = (
+        phrases.select(F.explode("ws").alias("w"), F.size("ws").alias("plen"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    dphrase = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    pw = dphrase.select(
+        "phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    scored = (
+        pw.join(stats, "w")
+        .groupBy("phrase", "n_occ")
+        .agg(
+            F.floor(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("w", "deg", "freq"))),
+                        lambda s: s.deg / s.freq,
+                    ),
+                    F.lit(0.0).cast(DoubleType()),
+                    lambda acc, x: acc + x,
+                )
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("score_micro")
+        )
+    )
+    w_top = Window.orderBy(F.col("score_micro").desc(), "phrase")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 50)
+        .select("phrase", "n_occ", "score_micro", "rn")
+    )

@@ -857,3 +857,30 @@ def test_time_decay_attribution_shares_are_exact_shifts(spark, tmp_path):
         2: (500000, 500000 * 1000000 // total),
         3: (250000, 250000 * 1000000 // total),
     }
+
+
+def test_rake_scores_match_hand_computation(spark, tmp_path):
+    """RAKE on a corpus small enough to score by hand: phrases split
+    at stopwords; deg/freq word stats; phrase score = sum of ratios.
+    'red apple juice' outranks 'red apple' because its words are
+    longer-phrase-connected (deg) — the RAKE property."""
+    from etl_knlp_spark.operators.analysis import rake_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "red apple the red apple juice a box", "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    got = [
+        (r.phrase, r.n_occ, r.score_micro, r.rn)
+        for r in rake_keywords(spark, str(tmp_path))
+        .orderBy("rn")
+        .collect()
+    ]
+    # red: freq 2, deg 5; apple: freq 2, deg 5; juice: freq 1, deg 3;
+    # box: freq 1, deg 1
+    assert got == [
+        ("red apple juice", 1, 8_000_000, 1),
+        ("red apple", 1, 5_000_000, 2),
+        ("box", 1, 1_000_000, 3),
+    ]

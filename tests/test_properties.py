@@ -855,3 +855,81 @@ def test_dtw_batch_kernel_matches_definition_dp(pairs):
     got = prev[:, m]
     for k, (a, b) in enumerate(pairs):
         assert got[k] == ref(a, b), k
+
+
+# -------------------- label propagation: Spark plan ≡ pure-python mirror
+
+_lpa_edges = st.lists(
+    st.tuples(st.integers(1, 12), st.integers(1, 12)),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _lpa_mirror(edges, rounds=3):
+    """Independent construction of deterministic synchronous LPA:
+    adjacency dicts + collections.Counter, min-label tiebreak."""
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    lab = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n, ns in nbrs.items():
+            counts: dict[int, int] = {}
+            for m in ns:
+                counts[lab[m]] = counts.get(lab[m], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lab = new
+    return lab
+
+
+@given(edges=_lpa_edges)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_label_propagation_matches_pure_python_mirror(spark, edges):
+    from etl_knlp_spark.operators.graph import label_propagation
+
+    want = _lpa_mirror(edges)
+    if not want:  # all self-loops -> empty graph
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["lab"] for r in label_propagation(df, rounds=3).collect()}
+    assert got == want
+
+
+# ------------------------- CUSUM: sequential fold ≡ prefix-sum closed form
+
+_cusum_vals = st.lists(
+    st.floats(min_value=-500.0, max_value=500.0,
+              allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=200,
+)
+
+
+@given(vals=_cusum_vals)
+@settings(max_examples=200, deadline=None)
+def test_cusum_fold_equals_prefix_sum_closed_form(vals):
+    """The kernel recursion s_t = max(0, s_{t-1} + x_t - k) has the
+    independent closed form s_t = P_t - min(0, min_{j<=t} P_j) with
+    P_t = sum(x_i - k) — a reformulation with a DIFFERENT float
+    summation order, so equality is asserted within 1 micro after
+    flooring (the pandas-ewm cross-check convention)."""
+    import math
+
+    K = 56.0
+    acc, seq = 0.0, []
+    for x in vals:
+        acc = max(0.0, acc + x - K)
+        seq.append(math.floor(acc * 1e6))
+    p, minp, closed = 0.0, 0.0, []
+    for x in vals:
+        p += x - K
+        minp = min(minp, p)
+        closed.append(math.floor((p - minp) * 1e6))
+    for i, (a, b) in enumerate(zip(seq, closed)):
+        assert abs(a - b) <= 1, (i, a, b)
