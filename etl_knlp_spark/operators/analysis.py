@@ -1874,18 +1874,23 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: token explode -> two hash aggregates (unigram,
     bigram counts, both partial map-side), two shuffle joins of the
     bigram table against the unigram vocab keyed on the word, and a
-    broadcast of the two scalar totals. The final top-100 is a
-    single-partition WindowGroupLimit over per-partition top-k heaps
+    broadcast of the two scalar totals. The final top-100 plans as
+    TakeOrderedAndProject (per-partition top-k heaps, k-row merge)
     — never a global sort of the full pair table. Vocab-sized
     shuffles, not corpus-sized: the heavy join keys are words, whose
     cardinality grows sublinearly in corpus bytes (Heaps' law)."""
     docs = load_table(spark, sf_dir, "documents")
     lift = collocation_lift(docs)
+    # orderBy+limit plans as TakeOrderedAndProject — per-partition
+    # top-k heaps then a k-row driver merge. A row_number window with
+    # rn <= 100 would NOT: InferWindowGroupLimit skips empty partition
+    # specs, leaving a single-partition global sort of the full pair
+    # table (plan-pinned in test_plans). The rank attaches after, over
+    # the 100 surviving rows.
+    top = lift.orderBy(F.col("lift_micro").desc(), "w1", "w2").limit(100)
     w = Window.orderBy(F.col("lift_micro").desc(), "w1", "w2")
-    return (
-        lift.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 100)
-        .select("w1", "w2", "c_xy", "lift_micro", "rn")
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        "w1", "w2", "c_xy", "lift_micro", "rn"
     )
 
 
@@ -2022,7 +2027,7 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: token posexplode → per-doc island numbering (one
     doc-keyed window), word stats one vocab-keyed aggregate
     (Heaps-sublinear), phrase scoring a vocab-keyed join + one
-    phrase-keyed aggregate, top-50 via WindowGroupLimit heaps. No
+    phrase-keyed aggregate, top-50 via TakeOrderedAndProject heaps. No
     driver state, no UDF — the whole extractor is codegen'd
     expressions."""
     from pyspark.sql.types import DoubleType
@@ -2077,9 +2082,10 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score_micro")
         )
     )
+    # TakeOrderedAndProject top-50 (see pmi_collocations on why not a
+    # global row_number window), rank attached over the survivors.
+    top = scored.orderBy(F.col("score_micro").desc(), "phrase").limit(50)
     w_top = Window.orderBy(F.col("score_micro").desc(), "phrase")
-    return (
-        scored.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= 50)
-        .select("phrase", "n_occ", "score_micro", "rn")
+    return top.withColumn("rn", F.row_number().over(w_top)).select(
+        "phrase", "n_occ", "score_micro", "rn"
     )

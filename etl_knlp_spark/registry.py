@@ -181,6 +181,14 @@ _STALE_SINCE: dict[str, int] = {
     # NULL-value exclusion (oracle changed).
     "kcore_users": 9,
     "ewma_event_values": 9,
+    # round 9 session 2 (same session as registration, no driver rows
+    # yet): the final top-k of both moved from a global row_number
+    # window (single-partition sort — InferWindowGroupLimit skips
+    # empty partition specs) to orderBy+limit TakeOrderedAndProject
+    # with the rank attached over the survivors — output identical,
+    # function sources changed.
+    "pmi_collocations": 9,
+    "rake_keywords": 9,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

@@ -506,3 +506,33 @@ def test_bagofwords_shuffles_digests_not_text(plans):
 def test_fixedwidth_read_is_projection_only(plans):
     p = plans("fixedwidth_roundtrip")
     assert "Exchange" not in p
+
+
+def test_rake_and_pmi_topk_use_take_ordered(plans):
+    """The corpus-wide top-k in rake_keywords / pmi_collocations must
+    plan as TakeOrderedAndProject (per-partition top-k heaps + k-row
+    merge), never a global sort of the full phrase/pair table —
+    InferWindowGroupLimit skips empty partition specs, so the naive
+    global row_number window would single-partition-sort everything."""
+    for q in ("rake_keywords", "pmi_collocations"):
+        p = plans(q)
+        assert "TakeOrderedAndProject" in p, q
+
+
+def test_attribution_time_decay_pushes_type_filters(plans):
+    """Both event-type filters reach the parquet scan: the candidate
+    join must never read non-view/non-purchase rows."""
+    p = plans("attribution_time_decay")
+    assert "PushedFilters" in p
+    assert "EqualTo(event_type,purchase)" in p
+    assert "EqualTo(event_type,view)" in p
+
+
+def test_sequential_kernels_shuffle_once_on_user(plans):
+    """cusum/holt: exactly one exchange (hashpartitioning on user_id
+    into the applyInPandas groups) — a second exchange would mean the
+    kernel re-shuffles its own output."""
+    for q in ("cusum_changepoint", "holt_linear_trend"):
+        p = plans(q)
+        assert p.count("Exchange hashpartitioning") == 1, q
+        assert "FlatMapGroupsInPandas" in p, q
