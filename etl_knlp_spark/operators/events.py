@@ -1117,3 +1117,115 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm"
         ),
     )
+
+
+@query(
+    "rolling_median",
+    oracle="""
+    WITH win AS (
+      SELECT user_id, event_id,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS s
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, event_id,
+           CASE WHEN len(s) % 2 = 1 THEN s[(len(s) + 1) // 2]
+                ELSE (s[len(s) // 2] + s[len(s) // 2 + 1]) * 0.5
+           END AS med5
+    FROM win
+    """,
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-event median of each user's values — the robust
+    de-noising window (a spike moves a rolling mean, not a rolling
+    median). Neither engine has a native median WINDOW function with
+    identical interpolation semantics (DuckDB's quantile_cont
+    interpolates a + (b−a)·q, a DIFFERENT float expression than
+    (a+b)/2), so BOTH sides build the frame explicitly — collect the
+    ≤5-row frame, sort it, pick the middle (odd) or average the two
+    middles with the same (a+b)·0.5 expression (even) — making every
+    output either a selected input double or one identical IEEE
+    add+mul. No rounding needed.
+
+    Scale shape: one user-keyed shuffle + one window pass; the frame
+    is O(1) rows so the collect_list per row is bounded — this is the
+    standard frame-aggregate pattern, not a per-key re-sort."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        e.select("user_id", "event_id", "ts", "value")
+        .withColumn("s", F.sort_array(F.collect_list("value").over(w)))
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "CASE WHEN size(s) % 2 = 1"
+                " THEN element_at(s, CAST((size(s) + 1) div 2 AS INT))"
+                " ELSE (element_at(s, CAST(size(s) div 2 AS INT))"
+                "       + element_at(s, CAST(size(s) div 2 + 1 AS INT))) * 0.5 END"
+            ).alias("med5"),
+        )
+    )
+
+
+@query(
+    "sequence_motifs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(s) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(s, 'v+c+p')) AS BIGINT)
+             AS n_funnel_motifs,
+           CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT)
+             AS n_error_bursts
+    FROM seq
+    """,
+)
+def sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex motif mining over per-user event-type sequences — the
+    lightweight MATCH_RECOGNIZE: encode each event as its type's
+    initial (c/e/p/s/v, distinct initials by schema), order by
+    (ts, event_id), and count non-overlapping regex matches. Two
+    motifs ship: the contiguous funnel v+c+p (view-streak straight
+    into click-streak into purchase — stricter than `funnel_steps`'
+    first-touch ordering, which tolerates noise between stages) and
+    the error burst ee+. Java regex and RE2 agree on this
+    anchor-free, backreference-free subset (leftmost non-overlapping
+    scan, greedy +) — the same portability argument as `pii_scrub`.
+
+    Scale shape: one user-keyed aggregate builds the code string
+    (array_sort of (ts, event_id, code) structs → join — per-user
+    sequences are session-scale, the same boundedness every
+    sessionization op here assumes), then per-row regexp_count.
+    Sequences shuffle once; no UDF, no driver state."""
+    e = load_table(spark, sf_dir, "events")
+    seq = (
+        e.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias("t"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(t)), x -> x.c)"), ""
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("seq_len"),
+        F.regexp_count("s", F.lit("v+c+p")).cast("bigint").alias("n_funnel_motifs"),
+        F.regexp_count("s", F.lit("ee+")).cast("bigint").alias("n_error_bursts"),
+    )

@@ -884,3 +884,47 @@ def test_rake_scores_match_hand_computation(spark, tmp_path):
         ("red apple", 1, 5_000_000, 2),
         ("box", 1, 1_000_000, 3),
     ]
+
+
+def test_rolling_median_ignores_spikes(spark, tmp_path):
+    """Hand-checked 5-event rolling median: a 100.0 spike shifts a
+    rolling mean but never the median; even frames average the two
+    middles."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.events import rolling_median
+
+    vals = [10.0, 2.0, 8.0, 100.0, 4.0, 6.0]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=t0 + datetime.timedelta(seconds=i), user_id=1,
+            event_type="view", value=v, props="{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    got = {r.event_id: r.med5 for r in rolling_median(spark, str(tmp_path)).collect()}
+    assert got == {0: 10.0, 1: 6.0, 2: 8.0, 3: 9.0, 4: 8.0, 5: 6.0}
+
+
+def test_sequence_motifs_counts_contiguous_runs(spark, tmp_path):
+    """'vvcpeeevp' has one contiguous v+c+p funnel (the trailing 'vp'
+    lacks a click) and one ee+ burst."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.events import sequence_motifs
+
+    types = ["view", "view", "click", "purchase", "error", "error",
+             "error", "view", "purchase"]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=t0 + datetime.timedelta(seconds=i), user_id=1,
+            event_type=t, value=1.0, props="{}")
+        for i, t in enumerate(types)
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    [r] = sequence_motifs(spark, str(tmp_path)).collect()
+    assert (r.seq_len, r.n_funnel_motifs, r.n_error_bursts) == (9, 1, 1)
