@@ -746,3 +746,57 @@ def token_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in _EQ_QS
     ]
     return spark.createDataFrame(rows, "p double, threshold double")
+
+
+@query(
+    "skyline_parts",
+    oracle="""
+    SELECT b.p_partkey, b.p_retailprice, CAST(b.p_size AS BIGINT) AS p_size
+    FROM part b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part a
+      WHERE a.p_retailprice <= b.p_retailprice
+        AND a.p_size >= b.p_size
+        AND (a.p_retailprice < b.p_retailprice OR a.p_size > b.p_size)
+    )
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: cheapest-for-their-size
+    — no other part is both ≤ price and ≥ size with one strict. The
+    multi-criteria shortlist query (Börzsönyi et al., ICDE 2001)
+    behind "best tradeoff" product/candidate selection.
+
+    The engine plan is the LINEAR sort-sweep, not the quadratic
+    dominance join: per-price max size (one hash aggregate), a
+    running max over the price-sorted distinct-price table (rows
+    bounded by the PRICE DOMAIN, not the corpus — TPC-H prices grid
+    at 1¢ steps; if a real key domain were corpus-scale this window
+    range-partitions like any global sort), then one join back. A
+    part survives iff no strictly-cheaper price reached its size
+    (prev_max < size) and it tops its own price group (ties at the
+    same (price, size) all survive, matching NOT-EXISTS strict
+    dominance). Every comparison is on INPUT doubles — nothing is
+    computed, so nothing can round.
+
+    The oracle is the textbook quadratic NOT EXISTS — a genuinely
+    independent construction (DuckDB plans it as an IEJoin); the
+    driver hash pins the two formulations equal."""
+    from pyspark.sql import Window
+
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("bigint").alias("p_size")
+    )
+    grp = parts.groupBy("p_retailprice").agg(F.max("p_size").alias("grp_max"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pm = grp.withColumn("prev_max", F.max("grp_max").over(w))
+    return (
+        parts.join(pm, "p_retailprice")
+        .filter(
+            (F.col("prev_max").isNull() | (F.col("prev_max") < F.col("p_size")))
+            & (F.col("p_size") == F.col("grp_max"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

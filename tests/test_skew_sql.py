@@ -211,3 +211,26 @@ def test_soundex_convention_pin(spark):
     got = {r.s: r.sx for r in df.select("s", F.soundex(F.upper("s")).alias("sx")).collect()}
     for c in cases:
         assert got[c] == mirror(c), repr(c)
+
+
+def test_skyline_handles_ties_and_duplicates(spark, tmp_path):
+    """Strict-dominance semantics pinned by hand: duplicate
+    (price, size) points all survive; same-price lower-size dies;
+    cheaper-equal-size kills pricier."""
+    rows = [
+        (1, 10.0, 5),   # frontier
+        (2, 10.0, 5),   # duplicate of 1 -> also survives
+        (3, 10.0, 4),   # same price, smaller -> dominated by 1
+        (4, 12.0, 5),   # pricier, same size -> dominated by 1
+        (5, 12.0, 9),   # frontier (bigger than anything cheaper)
+        (6, 8.0, 2),    # frontier (cheapest)
+        (7, 15.0, 9),   # dominated by 5
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    )
+    df.write.parquet(f"{tmp_path}/part.parquet")
+    from etl_knlp_spark.operators.stats import skyline_parts
+
+    got = sorted(r.p_partkey for r in skyline_parts(spark, str(tmp_path)).collect())
+    assert got == [1, 2, 5, 6]
