@@ -1649,6 +1649,14 @@ def decode_media(payload: bytes, media_type: str):
         media_type.startswith("video/") and payload[:9] == b"YUV4MPEG2"
     ):
         return _decode_y4m(payload)
+    if media_type == "image/gif" or (
+        media_type.startswith("image/")
+        and payload[:6] in (b"GIF87a", b"GIF89a")
+    ):
+        # GIF87a/89a decode natively (variable-width LZW incl. the
+        # 12-bit cap and frozen-dictionary deferral, interlace,
+        # local color tables); transparency renders as palette color
+        return _decode_gif(payload)
     if media_type == "image/png" or (
         media_type.startswith("image/") and payload[:8] == b"\x89PNG\r\n\x1a\n"
     ):
@@ -2669,3 +2677,284 @@ def multimodal_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(pitch, PITCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Native GIF (LZW) — round-9 session-2. GIF87a/89a decoder: logical
+# screen walk, global/local color tables, extension-block skipping,
+# interlace reorder, and the variable-width LZW dictionary coder
+# (clear/EOI codes, the cScSc self-referencing case, width growth to
+# the 12-bit cap, frozen-dictionary deferral until clear). LZW is a
+# DICTIONARY coder — a different compression family than everything
+# already native here (Huffman/prefix coding in JPEG/WebP/FLAC, Rice
+# in FLAC, filters+DEFLATE in PNG), so a crawl pipeline that meets
+# legacy web images exercises a genuinely new code path.
+# Encoder dual (`_encode_gif_gray`) is a REAL greedy LZW compressor
+# (longest-match, width growth in decoder lockstep, clear-on-full) —
+# not the uncompressed CLEAR-spam shortcut — so the corpus query
+# exercises dictionary hits, not just literals. The width-growth
+# convention (grow when the decoder's next code hits 2^width;
+# encoder one step later at 2^width + 1 because its dictionary runs
+# one entry ahead) is the giflib/"late change" convention; the
+# uncompressed-variant fixture in tests/test_gif.py checks bit order
+# and framing against hand-packed bytes INDEPENDENT of the encoder,
+# and a pillow cross-check runs where PIL is installed.
+# ---------------------------------------------------------------------------
+
+_GIF_TYPES = ("image/gif",)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, variable code width
+    mcs+1..12, clear = 2^mcs, EOI = clear+1."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev = None
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # truncated stream: emit what we have
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code after clear not a literal")
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]  # the cScSc case
+        else:
+            raise ValueError("GIF LZW: code beyond dictionary")
+        if len(table) <= 4095:  # frozen at 4096 entries until clear
+            table.append(table[prev] + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = code
+
+
+def _lzw_encode(data: bytes, mcs: int) -> bytes:
+    """Greedy longest-match GIF LZW, the exact dual of `_lzw_decode`:
+    width grows when next_code == 2^width + 1 (one step after the
+    decoder, whose dictionary trails by one entry); emits CLEAR when
+    the dictionary fills (4096)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, mcs + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code == 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        else:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(payload: bytes):
+    """Decode the first image of a GIF87a/89a file to (h, w, 3) uint8.
+    Extension blocks (incl. GCE — transparency is ignored, the frame
+    decodes to its palette colors) are skipped; interlaced images are
+    de-interlaced; local color tables override the global one."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    pos = 6
+    packed = payload[pos + 4]
+    gct_flag = packed >> 7
+    gct_n = 2 << (packed & 7)
+    pos += 7  # LSD
+    gct = None
+    if gct_flag:
+        gct = np.frombuffer(payload[pos : pos + 3 * gct_n], dtype=np.uint8).reshape(
+            gct_n, 3
+        )
+        pos += 3 * gct_n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        ipacked = payload[pos + 8]
+        pos += 9
+        interlaced = bool(ipacked & 0x40)
+        pal = gct
+        if ipacked >> 7:  # local color table
+            lct_n = 2 << (ipacked & 7)
+            pal = np.frombuffer(
+                payload[pos : pos + 3 * lct_n], dtype=np.uint8
+            ).reshape(lct_n, 3)
+            pos += 3 * lct_n
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode(b"".join(chunks), mcs)[: iw * ih], dtype=np.uint8
+        )
+        if idx.size != iw * ih:
+            raise ValueError("GIF LZW output shorter than the image")
+        rows = idx.reshape(ih, iw)
+        if interlaced:
+            ordered = np.empty_like(rows)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                n_rows = len(range(start, ih, step))
+                ordered[start:ih:step] = rows[src : src + n_rows]
+                src += n_rows
+            rows = ordered
+        return pal[rows]  # (h, w, 3)
+    raise ValueError("GIF contained no image block")
+
+
+def _encode_gif_gray(data: bytes, interlaced: bool = False) -> bytes:
+    """Minimal GIF89a encoder for a 1×len(data) grayscale row (or,
+    when ``interlaced``, a len-rows column-of-rows test shape built by
+    the caller) — the forward dual feeding `multimodal_gif` real
+    spec-conformant payloads. Identity 256-entry grayscale global
+    palette; pixels are the raw bytes; the image data is REAL greedy
+    LZW."""
+    w, h = len(data), 1
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + b"\x00\x00\x00\x00"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlaced else 0x00])
+    out += bytes([8])  # LZW min code size
+    lzw = _lzw_encode(data, 8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+@query(
+    "multimodal_gif",
+    oracle="""
+    SELECT doc_id AS media_id,
+           1 AS img_h,
+           LEAST(64, length(text))::INT AS img_w,
+           ROUND(list_aggregate(
+                   list_transform(generate_series(1, LEAST(64, length(text))),
+                                  i -> ascii(substr(text, i, 1))),
+                   'avg'), 4) AS mean_px
+    FROM documents
+    WHERE length(text) >= 1
+    """,
+)
+def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale hash gate for the native GIF/LZW decoder (the
+    `multimodal_webp` pattern): each document's first 64 bytes become
+    a real GIF89a payload via the greedy-LZW forward encoder, the
+    Arrow-batched kernel decodes it with `_decode_gif` (sub-block
+    reassembly, variable-width dictionary decode, palette expansion —
+    the full production path), and the (height, width, mean-R) stats
+    must match DuckDB recomputing them from the raw text codepoints.
+    Any bit-order, width-growth, or clear-handling drift between the
+    dual halves fails the hash. Map-side only — payloads never
+    shuffle."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 64), "UTF-8").alias("raw"),
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                arr = _decode_gif(_encode_gif_gray(bytes(raw)))
+                out.append(
+                    (
+                        mid,
+                        int(arr.shape[0]),
+                        int(arr.shape[1]),
+                        float(np.mean(arr[:, :, 0].astype("float64"))),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "img_h", "img_w", "mean_px"]
+            )
+
+    return media.mapInPandas(stats, DECODE_STATS_SCHEMA).withColumn(
+        "mean_px", F.round("mean_px", 4)
+    )

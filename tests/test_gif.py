@@ -1,0 +1,135 @@
+"""Native GIF/LZW codec tests: roundtrips across dictionary regimes,
+an encoder-INDEPENDENT hand-packed uncompressed-style fixture (pins
+LSB-first bit order, clear/EOI handling, and sub-block framing without
+trusting the dual encoder), interlace reorder, and a pillow
+cross-check where PIL is installed."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from etl_knlp_spark.operators.multimodal import (
+    _decode_gif,
+    _encode_gif_gray,
+    _lzw_decode,
+    _lzw_encode,
+    decode_media,
+)
+
+
+def _pack_codes(codes, width_of):
+    """Tiny independent LSB-first packer (no shared code with the
+    production encoder)."""
+    acc = nbits = 0
+    out = bytearray()
+    for i, c in enumerate(codes):
+        w = width_of(i)
+        acc |= c << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _wrap_gif(lzw: bytes, w: int, h: int, interlaced: bool = False) -> bytes:
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c\x00\x00\x00\x00"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlaced else 0x00, 8])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_hand_packed_uncompressed_stream_decodes():
+    """CLEAR, literals 'A','B','C', EOI at 9 bits, packed by an
+    independent packer AND pinned as literal bytes — catches any
+    bit-order or control-code drift in the decoder alone."""
+    codes = [256, 65, 66, 67, 257]
+    lzw = _pack_codes(codes, lambda i: 9)
+    assert lzw == bytes([0x00, 0x83, 0x08, 0x19, 0x12, 0x10])
+    arr = _decode_gif(_wrap_gif(lzw, 3, 1))
+    assert bytes(arr[0, :, 0]) == b"ABC"
+    assert arr.shape == (1, 3, 3)
+
+
+def test_roundtrip_regimes():
+    """Greedy-LZW roundtrip through width growth (9->10->11->12) and
+    the dictionary-full clear-and-reset, on a small alphabet that
+    forces deep dictionary chains."""
+    rng = random.Random(11)
+    for n in (1, 7, 300, 5000, 40000):
+        data = bytes(rng.randrange(17) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+        arr = _decode_gif(_encode_gif_gray(data))
+        assert bytes(arr[0, :, 0]) == data
+
+
+def test_cscsc_self_reference():
+    """Runs of one symbol generate the code==next_code case on the
+    decoder's very next read — the classic LZW edge."""
+    data = b"\x05" * 257
+    assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+
+
+def test_interlaced_rows_reorder():
+    """4-row interlaced GIF stores rows as [0, 2, 1, 3]; the decoder
+    must hand back logical order."""
+    rows_logical = [bytes([10, 11]), bytes([20, 21]),
+                    bytes([30, 31]), bytes([40, 41])]
+    storage = rows_logical[0] + rows_logical[2] + rows_logical[1] + rows_logical[3]
+    payload = _wrap_gif(_lzw_encode(storage, 8), 2, 4, interlaced=True)
+    arr = _decode_gif(payload)
+    for r, want in enumerate(rows_logical):
+        assert bytes(arr[r, :, 0]) == want
+
+
+def test_extension_blocks_are_skipped():
+    """A GCE extension before the image descriptor must be walked
+    over, not decoded."""
+    data = b"hello gif"
+    body = _encode_gif_gray(data)
+    # splice a Graphic Control Extension right before the image
+    # descriptor (0x2C after header + LSD + 256-entry GCT)
+    idx = 6 + 7 + 768
+    assert body[idx] == 0x2C
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    spliced = body[:idx] + gce + body[idx:]
+    assert bytes(_decode_gif(spliced)[0, :, 0]) == data
+
+
+def test_decode_media_routes_gif():
+    payload = _encode_gif_gray(b"route me")
+    arr = decode_media(payload, "image/gif")
+    assert bytes(arr[0, :, 0]) == b"route me"
+    # sniffing path: generic image/* with GIF magic
+    arr2 = decode_media(payload, "image/unknown")
+    assert (arr2 == arr).all()
+
+
+def test_pillow_conformance_if_available():
+    """External-implementation check (the BPE both-wrong lesson):
+    where pillow exists, its independent LZW decoder must read our
+    encoder's output identically. Skips cleanly in containers
+    without PIL."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = random.Random(3)
+    data = bytes(rng.randrange(256) for _ in range(4096))
+    img = PIL.open(io.BytesIO(_encode_gif_gray(data)))
+    got = np.asarray(img.convert("RGB"))
+    assert bytes(got[0, :, 0]) == data
