@@ -1229,3 +1229,58 @@ def sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("s", F.lit("v+c+p")).cast("bigint").alias("n_funnel_motifs"),
         F.regexp_count("s", F.lit("ee+")).cast("bigint").alias("n_error_bursts"),
     )
+
+
+@query(
+    "running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+    FROM flagged
+    """,
+)
+def running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct event-type count per user at every event —
+    the breadth-of-engagement feature (how many product surfaces has
+    this user touched so far). COUNT(DISTINCT) OVER a running frame
+    doesn't exist in Spark (and materializing per-row distinct sets
+    would be quadratic anywhere), so the op uses the standard exact
+    reformulation: flag each (user, type)'s FIRST occurrence with one
+    row_number window, then a running SUM of flags on the (ts,
+    event_id) total order. Two windows, both partitioned by user —
+    one shuffle end to end, all-integer output.
+
+    At 100 TB the same rewrite is why running-distinct stays linear:
+    the flag pass is a per-(user,type) top-1 (WindowGroupLimit
+    heaps), and the running sum never holds more state than a
+    counter."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("bigint").alias("n_types_seen"),
+    )

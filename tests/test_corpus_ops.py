@@ -928,3 +928,24 @@ def test_sequence_motifs_counts_contiguous_runs(spark, tmp_path):
     spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
     [r] = sequence_motifs(spark, str(tmp_path)).collect()
     assert (r.seq_len, r.n_funnel_motifs, r.n_error_bursts) == (9, 1, 1)
+
+
+def test_running_distinct_counts_first_occurrences(spark, tmp_path):
+    """Type sequence v,v,c,v,p,c → running distinct 1,1,2,2,3,3."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.events import running_distinct
+
+    types = ["view", "view", "click", "view", "purchase", "click"]
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=t0 + datetime.timedelta(seconds=i), user_id=1,
+            event_type=t, value=1.0, props="{}")
+        for i, t in enumerate(types)
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    got = {r.event_id: r.n_types_seen
+           for r in running_distinct(spark, str(tmp_path)).collect()}
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3}
