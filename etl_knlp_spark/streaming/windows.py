@@ -366,3 +366,49 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.value").alias("close"),
         "n_events",
     )
+
+
+@query(
+    "stream_distinct_breadth",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_distinct_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user engagement breadth: the exact number of
+    distinct event types each user has ever emitted, maintained
+    continuously — the streaming twin of `running_distinct`'s final
+    row. The running (per-event) trajectory is order-DEPENDENT and
+    so not streamable without event-time sequencing, but the
+    converged set size is order-independent: size(collect_set) is a
+    commutative-associative aggregate, one stateful operator in
+    complete mode, no watermark needed because the state is the
+    DISTINCT KEY SET — bounded by |users| × |types| (the key domain),
+    not by stream length. That domain-boundedness is the licensing
+    argument for unwatermarked streaming state here, the same way
+    windowed ops lean on watermark eviction. File-source stream →
+    memory sink, availableNow; the converged sink hash-matches plain
+    batch COUNT(DISTINCT)."""
+    import tempfile
+    import uuid
+
+    from ..catalog import load_events_stream
+
+    breadth = (
+        load_events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"))
+    )
+    sink = f"stream_breadth_{uuid.uuid4().hex[:12]}"
+    q = (
+        breadth.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="etl_knlp_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("user_id", "n_types")
