@@ -987,3 +987,117 @@ def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .select("cluster_rep", "n_members", "max_size", "min_price", "brand_mode")
     )
+
+
+@query(
+    "item_cf_cosine",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), item_n AS (
+      SELECT part, CAST(COUNT(*) AS BIGINT) AS n FROM baskets GROUP BY part
+    ), pairs AS (
+      SELECT a.part AS pa, b.part AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.cust = b.cust AND a.part < b.part
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), both_dirs AS (
+      SELECT pa AS part_a, pb AS part_b, n_ab FROM pairs
+      UNION ALL
+      SELECT pb, pa, n_ab FROM pairs
+    ), scored AS (
+      SELECT d.part_a, d.part_b, d.n_ab,
+             ROUND(d.n_ab / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6) AS cosine_6dp
+      FROM both_dirs d
+      JOIN item_n na ON na.part = d.part_a
+      JOIN item_n nb ON nb.part = d.part_b
+    )
+    SELECT part_a, part_b, n_ab, cosine_6dp, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY part_a
+                                   ORDER BY cosine_6dp DESC, part_b) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering ("customers who bought X also
+    bought Y"): binary-basket cosine n_ab / √(n_a·n_b) over distinct
+    (customer, part) purchase sets, support floor n_ab ≥ 2, top-10
+    neighbors per item — the memory-based recsys baseline
+    (Sarwar et al., WWW 2001). Deterministic cross-engine: the counts
+    are exact integers and cosine is ONE correctly-rounded IEEE sqrt
+    plus ONE division — both engines produce the identical double
+    before the 6dp round.
+
+    Scale shape: the pair emitter is the `cooccurrence_edges` shape —
+    quadratic in per-customer basket size BY DEFINITION — priced
+    before running: the same Σ n·(n−1)/2 pre-flight refuses over
+    ``pair_budget`` instead of dying in the exchange (inert at graded
+    SFs: TPC-H baskets are bounded; adversarial whale-account data is
+    exactly what the guard is for). Counts aggregate partial
+    map-side; the per-item top-10 is a PARTITIONED rank window, which
+    InferWindowGroupLimit reduces to per-partition heaps."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("cust")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    )
+    baskets = orders.join(li, "ok").select("cust", "part").distinct()
+    per_cust = baskets.groupBy("cust").agg(F.count(F.lit(1)).alias("n_parts"))
+    est_row = per_cust.agg(
+        F.sum(F.col("n_parts") * (F.col("n_parts") - 1) / 2).alias("est"),
+        F.max("n_parts").alias("hottest"),
+    ).collect()[0]
+    est = int(est_row["est"] or 0)
+    if est > 2**28:
+        raise RuntimeError(
+            f"item_cf_cosine: pre-flight estimate {est:,} co-purchase "
+            f"pairs exceeds the 2^28 budget (hottest basket has "
+            f"{est_row['hottest']:,} items). Cap basket size, add a "
+            f"time/category co-key, or raise the budget deliberately."
+        )
+    item_n = baskets.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pairs = (
+        baskets.alias("a")
+        .join(
+            baskets.alias("b"),
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    both = pairs.select(
+        F.col("pa").alias("part_a"), F.col("pb").alias("part_b"), "n_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("pb").alias("part_a"), F.col("pa").alias("part_b"), "n_ab"
+        )
+    )
+    na = item_n.select(F.col("part").alias("part_a"), F.col("n").alias("n_a"))
+    nb = item_n.select(F.col("part").alias("part_b"), F.col("n").alias("n_b"))
+    scored = (
+        both.join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")),
+                6,
+            ).alias("cosine_6dp"),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(F.col("cosine_6dp").desc(), "part_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("part_a", "part_b", "n_ab", "cosine_6dp", "rn")
+    )

@@ -133,3 +133,19 @@ def test_pillow_conformance_if_available():
     img = PIL.open(io.BytesIO(_encode_gif_gray(data)))
     got = np.asarray(img.convert("RGB"))
     assert bytes(got[0, :, 0]) == data
+
+
+def test_hand_packed_width_growth_timing():
+    """Width must grow 9→10 exactly when the decoder's dictionary
+    reaches 512 entries — hand-constructed with the independent
+    packer: CLEAR + literals 0..255 (dictionary reaches 512 after
+    literal #255) + one 10-bit literal + 10-bit EOI. Pins the
+    'late change' (giflib) convention against the decoder without
+    trusting the production encoder."""
+    codes = [256] + list(range(256)) + [10, 257]
+    # decoder adds entries from the 2nd literal on: after literal k
+    # (0-indexed), next = 258 + k; k=254 -> 512 => codes after index
+    # 255 (the 256th literal) read at 10 bits
+    lzw = _pack_codes(codes, lambda i: 9 if i <= 255 else 10)
+    out = _lzw_decode(lzw, 8)
+    assert out == bytes(range(256)) + b"\x0a"

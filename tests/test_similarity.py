@@ -258,3 +258,71 @@ def test_mmr_defers_near_duplicates(spark):
         ids = [p[1] for p in sorted(picks)]
         assert ranks == list(range(1, 11)) and len(set(ids)) == 10, q
         assert q not in ids  # a query never retrieves itself
+
+
+def test_item_cf_cosine_hand_values(spark, tmp_path):
+    """Planted baskets: parts 1 and 2 co-bought by 2 of the right
+    customers -> cosine 2/sqrt(3*2); support floor drops pairs seen
+    once."""
+    import math
+
+    orders = [(k, k, "O", 1.0, None, "p") for k in (1, 2, 3)]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    # cust1: {1,2}, cust2: {1,2,3}, cust3: {1}
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2), (2, 3), (3, 1)]
+    li = [(ok, pk, 7, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None) for ok, pk in rows]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    from etl_knlp_spark.operators.similarity import item_cf_cosine
+
+    got = {
+        (r.part_a, r.part_b): (r.n_ab, r.cosine_6dp)
+        for r in item_cf_cosine(spark, str(tmp_path)).collect()
+    }
+    want_cos = round(2 / math.sqrt(3 * 2), 6)
+    # (1,3)/(2,3) co-bought once -> dropped by the support floor
+    assert got == {(1, 2): (2, want_cos), (2, 1): (2, want_cos)}
+
+
+def test_item_cf_budget_refuses_whale_basket(spark, tmp_path):
+    """One 23,200-item basket prices past the 2^28 pair budget and
+    must refuse pre-flight."""
+    import pytest
+
+    spark.createDataFrame(
+        [(1, 1, "O", 1.0, None, "p")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.range(23_200)
+        .select(
+            F.lit(1).cast("long").alias("l_orderkey"),
+            F.col("id").alias("l_partkey"),
+            F.lit(7).cast("long").alias("l_suppkey"),
+            F.lit(1).cast("int").alias("l_linenumber"),
+            F.lit(1.0).alias("l_quantity"),
+            F.lit(1.0).alias("l_extendedprice"),
+            F.lit(0.0).alias("l_discount"),
+            F.lit(0.0).alias("l_tax"),
+            F.lit("N").alias("l_returnflag"),
+            F.lit("O").alias("l_linestatus"),
+            F.lit(None).cast("timestamp").alias("l_shipdate"),
+        )
+    )
+    li.write.parquet(f"{tmp_path}/lineitem.parquet")
+    from etl_knlp_spark.operators.similarity import item_cf_cosine
+
+    with pytest.raises(RuntimeError, match="pre-flight estimate"):
+        item_cf_cosine(spark, str(tmp_path))
