@@ -933,3 +933,73 @@ def test_cusum_fold_equals_prefix_sum_closed_form(vals):
         closed.append(math.floor((p - minp) * 1e6))
     for i, (a, b) in enumerate(zip(seq, closed)):
         assert abs(a - b) <= 1, (i, a, b)
+
+
+# ----------------------- RAKE: Spark plan ≡ independent dict mirror
+
+_rake_words = st.sampled_from(["aa", "bb", "cc", "dd", "the", "a", "of"])
+_rake_docs = st.lists(
+    st.lists(_rake_words, min_size=0, max_size=12),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _rake_mirror(docs):
+    """Independent RAKE: dict/Counter construction, no shared code
+    with the Spark plan or its oracle (which mirror each other's
+    gaps-and-islands shape — this pins them against a third build)."""
+    import math
+
+    stops = {"the", "a", "an", "and", "or", "of", "to", "in", "is", "on"}
+    phrases = []
+    for toks in docs:
+        run = []
+        for t in toks:
+            if t in stops:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+        if run:
+            phrases.append(tuple(run))
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for ph in phrases:
+        for w in ph:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(ph)
+    out = {}
+    occ: dict[tuple, int] = {}
+    for ph in phrases:
+        occ[ph] = occ.get(ph, 0) + 1
+    for ph, n in occ.items():
+        score = 0.0
+        for w in sorted(ph):  # the pinned fold order
+            score += deg[w] / freq[w]
+        out[" ".join(ph)] = (n, math.floor(score * 1e6))
+    return out
+
+
+@given(docs=_rake_docs)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_rake_matches_independent_mirror(spark, docs):
+    from etl_knlp_spark.operators.analysis import rake_keywords
+
+    want = _rake_mirror(docs)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs) if toks]
+    if not want or not rows:
+        return
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            f"{d}/documents.parquet"
+        )
+        got = {
+            r.phrase: (r.n_occ, r.score_micro)
+            for r in rake_keywords(spark, d).collect()
+        }
+    # top-50 cap can't bite: tiny corpora have < 50 distinct phrases
+    assert got == want

@@ -388,6 +388,35 @@ SHOWCASE = {
         "exploded bucket range — the lag-window formulation funnels "
         "the corpus through one partition; this shape never does."
     ),
+    "pmi_collocations": (
+        "Corpus-wide top-k: the final top-100 is TakeOrderedAndProject "
+        "(per-partition heaps + k-row driver merge), NOT a global "
+        "row_number window — InferWindowGroupLimit skips empty "
+        "partition specs, so the window formulation would sort the "
+        "whole pair table in one partition. The rank attaches after, "
+        "over the 100 survivors. Count joins are vocab-keyed "
+        "(Heaps-sublinear); the two scalar totals broadcast."
+    ),
+    "skyline_parts": (
+        "Pareto frontier as the LINEAR sort-sweep: per-price max "
+        "aggregate, a running max over the price-DOMAIN-bounded "
+        "distinct table, one join back. The quadratic dominance join "
+        "exists only in the DuckDB oracle (IEJoin there); the Spark "
+        "side never emits a pair."
+    ),
+    "item_cf_cosine": (
+        "Co-purchase pair emitter priced pre-flight (Σ C(basket,2) "
+        "scalar agg) BEFORE the self-join exchange materializes; "
+        "per-item top-10 is a PARTITIONED rank window, which "
+        "InferWindowGroupLimit reduces to per-partition heaps — "
+        "contrast pmi_collocations' global-top-k TakeOrdered route."
+    ),
+    "seasonal_mad_anomaly": (
+        "Distributed-selection medians: row_number rank + two middle "
+        "picks per (type, hour) stratum — never a collected per-group "
+        "array, so stratum size bounds nothing but sort work. Four "
+        "window/agg passes all keyed on the fixed 120-stratum grid."
+    ),
 }
 
 
