@@ -984,3 +984,111 @@ def ab_test_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_WILSON_EXPRS["wilson_lo"]), 6).alias("wilson_lo"),
         F.round(F.expr(_WILSON_EXPRS["wilson_hi"]), 6).alias("wilson_hi"),
     )
+
+
+@query(
+    "theilsen_trend",
+    oracle="""
+    WITH ord AS (
+      SELECT event_type, value,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS tsec,
+             event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ), paired AS (
+      SELECT a.event_type,
+             (b.value - a.value) / CAST(b.tsec - a.tsec AS DOUBLE) AS slope,
+             a.event_id
+      FROM ord a
+      JOIN ord b ON b.event_type = a.event_type
+                AND b.rnk = a.rnk + a.n // 2
+      WHERE b.tsec > a.tsec
+    ), ranked AS (
+      SELECT event_type, slope, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope, event_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM paired
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_slopes,
+           (MAX(CASE WHEN rnk = (n + 1) // 2 THEN slope END)
+            + MAX(CASE WHEN rnk = n // 2 + 1 THEN slope END)) * 0.5
+             AS trend_per_sec
+    FROM ranked GROUP BY event_type
+    """,
+)
+def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend (slope/second) of each event type's values over
+    time, by the PAIRED Theil–Sen estimator: order the series, pair
+    rank i with rank i+n/2, take the MEDIAN of those n/2 two-point
+    slopes. A single wild outlier moves ordinary least squares
+    arbitrarily; it moves a median of slopes by one rank. The paired
+    variant keeps Theil–Sen's robustness headline while emitting
+    O(n) slopes instead of the classic O(n²) all-pairs — the same
+    bounded-sibling philosophy as the dedup family's capped
+    verifiers, here with NO budget needed because the pairing is
+    linear by construction.
+
+    Exactness: each slope is one IEEE subtraction pair + one
+    division of exact inputs (epoch seconds are floor-truncated
+    integers on both engines); the median is the distributed rank
+    selection (`seasonal_mad_anomaly`'s technique) with the
+    identical (a+b)·0.5 even-case. Same-timestamp pairs are excluded
+    symmetrically (slope undefined). Three window passes + one
+    self-join, all keyed on the 5-type grid."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wn = Window.partitionBy("event_type")
+    ord_df = (
+        e.select(
+            "event_type",
+            "value",
+            "ts",  # the rank order key: raw microsecond ts, NOT the
+            # floor-truncated tsec (same-second events would tie there)
+            F.unix_timestamp("ts").alias("tsec"),
+            "event_id",
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    a = ord_df.select(
+        "event_type",
+        F.col("value").alias("v1"),
+        F.col("tsec").alias("t1"),
+        "event_id",
+        (F.col("rnk") + F.expr("n div 2")).alias("target_rnk"),
+    )
+    b = ord_df.select(
+        F.col("event_type").alias("bt"),
+        F.col("value").alias("v2"),
+        F.col("tsec").alias("t2"),
+        F.col("rnk").alias("target_rnk"),
+    )
+    paired = (
+        a.join(b, (F.col("event_type") == F.col("bt")) & (a.target_rnk == b.target_rnk))
+        .filter(F.col("t2") > F.col("t1"))
+        .select(
+            "event_type",
+            ((F.col("v2") - F.col("v1")) / (F.col("t2") - F.col("t1")).cast("double")).alias("slope"),
+            "event_id",
+        )
+    )
+    ws = Window.partitionBy("event_type").orderBy("slope", "event_id")
+    ranked = paired.withColumn("rnk", F.row_number().over(ws)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_slopes"),
+        (
+            (
+                F.max(F.when(F.col("rnk") == F.expr("(n + 1) div 2"), F.col("slope")))
+                + F.max(F.when(F.col("rnk") == F.expr("n div 2 + 1"), F.col("slope")))
+            )
+            * 0.5
+        ).alias("trend_per_sec"),
+    )

@@ -1026,3 +1026,35 @@ def test_wilson_interval_matches_scipy_free_reference(spark, tmp_path):
         lo, hi = wilson(k, 8)
         assert abs(r.wilson_lo - lo) < 1e-6 and abs(r.wilson_hi - hi) < 1e-6
         assert r.wilson_lo < r.rate < r.wilson_hi
+
+
+def test_theilsen_ignores_one_wild_outlier(spark, tmp_path):
+    """A clean 1-unit/second ramp with one 10000.0 spike: OLS slope
+    is destroyed, the paired-slope median stays ~1.0; exact expected
+    value recomputed by an independent Python pairing."""
+    import datetime
+    import math
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.stats import theilsen_trend
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [float(i) for i in range(40)]
+    vals[17] = 10000.0
+    rows = [
+        Row(event_id=i, ts=t0 + datetime.timedelta(seconds=i), user_id=1,
+            event_type="view", value=v, props="{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    [r] = theilsen_trend(spark, str(tmp_path)).collect()
+    n = len(vals)
+    slopes = sorted(
+        (vals[i + n // 2] - vals[i]) / (n // 2) for i in range(n - n // 2)
+    )
+    m = len(slopes)
+    want = (slopes[(m + 1) // 2 - 1] + slopes[m // 2]) * 0.5
+    assert r.n_slopes == m
+    assert math.isclose(r.trend_per_sec, want, rel_tol=0, abs_tol=0)
+    assert abs(r.trend_per_sec - 1.0) < 0.01  # the spike didn't move it
