@@ -907,3 +907,111 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("next_purchase_ts"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), sides AS (
+      SELECT c.event_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+             (SELECT max(p.ts) FROM events p
+              WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                AND p.ts <= c.ts) AS prior_ts,
+             (SELECT min(p.ts) FROM events p
+              WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                AND p.ts >= c.ts) AS next_ts,
+             epoch_us(c.ts) AS c_us
+      FROM c
+    )
+    SELECT event_id, user_id, click_ts,
+           CAST(prior_ts AS TIMESTAMP) AS prior_ts,
+           CAST(next_ts AS TIMESTAMP) AS next_ts,
+           CAST(CASE
+             WHEN prior_ts IS NULL THEN next_ts
+             WHEN next_ts IS NULL THEN prior_ts
+             WHEN c_us - epoch_us(prior_ts) <= epoch_us(next_ts) - c_us
+               THEN prior_ts ELSE next_ts
+           END AS TIMESTAMP) AS nearest_ts
+    FROM sides
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, remaining directions (completing `join_asof`'s
+    backward case to the full pandas merge_asof direction matrix):
+    for each click, the latest purchase at-or-before (prior), the
+    earliest at-or-after (next), and the NEAREST of the two with
+    ties to the prior side — all per user.
+
+    Same single-shuffle formulation as `join_asof`: tag, union, and
+    TWO frame-opposed windows over one (user_id, ts, kind) sort —
+    last-non-null looking back, first-non-null looking forward (kind
+    ordered so an exactly-simultaneous purchase is visible to BOTH
+    directions, <=/>= semantics). The nearest pick compares exact
+    integer microsecond deltas — no interval arithmetic, no float.
+    Still one exchange; the naive formulation is two inequality
+    joins and two re-aggregations."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("p_ts"),
+        F.lit(0).alias("kind"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(1).alias("kind"),
+    )
+    # backward pass: purchases sort BEFORE ties (kind 0 < 1) so <= holds;
+    # forward pass reuses the same sort — a purchase tied on ts sits
+    # before the click, so the forward frame starts one row earlier via
+    # a kind-flipped twin column instead of a second sort: simpler and
+    # still one exchange — the purchase row carries p_ts in both columns.
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    # forward visibility of a tied purchase: it sorts BEFORE the click
+    # (kind 0), outside the forward frame — so the forward window reads
+    # a column where the purchase's own row is the only carrier and the
+    # tie case is handled by coalescing with the backward hit at equal ts
+    unioned = purchases.unionByName(clicks)
+    out = (
+        unioned.withColumn("prior_ts", F.last("p_ts", ignorenulls=True).over(w_back))
+        .withColumn("fwd_ts", F.first("p_ts", ignorenulls=True).over(w_fwd))
+        .filter(F.col("kind") == 1)
+    )
+    # a purchase at exactly click ts was captured by prior_ts; it must
+    # also be next_ts (>= semantics)
+    next_ts = F.when(
+        F.col("prior_ts") == F.col("ts"), F.col("ts")
+    ).otherwise(F.col("fwd_ts"))
+    c_us = F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("prior_ts").isNull(), next_ts)
+        .when(next_ts.isNull(), F.col("prior_ts"))
+        .when(
+            c_us - F.unix_micros("prior_ts") <= F.unix_micros(next_ts) - c_us,
+            F.col("prior_ts"),
+        )
+        .otherwise(next_ts)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "prior_ts",
+        next_ts.alias("next_ts"),
+        nearest.alias("nearest_ts"),
+    )

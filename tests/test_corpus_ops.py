@@ -1058,3 +1058,35 @@ def test_theilsen_ignores_one_wild_outlier(spark, tmp_path):
     assert r.n_slopes == m
     assert math.isclose(r.trend_per_sec, want, rel_tol=0, abs_tol=0)
     assert abs(r.trend_per_sec - 1.0) < 0.01  # the spike didn't move it
+
+
+def test_asof_nearest_directions_and_tie(spark, tmp_path):
+    """Hand-placed purchases around two clicks: direction picks and
+    the simultaneous-purchase tie (must be BOTH prior and next, and
+    the nearest)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.relational import join_asof_nearest
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 12, 0, s)
+    rows = [
+        Row(event_id=1, ts=t(10), user_id=1, event_type="purchase", value=1.0, props="{}"),
+        Row(event_id=2, ts=t(17), user_id=1, event_type="click", value=1.0, props="{}"),
+        Row(event_id=3, ts=t(20), user_id=1, event_type="purchase", value=1.0, props="{}"),
+        # click 4 exactly at a purchase ts
+        Row(event_id=4, ts=t(30), user_id=1, event_type="click", value=1.0, props="{}"),
+        Row(event_id=5, ts=t(30), user_id=1, event_type="purchase", value=1.0, props="{}"),
+        # user 2: click with no prior purchase
+        Row(event_id=6, ts=t(5), user_id=2, event_type="click", value=1.0, props="{}"),
+        Row(event_id=7, ts=t(50), user_id=2, event_type="purchase", value=1.0, props="{}"),
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.event_id: (r.prior_ts, r.next_ts, r.nearest_ts)
+        for r in join_asof_nearest(spark, str(tmp_path)).collect()
+    }
+    assert got[2] == (t(10), t(20), t(20))          # 7s back vs 3s fwd
+    assert got[4] == (t(30), t(30), t(30))          # simultaneous tie
+    assert got[6] == (None, t(50), t(50))           # no prior side
