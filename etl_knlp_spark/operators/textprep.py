@@ -303,3 +303,101 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select(
         "doc_id", "n_words", "n_sentences", "n_syllables", flesch.alias("flesch")
     )
+
+
+@query(
+    "url_canonical_dedup",
+    oracle="""
+    WITH tainted AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'https://Example.COM:443/page/' || CAST(doc_id // 4 AS VARCHAR) || '/?utm_source=x&b=2&a=1'
+               WHEN 1 THEN 'https://example.com/page/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+               WHEN 2 THEN 'HTTPS://EXAMPLE.com:443/page/' || CAST(doc_id // 4 AS VARCHAR) || '/?b=2&a=1&utm_campaign=y'
+               ELSE 'https://example.com:443/page/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&utm_medium=z&a=1'
+             END AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?]+)', 1)) AS host,
+             regexp_extract(url, '^[a-zA-Z]+://[^/?]+([^?]*)', 1) AS path,
+             regexp_extract(url, '\\?(.*)$', 1) AS query
+      FROM tainted
+    ), canon AS (
+      SELECT doc_id,
+             scheme || '://' || host
+               || CASE WHEN path LIKE '%/' AND len(path) > 1
+                       THEN substr(path, 1, len(path) - 1) ELSE path END
+               || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+      FROM (
+        SELECT doc_id, scheme, host, path,
+               array_to_string(list_sort(list_filter(string_split(query, '&'),
+                               p -> p NOT LIKE 'utm_%' AND p <> '')), '&') AS q
+        FROM parts
+      )
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the step before any crawl-level
+    exact dedup (the same page arrives as casing/port/trailing-slash/
+    tracker-param variants that byte-hashing treats as distinct).
+    Deterministic taint (the `pii_scrub` pattern): each document gets
+    one of four spec-noisy variants of its page URL — mixed-case
+    scheme/host, an explicit :443, a trailing slash, shuffled query
+    params, utm_* trackers — and canonicalization must collapse every
+    group of 4 to ONE canonical form: lowercase scheme+host, default
+    port stripped, trailing slash stripped, utm_* dropped, remaining
+    params sorted. All string/array built-ins (regexp_extract, split,
+    filter, sort, join) — codegen'd end to end, one hash aggregate on
+    the canonical key; at crawl scale this is the cheap map-side
+    normalizer in front of `dedup_exact`'s shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = (F.col("doc_id") / 4).cast("bigint").cast("string")
+    variant = (F.col("doc_id") % 4).cast("int")
+    url = (
+        F.when(variant == 0, F.concat(F.lit("https://Example.COM:443/page/"), page, F.lit("/?utm_source=x&b=2&a=1")))
+        .when(variant == 1, F.concat(F.lit("https://example.com/page/"), page, F.lit("?a=1&b=2")))
+        .when(variant == 2, F.concat(F.lit("HTTPS://EXAMPLE.com:443/page/"), page, F.lit("/?b=2&a=1&utm_campaign=y")))
+        .otherwise(F.concat(F.lit("https://example.com:443/page/"), page, F.lit("?b=2&utm_medium=z&a=1")))
+    )
+    parts = docs.select(
+        "doc_id",
+        F.lower(F.regexp_extract(url, r"^([a-zA-Z]+)://", 1)).alias("scheme"),
+        F.lower(F.regexp_extract(url, r"^[a-zA-Z]+://([^/:?]+)", 1)).alias("host"),
+        F.regexp_extract(url, r"^[a-zA-Z]+://[^/?]+([^?]*)", 1).alias("path"),
+        F.regexp_extract(url, r"\?(.*)$", 1).alias("query"),
+    )
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("query", "&"),
+                lambda p: ~p.startswith("utm_") & (p != ""),
+            )
+        ),
+        "&",
+    )
+    path_c = F.when(
+        F.col("path").endswith("/") & (F.length("path") > 1),
+        F.expr("substr(path, 1, length(path) - 1)"),
+    ).otherwise(F.col("path"))
+    canonical = F.concat(
+        F.col("scheme"),
+        F.lit("://"),
+        F.col("host"),
+        path_c,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return (
+        parts.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+    )

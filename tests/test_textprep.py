@@ -151,3 +151,24 @@ def test_sentence_segmentation_crafted(spark, tmp_path):
     assert got[(1, 0)] == "leading."
     assert got[(1, 1)] == "trailing"
     assert got[(2, 0)] == "no terminator at all"
+
+
+def test_url_canonical_collapses_each_variant_group(spark, tmp_path):
+    """Every group of 4 taint variants collapses to one canonical URL
+    with the expected normal form (lowercased, default port stripped,
+    trailing slash stripped, utm_* dropped, params sorted) and the
+    smallest doc_id as keeper."""
+    rows = [(i, f"text {i}", "en", "s", 6) for i in range(8)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    from etl_knlp_spark.operators.textprep import url_canonical_dedup
+
+    got = {
+        r.canonical_url: (r.n_variants, r.keeper_doc_id)
+        for r in url_canonical_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "https://example.com/page/0?a=1&b=2": (4, 0),
+        "https://example.com/page/1?a=1&b=2": (4, 4),
+    }
