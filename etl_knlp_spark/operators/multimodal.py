@@ -1649,6 +1649,12 @@ def decode_media(payload: bytes, media_type: str):
         media_type.startswith("video/") and payload[:9] == b"YUV4MPEG2"
     ):
         return _decode_y4m(payload)
+    if media_type == "image/bmp" or (
+        media_type.startswith("image/") and payload[:2] == b"BM"
+    ):
+        # BI_RGB 1/4/8-bit paletted + 24-bit BGR decode natively;
+        # RLE/bitfield compressions raise NotImplementedError
+        return _decode_bmp(payload)
     if media_type == "image/gif" or (
         media_type.startswith("image/")
         and payload[:6] in (b"GIF87a", b"GIF89a")
@@ -2943,6 +2949,136 @@ def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for mid, raw in zip(pdf["media_id"], pdf["raw"]):
                 arr = _decode_gif(_encode_gif_gray(bytes(raw)))
+                out.append(
+                    (
+                        mid,
+                        int(arr.shape[0]),
+                        int(arr.shape[1]),
+                        float(np.mean(arr[:, :, 0].astype("float64"))),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "img_h", "img_w", "mean_px"]
+            )
+
+    return media.mapInPandas(stats, DECODE_STATS_SCHEMA).withColumn(
+        "mean_px", F.round("mean_px", 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native BMP — round-9 session-2. Uncompressed Windows bitmaps
+# (BITMAPINFOHEADER): 24-bit BGR and 1/4/8-bit paletted, 4-byte row
+# padding, bottom-up AND top-down row order. No entropy coding — BMP
+# earns its decoder through its LAYOUT traps (padding, BGR, inverted
+# rows, BGRA palette entries), which are exactly what corrupts naive
+# readers on legacy web crawls.
+# ---------------------------------------------------------------------------
+
+
+def _decode_bmp(payload: bytes):
+    """Decode a BI_RGB BMP to (h, w, 3) uint8 RGB."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP (OS/2 v1)")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    n_colors = struct.unpack_from("<I", payload, 46)[0]
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} (only BI_RGB)")
+    if bpp not in (1, 4, 8, 24):
+        raise NotImplementedError(f"{bpp}-bit BMP")
+    top_down = h < 0
+    h = abs(h)
+    pal = None
+    if bpp <= 8:
+        n = n_colors or (1 << bpp)
+        pal_off = 14 + hdr_size
+        raw = np.frombuffer(payload[pal_off : pal_off + 4 * n], dtype=np.uint8)
+        pal = raw.reshape(n, 4)[:, [2, 1, 0]]  # BGRA -> RGB
+    row_bytes = (w * bpp + 7) // 8
+    stride = (row_bytes + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        payload[data_off : data_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, :row_bytes]
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        px = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        return px[:, :, ::-1].copy()  # BGR -> RGB
+    if bpp == 8:
+        idx = rows[:, :w]
+    else:  # 1- and 4-bit: unpack big-endian within each byte
+        per = 8 // bpp
+        shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * bpp
+        expanded = (rows[:, :, None] >> shifts[None, None, :]) & ((1 << bpp) - 1)
+        idx = expanded.reshape(h, -1)[:, :w]
+    return pal[idx]
+
+
+def _encode_bmp_gray8(data: bytes, top_down: bool = False) -> bytes:
+    """Minimal 8-bit paletted BMP encoder for a 1×len(data) grayscale
+    row (identity 256-entry BGRA palette) — the forward dual for the
+    corpus hash gate. Multi-row shapes for the padding / row-order
+    tests are built by the test's own wrapper."""
+    import struct
+
+    w, h = len(data), 1
+    stride = (w + 3) & ~3
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    pixels = data + b"\x00" * (stride - w)
+    data_off = 14 + 40 + len(pal)
+    out = b"BM" + struct.pack(
+        "<IHHI", data_off + len(pixels), 0, 0, data_off
+    )
+    out += struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 8, 0,
+        len(pixels), 2835, 2835, 256, 0,
+    )
+    return out + pal + pixels
+
+
+@query(
+    "multimodal_bmp",
+    oracle="""
+    SELECT doc_id AS media_id,
+           1 AS img_h,
+           LEAST(64, length(text))::INT AS img_w,
+           ROUND(list_aggregate(
+                   list_transform(generate_series(1, LEAST(64, length(text))),
+                                  i -> ascii(substr(text, i, 1))),
+                   'avg'), 4) AS mean_px
+    FROM documents
+    WHERE length(text) >= 1
+    """,
+)
+def multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hash gate for the native BMP decoder (the webp/gif
+    pattern): first 64 text bytes → 8-bit paletted BMP via the
+    forward dual → `_decode_bmp` (palette BGRA expansion, 4-byte row
+    padding, bottom-up default) → (h, w, mean-R) stats vs DuckDB
+    codepoint recomputation. Map-side only."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 64), "UTF-8").alias("raw"),
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                arr = _decode_bmp(_encode_bmp_gray8(bytes(raw)))
                 out.append(
                     (
                         mid,

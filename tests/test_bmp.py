@@ -1,0 +1,69 @@
+"""Native BMP decoder tests: layout traps — 4-byte row padding,
+bottom-up vs top-down row order, BGR channel order, BGRA palette,
+sub-byte (4-bit) index unpacking."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from etl_knlp_spark.operators.multimodal import (
+    _decode_bmp,
+    _encode_bmp_gray8,
+    decode_media,
+)
+
+
+def _wrap_bmp(w, h, bpp, pal, pixel_rows, top_down=False):
+    stride = ((w * bpp + 7) // 8 + 3) & ~3
+    body = b"".join(r + b"\x00" * (stride - len(r)) for r in pixel_rows)
+    data_off = 14 + 40 + len(pal)
+    out = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    out += struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0,
+        len(body), 0, 0, len(pal) // 4, 0,
+    )
+    return out + pal + body
+
+
+def test_bottom_up_rows_and_padding():
+    """3×2 8-bit image stored bottom-up with 1-byte row padding: the
+    decoder must flip rows and drop pad bytes."""
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    # storage order: LAST logical row first (bottom-up)
+    rows_storage = [bytes([4, 5, 6]), bytes([1, 2, 3])]
+    arr = _decode_bmp(_wrap_bmp(3, 2, 8, pal, rows_storage))
+    assert bytes(arr[0, :, 0]) == bytes([1, 2, 3])
+    assert bytes(arr[1, :, 0]) == bytes([4, 5, 6])
+
+
+def test_top_down_negative_height():
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    rows_storage = [bytes([1, 2, 3]), bytes([4, 5, 6])]
+    arr = _decode_bmp(_wrap_bmp(3, 2, 8, pal, rows_storage, top_down=True))
+    assert bytes(arr[0, :, 0]) == bytes([1, 2, 3])
+
+
+def test_24bit_bgr_to_rgb():
+    # one pixel stored B,G,R = 10,20,30 -> RGB (30,20,10)
+    arr = _decode_bmp(_wrap_bmp(1, 1, 24, b"", [bytes([10, 20, 30])]))
+    assert tuple(arr[0, 0]) == (30, 20, 10)
+
+
+def test_4bit_palette_unpacking():
+    """Width 3 at 4bpp: two bytes per row, high nibble first, the
+    final nibble is padding."""
+    pal = b"".join(bytes([i * 16, 0, 0, 0]) for i in range(16))  # B channel
+    row = bytes([(1 << 4) | 2, (3 << 4)])
+    arr = _decode_bmp(_wrap_bmp(3, 1, 4, pal, [row]))
+    # palette stores blue channel -> RGB index 2
+    assert list(arr[0, :, 2]) == [16, 32, 48]
+
+
+def test_decode_media_routes_bmp():
+    payload = _encode_bmp_gray8(b"route bmp")
+    arr = decode_media(payload, "image/bmp")
+    assert bytes(arr[0, :, 0]) == b"route bmp"
+    arr2 = decode_media(payload, "image/unknown")
+    assert (arr2 == arr).all()
