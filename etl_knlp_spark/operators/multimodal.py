@@ -1649,6 +1649,13 @@ def decode_media(payload: bytes, media_type: str):
         media_type.startswith("video/") and payload[:9] == b"YUV4MPEG2"
     ):
         return _decode_y4m(payload)
+    if media_type in _TIFF_TYPES or (
+        media_type.startswith("image/")
+        and payload[:4] in (b"II*\x00", b"MM\x00*")
+    ):
+        # baseline TIFF: IFD walk, strips, none/LZW compression
+        # (MSB-first, early change), horizontal predictor
+        return _decode_tiff(payload)
     if media_type == "image/bmp" or (
         media_type.startswith("image/") and payload[:2] == b"BM"
     ):
@@ -3079,6 +3086,260 @@ def multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for mid, raw in zip(pdf["media_id"], pdf["raw"]):
                 arr = _decode_bmp(_encode_bmp_gray8(bytes(raw)))
+                out.append(
+                    (
+                        mid,
+                        int(arr.shape[0]),
+                        int(arr.shape[1]),
+                        float(np.mean(arr[:, :, 0].astype("float64"))),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "img_h", "img_w", "mean_px"]
+            )
+
+    return media.mapInPandas(stats, DECODE_STATS_SCHEMA).withColumn(
+        "mean_px", F.round("mean_px", 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native TIFF (LZW) — round-9 session-2. Baseline TIFF reader: IFD tag
+# walk, strip assembly, uncompressed (1) and LZW (5) compression,
+# horizontal-differencing predictor (2), grayscale/RGB interleaved.
+# TIFF's LZW is the MIRROR of GIF's: MSB-first bit packing and the
+# "early change" convention (code width grows one code EARLIER, when
+# next_code == 2^width - 1) — the two knobs a both-wrong dual could
+# silently agree on in the GIF pair, here pinned by a SECOND
+# independent format whose spec fixes them the opposite way.
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPES = ("image/tiff",)
+
+
+def _lzw_decode_tiff(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bits, 8-bit symbols,
+    clear=256, EOI=257, EARLY code-width change at 2^width - 1."""
+    clear, eoi = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    acc = nbits = 0
+    prev = None
+    pos, n = 0, len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError("TIFF LZW: code beyond dictionary")
+        table.append(table[prev] + entry[:1])
+        # EARLY change: grow when the NEXT entry would hit 2^width - 1
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        out += entry
+        prev = code
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Greedy TIFF LZW dual: MSB-first, early change one step after
+    the decoder (encoder dictionary runs one entry ahead), clear when
+    the table would exceed 12 bits."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code >= 4094:  # table would hit 2^12 - 2: reset early
+            emit(clear, width)
+            table, next_code, width = fresh()
+        else:
+            table[wc] = next_code
+            next_code += 1
+            # decoder's table trails one entry behind: its EARLY change
+            # (at 2^w - 1 entries) lands when OUR count hits 2^w
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _decode_tiff(payload: bytes):
+    """Decode the first IFD of a baseline TIFF to (h, w, channels)
+    uint8 (grayscale decodes to (h, w, 1))."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    ifd_off = struct.unpack_from(bo + "I", payload, 4)[0]
+    n_tags = struct.unpack_from(bo + "H", payload, ifd_off)[0]
+    _SZ = {1: 1, 2: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_tags):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", payload, off)
+        if typ not in _SZ:
+            continue
+        total = _SZ[typ] * cnt
+        voff = off + 8 if total <= 4 else struct.unpack_from(bo + "I", payload, off + 8)[0]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack_from(bo + str(cnt) + fmt, payload, voff))
+    w = tags[256][0]
+    h = tags[257][0]
+    bps = tags.get(258, [8])
+    if any(b != 8 for b in bps):
+        raise NotImplementedError("only 8-bit TIFF samples")
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    offsets = tags[273]
+    counts = tags[279]
+    rows_per_strip = tags.get(278, [h])[0]
+    if comp not in (1, 5):
+        raise NotImplementedError(f"TIFF compression {comp} (none/LZW only)")
+    raw = bytearray()
+    for o, c in zip(offsets, counts):
+        chunk = payload[o : o + c]
+        raw += _lzw_decode_tiff(chunk)[: rows_per_strip * w * spp] if comp == 5 else chunk
+    arr = np.frombuffer(bytes(raw[: h * w * spp]), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # mod-256 running sum per row (int64 so wide rows can't
+        # overflow the accumulator before the modulo)
+        arr = (np.cumsum(arr.astype(np.int64), axis=1) % 256).astype(np.uint8)
+    return arr.copy()
+
+
+def _encode_tiff_gray8(
+    data: bytes, lzw: bool = True, predictor: bool = False
+) -> bytes:
+    """Minimal little-endian single-strip grayscale TIFF encoder for a
+    1×len(data) row — the forward dual for the corpus gate."""
+    import struct
+
+    import numpy as np
+
+    w, h = len(data), 1
+    px = bytes(data)
+    if predictor:
+        a = np.frombuffer(px, dtype=np.uint8).astype(np.int16)
+        # first column ships raw; the rest as left-neighbor deltas
+        px = bytes(
+            (np.concatenate((a[:1], np.diff(a))) % 256).astype(np.uint8)
+        )
+    strip = _lzw_encode_tiff(px) if lzw else px
+    tags = [
+        (256, 3, 1, w),                  # width
+        (257, 3, 1, h),                  # height
+        (258, 3, 1, 8),                  # bits per sample
+        (259, 3, 1, 5 if lzw else 1),    # compression
+        (262, 3, 1, 1),                  # photometric: BlackIsZero
+        (273, 4, 1, None),               # strip offset (patched)
+        (277, 3, 1, 1),                  # samples per pixel
+        (278, 3, 1, h),                  # rows per strip
+        (279, 4, 1, len(strip)),         # strip byte count
+        (317, 3, 1, 2 if predictor else 1),
+    ]
+    ifd_off = 8
+    strip_off = ifd_off + 2 + 12 * len(tags) + 4
+    out = b"II*\x00" + struct.pack("<I", ifd_off)
+    out += struct.pack("<H", len(tags))
+    for tag, typ, cnt, val in tags:
+        if val is None:
+            val = strip_off
+        out += struct.pack("<HHI", tag, typ, cnt)
+        out += struct.pack("<I", val) if typ == 4 else struct.pack("<HH", val, 0)
+    out += struct.pack("<I", 0)  # next IFD
+    return out + strip
+
+
+@query(
+    "multimodal_tiff",
+    oracle="""
+    SELECT doc_id AS media_id,
+           1 AS img_h,
+           LEAST(64, length(text))::INT AS img_w,
+           ROUND(list_aggregate(
+                   list_transform(generate_series(1, LEAST(64, length(text))),
+                                  i -> ascii(substr(text, i, 1))),
+                   'avg'), 4) AS mean_px
+    FROM documents
+    WHERE length(text) >= 1
+    """,
+)
+def multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hash gate for the native TIFF reader: first 64 text
+    bytes → LZW-compressed horizontal-predictor TIFF via the forward
+    dual → `_decode_tiff` (IFD walk, strip LZW with MSB-first bits
+    and the EARLY width change — the opposite conventions of the GIF
+    pair, so a sign error in either knob fails THIS hash while
+    passing that one) → stats vs DuckDB codepoint recomputation."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 64), "UTF-8").alias("raw"),
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                arr = _decode_tiff(
+                    _encode_tiff_gray8(bytes(raw), lzw=True, predictor=True)
+                )
                 out.append(
                     (
                         mid,

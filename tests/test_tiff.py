@@ -1,0 +1,98 @@
+"""Native TIFF/LZW tests: TIFF's LZW is the MIRROR of GIF's (MSB-first
+bit packing, EARLY code-width change) — hand-packed fixtures pin both
+knobs with an independent packer, so a sign error in either fails here
+even if the GIF pair agrees with itself."""
+
+from __future__ import annotations
+
+import random
+
+from etl_knlp_spark.operators.multimodal import (
+    _decode_tiff,
+    _encode_tiff_gray8,
+    _lzw_decode_tiff,
+    _lzw_encode_tiff,
+    decode_media,
+)
+
+
+def _pack_codes_msb(codes, width_of):
+    acc = nbits = 0
+    out = bytearray()
+    for i, c in enumerate(codes):
+        w = width_of(i)
+        acc = (acc << w) | c
+        nbits += w
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_hand_packed_msb_stream_decodes():
+    """CLEAR, 'A','B','C', EOI at 9 bits MSB-first — the bit-order
+    pin, independent of the production encoder."""
+    lzw = _pack_codes_msb([256, 65, 66, 67, 257], lambda i: 9)
+    assert _lzw_decode_tiff(lzw) == b"ABC"
+
+
+def test_hand_packed_early_change_timing():
+    """EARLY change: the decoder's width grows 9->10 when its table
+    reaches 2^9 - 1 = 511 entries (one code EARLIER than GIF's
+    convention) — literals 0..254 push the table to 511 during code
+    #254, so codes from #255 read at 10 bits."""
+    codes = [256] + list(range(255)) + [10, 257]
+    lzw = _pack_codes_msb(codes, lambda i: 9 if i <= 254 else 10)
+    assert _lzw_decode_tiff(lzw) == bytes(range(255)) + b"\x0a"
+
+
+def test_roundtrip_regimes():
+    rng = random.Random(13)
+    for n in (1, 7, 300, 5000, 40000):
+        data = bytes(rng.randrange(17) for _ in range(n))
+        assert _lzw_decode_tiff(_lzw_encode_tiff(data)) == data
+        for lzw in (False, True):
+            for pred in (False, True):
+                arr = _decode_tiff(
+                    _encode_tiff_gray8(data, lzw=lzw, predictor=pred)
+                )
+                assert bytes(arr[0, :, 0]) == data, (n, lzw, pred)
+
+
+def test_cscsc_self_reference():
+    data = b"\x05" * 257
+    assert _lzw_decode_tiff(_lzw_encode_tiff(data)) == data
+
+
+def test_predictor_wraps_mod_256():
+    """Horizontal differencing is mod-256: a descending ramp forces
+    negative deltas that must wrap, and a wide row must not overflow
+    the reconstruction accumulator."""
+    data = bytes(range(255, -1, -1)) * 16  # 4096 px, lots of -1 deltas
+    arr = _decode_tiff(_encode_tiff_gray8(data, lzw=False, predictor=True))
+    assert bytes(arr[0, :, 0]) == data
+
+
+def test_decode_media_routes_tiff():
+    payload = _encode_tiff_gray8(b"route tiff")
+    arr = decode_media(payload, "image/tiff")
+    assert bytes(arr[0, :, 0]) == b"route tiff"
+    arr2 = decode_media(payload, "image/unknown")
+    assert (arr2 == arr).all()
+
+
+def test_pillow_conformance_if_available():
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    rng = random.Random(3)
+    data = bytes(rng.randrange(256) for _ in range(4096))
+    img = PIL.open(io.BytesIO(_encode_tiff_gray8(data, lzw=True, predictor=True)))
+    got = np.asarray(img)
+    assert bytes(got.reshape(-1)) == data
