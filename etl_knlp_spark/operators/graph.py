@@ -1115,3 +1115,113 @@ def labelprop_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=3).select(
         F.col("node").alias("user_id"), F.col("lab").alias("community")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 32,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS over an undirected edge set: exact hop
+    distance from every source to every node within ``max_depth``.
+    Returns (source_id, node, dist).
+
+    Per round: one join of the frontier against the directed edge
+    list (keyed on the frontier node) and one anti-join against the
+    visited set — the textbook iterative-Spark BFS, frontier and
+    visited both (source, node) grained, localCheckpointed so
+    lineage stays flat. Round count = eccentricity ≤ ``max_depth``,
+    the shared cap that makes the recursive-CTE oracle's
+    walk-unrolling finite too."""
+    dirs = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionAll(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v")).filter(
+                F.col(src) != F.col(dst)
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    frontier = sources.select(
+        F.col(sources.columns[0]).alias("source_id"),
+        F.col(sources.columns[0]).alias("node"),
+        F.lit(0).alias("dist"),
+    ).localCheckpoint(eager=False)
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(dirs, frontier.node == dirs.u)
+            .select("source_id", F.col("v").alias("node"), F.lit(depth).alias("dist"))
+            .distinct()
+            .join(
+                visited.select(
+                    F.col("source_id").alias("vs"), F.col("node").alias("vn")
+                ),
+                (F.col("source_id") == F.col("vs")) & (F.col("node") == F.col("vn")),
+                "left_anti",
+            )
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited
+
+
+@query(
+    "bfs_user_distances",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type,
+             CAST(floor(date_part('epoch', ts) / 300) AS BIGINT) AS bkt
+      FROM events
+    ), und AS (
+      SELECT DISTINCT a.user_id AS a, b.user_id AS b
+      FROM ev a JOIN ev b
+        ON a.bkt = b.bkt AND a.event_type = b.event_type
+       AND a.user_id < b.user_id
+    ), dir AS (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+    ), srcs AS (
+      SELECT DISTINCT u AS s FROM dir ORDER BY s LIMIT 4
+    ), walk(s, node, d) AS (
+      SELECT s, s, 0 FROM srcs
+      UNION
+      SELECT w.s, e.v, w.d + 1
+      FROM walk w JOIN dir e ON e.u = w.node
+      WHERE w.d < 32
+    )
+    SELECT CAST(s AS BIGINT) AS source_id,
+           CAST(node AS BIGINT) AS user_id,
+           CAST(MIN(d) AS BIGINT) AS dist
+    FROM walk GROUP BY s, node
+    """,
+)
+def bfs_user_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hop distances from the 4 lowest-id users to everyone
+    reachable in the co-activity graph (same edges as the rest of the
+    graph family, incl. the pre-flight pair budget) — the plain
+    graph-traversal primitive (reachability, influence radius,
+    degrees-of-separation) the CC/PageRank/k-core family skips over.
+
+    The oracle is a THIRD SQL-fixpoint style: a recursive CTE that
+    unrolls all depth-capped walks — UNION-distinct on (source, node,
+    depth) bounds the state at nodes × depth even through cycles —
+    and takes MIN(depth) per node, which equals BFS distance by
+    construction. Both sides share the depth cap 32 (≫ the graph's
+    eccentricity at graded SFs), so outputs are identical even on an
+    adversarial deep chain."""
+    e = load_table(spark, sf_dir, "events")
+    edges = cooccurrence_edges(e)
+    dirs = edges.select(F.col("src").alias("n")).unionAll(
+        edges.select(F.col("dst").alias("n"))
+    )
+    srcs = dirs.distinct().orderBy("n").limit(4)
+    return bfs_distances(edges, srcs).select(
+        "source_id", F.col("node").alias("user_id"), F.col("dist").cast("bigint").alias("dist")
+    )

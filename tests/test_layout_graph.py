@@ -488,3 +488,31 @@ def test_label_propagation_clique_converges_to_min_id(spark):
     edges = spark.createDataFrame(k5, ["src", "dst"])
     got = {r.node: r.lab for r in label_propagation(edges, rounds=3).collect()}
     assert set(got.values()) == {1}
+
+
+def test_bfs_distances_on_known_shapes(spark):
+    """Chain 1-2-3-4 plus island 10-11: exact hop counts from both
+    sources, unreachable nodes absent."""
+    from etl_knlp_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    srcs = spark.createDataFrame([(1,), (10,)], ["s"])
+    got = {
+        (r.source_id, r.node): r.dist
+        for r in bfs_distances(edges, srcs).collect()
+    }
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3,
+        (10, 10): 0, (10, 11): 1,
+    }
+
+
+def test_bfs_max_depth_caps_the_frontier(spark):
+    from etl_knlp_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(10)], ["src", "dst"])
+    srcs = spark.createDataFrame([(0,)], ["s"])
+    got = bfs_distances(edges, srcs, max_depth=3).collect()
+    assert max(r.dist for r in got) == 3 and len(got) == 4
