@@ -2089,3 +2089,120 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rn", F.row_number().over(w_top)).select(
         "phrase", "n_occ", "score_micro", "rn"
     )
+
+
+# Kneser-Ney shared formula (the ab_test_wilson technique: BOTH
+# engines parse this exact text over exact-integer inputs, so the
+# float tree is identical). D = 0.75 is an exact double; observed
+# bigrams have c12 >= 1 > D, so the max(c-D, 0) clamp is vacuous.
+# NB Spark SQL parses bare decimal literals as DECIMAL, which routes
+# the arithmetic through decimal precision and truncates the tree
+# (caught as a value-hash mismatch on arrival); the explicit DOUBLE
+# casts keep both engines in IEEE doubles end to end.
+_KN_EXPR = (
+    "(c12 - CAST(0.75 AS DOUBLE)) / c1"
+    " + CAST(0.75 AS DOUBLE) * nf / c1 * np / b"
+)
+
+
+@query(
+    "kneser_ney_bigrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0
+    ), big AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> struct_pack(w1 := t[i], w2 := t[i + 1])))
+               AS g
+      FROM toks WHERE len(t) >= 2
+    ), bcnt AS (
+      SELECT g.w1 AS w1, g.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM big GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS nf
+      FROM bcnt GROUP BY w1
+    ), cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS np FROM bcnt GROUP BY w2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bcnt
+    ), scored AS (
+      SELECT bc.w1, bc.w2, bc.c12,
+             CAST(FLOOR(({_KN_EXPR}) * 1000000000.0) AS BIGINT) AS p_nano
+      FROM bcnt bc
+      JOIN ctx ON ctx.w1 = bc.w1
+      JOIN cont ON cont.w2 = bc.w2
+      CROSS JOIN tot
+      WHERE bc.c12 >= 5
+    )
+    SELECT w1, w2, c12, p_nano, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY p_nano DESC, w1, w2) AS rn
+      FROM scored
+    ) WHERE rn <= 100
+    """,
+)
+def kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    1995; Chen & Goodman 1998's benchmark smoother), top-100 by
+    p_KN(w2|w1) = (c(w1w2)−D)/c(w1) + D·N1+(w1·)/c(w1) · N1+(·w2)/B
+    with absolute discount D = 0.75 — the continuation-probability
+    backoff that add-k smoothing (`lm_perplexity_filter`) lacks: a
+    word seen often but only after ONE context ("francisco") gets a
+    small continuation weight no matter its raw frequency.
+
+    Determinism: every count is an exact integer; D = 0.75 is an
+    exact double; and the probability is evaluated from ONE shared
+    formula string (the `ab_test_wilson` technique) so both engines
+    run the identical IEEE tree before the nano floor. Observed
+    bigrams have c ≥ 1 > D, so the discount clamp is vacuous and the
+    formula is branch-free.
+
+    Scale shape: one bigram aggregate + two vocab-keyed marginal
+    aggregates (context totals/follower counts and continuation
+    counts are GROUP BYs over the bigram-TYPE table, which grows
+    Heaps-sublinearly), one scalar broadcast, and a
+    TakeOrderedAndProject top-100."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t") - F.lit(1))).alias("i"),
+        )
+        .select(
+            F.expr("element_at(t, i)").alias("w1"),
+            F.expr("element_at(t, i + 1)").alias("w2"),
+        )
+    )
+    bcnt = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    ctx = bcnt.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("nf"),
+    )
+    cont = bcnt.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    tot = F.broadcast(bcnt.agg(F.count(F.lit(1)).cast("bigint").alias("b")))
+    scored = (
+        bcnt.filter(F.col("c12") >= 5)
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(tot)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.floor(F.expr(_KN_EXPR) * 1000000000.0)
+            .cast("bigint")
+            .alias("p_nano"),
+        )
+    )
+    top = scored.orderBy(F.col("p_nano").desc(), "w1", "w2").limit(100)
+    w = Window.orderBy(F.col("p_nano").desc(), "w1", "w2")
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        "w1", "w2", "c12", "p_nano", "rn"
+    )

@@ -902,24 +902,28 @@ def seasonal_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ONE shared formula text: Spark parses these via F.expr and the
+# oracle embeds the identical strings, so both engines build the same
+# expression tree over the same exact-integer inputs — every
+# intermediate double is identical (the EWMA identical-IEEE argument
+# applied to a closed formula instead of a recursion). The z literal
+# is wrapped in CAST(... AS DOUBLE) because Spark parses bare decimal
+# literals as DECIMAL and would route the tree through decimal
+# arithmetic (caught in kneser_ney_bigrams as a hash mismatch).
+_WILSON_Z = "CAST(1.96 AS DOUBLE)"
 _WILSON_EXPRS = {
-    # ONE shared formula text: Spark parses these via F.expr and the
-    # oracle embeds the identical strings, so both engines build the
-    # same expression tree over the same exact-integer inputs — every
-    # intermediate double is identical (the EWMA identical-IEEE
-    # argument applied to a closed formula instead of a recursion).
     "rate": "n_conv / n_users",
     "wilson_lo": (
-        "((n_conv / n_users + 1.96 * 1.96 / (2 * n_users))"
-        " - 1.96 * sqrt((n_conv / n_users) * (1 - n_conv / n_users) / n_users"
-        "              + 1.96 * 1.96 / (4 * n_users * n_users)))"
-        " / (1 + 1.96 * 1.96 / n_users)"
+        f"((n_conv / n_users + {_WILSON_Z} * {_WILSON_Z} / (2 * n_users))"
+        f" - {_WILSON_Z} * sqrt((n_conv / n_users) * (1 - n_conv / n_users) / n_users"
+        f"              + {_WILSON_Z} * {_WILSON_Z} / (4 * n_users * n_users)))"
+        f" / (1 + {_WILSON_Z} * {_WILSON_Z} / n_users)"
     ),
     "wilson_hi": (
-        "((n_conv / n_users + 1.96 * 1.96 / (2 * n_users))"
-        " + 1.96 * sqrt((n_conv / n_users) * (1 - n_conv / n_users) / n_users"
-        "              + 1.96 * 1.96 / (4 * n_users * n_users)))"
-        " / (1 + 1.96 * 1.96 / n_users)"
+        f"((n_conv / n_users + {_WILSON_Z} * {_WILSON_Z} / (2 * n_users))"
+        f" + {_WILSON_Z} * sqrt((n_conv / n_users) * (1 - n_conv / n_users) / n_users"
+        f"              + {_WILSON_Z} * {_WILSON_Z} / (4 * n_users * n_users)))"
+        f" / (1 + {_WILSON_Z} * {_WILSON_Z} / n_users)"
     ),
 }
 

@@ -189,6 +189,11 @@ _STALE_SINCE: dict[str, int] = {
     # function sources changed.
     "pmi_collocations": 9,
     "rake_keywords": 9,
+    # round 9 session 2 (same session as registration, no driver rows
+    # yet): the Wilson z literal gained explicit DOUBLE casts after
+    # the kneser_ney hash mismatch exposed Spark's decimal-literal
+    # parsing — oracle string changed.
+    "ab_test_wilson": 9,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
