@@ -1096,3 +1096,91 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 0.5
         ).alias("trend_per_sec"),
     )
+
+
+@query(
+    "spearman_corr",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+      SELECT event_type,
+             RANK() OVER (PARTITION BY event_type ORDER BY value) AS rv_min,
+             COUNT(*) OVER (PARTITION BY event_type, value) AS gv,
+             RANK() OVER (PARTITION BY event_type ORDER BY k) AS rk_min,
+             COUNT(*) OVER (PARTITION BY event_type, k) AS gk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM base
+    ), quarters AS (
+      -- average tie ranks in exact QUARTER units: 4*avg_rank =
+      -- 4*rank_min + 2*(g-1); centered: minus 2*(n+1)
+      SELECT event_type,
+             CAST(4 * rv_min + 2 * (gv - 1) - 2 * (n + 1) AS BIGINT) AS dx4,
+             CAST(4 * rk_min + 2 * (gk - 1) - 2 * (n + 1) AS BIGINT) AS dy4
+      FROM ranked
+    )
+    SELECT event_type,
+           ROUND(CAST(SUM(dx4 * dy4) AS DOUBLE)
+                 / sqrt(CAST(SUM(dx4 * dx4) AS DOUBLE)
+                        * CAST(SUM(dy4 * dy4) AS DOUBLE)), 6) AS rho
+    FROM quarters GROUP BY event_type
+    """,
+)
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between each event type's value and
+    its props.k attribute — the robust (monotone, outlier-immune)
+    dependence measure next to `stats_agg`'s Pearson. Tie handling is
+    the textbook average rank.
+
+    Exactness engineering: average ranks on tied data are .25-grain
+    rationals, so both engines carry CENTERED RANKS IN QUARTER UNITS
+    as exact BIGINTs (4·rank_min + 2(g−1) − 2(n+1) — integer algebra,
+    no float until the very end); the three Σ products are exact
+    integer sums (the /16 scale factors cancel in the ratio), and rho
+    is one cast + one multiply + one sqrt + one division — identical
+    IEEE ops cross-engine before the 6dp round. A shuffled SUM of
+    float ranks would be nondeterministic; exact integers commute.
+    Bound: |dx4| ≤ 2n, so Σdx4·dy4 ≤ 4n³ — exact in BIGINT to n ≈ 1.3M
+    rows per group; past that, scale ranks to coarser grains or accept
+    documented rounding.
+
+    Scale shape: two rank windows + one running count, all partitioned
+    on event_type; one 5-row aggregate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = e.select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        F.rank().over(wt.orderBy("value")).alias("rv_min"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type", "value")).alias("gv"),
+        F.rank().over(wt.orderBy("k")).alias("rk_min"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type", "k")).alias("gk"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    q = ranked.select(
+        "event_type",
+        (4 * F.col("rv_min") + 2 * (F.col("gv") - 1) - 2 * (F.col("n") + 1))
+        .cast("bigint")
+        .alias("dx4"),
+        (4 * F.col("rk_min") + 2 * (F.col("gk") - 1) - 2 * (F.col("n") + 1))
+        .cast("bigint")
+        .alias("dy4"),
+    )
+    return q.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("dx4") * F.col("dy4")).cast("double")
+            / F.sqrt(
+                F.sum(F.col("dx4") * F.col("dx4")).cast("double")
+                * F.sum(F.col("dy4") * F.col("dy4")).cast("double")
+            ),
+            6,
+        ).alias("rho")
+    )

@@ -1137,3 +1137,55 @@ def test_kneser_ney_continuation_beats_raw_frequency(spark, tmp_path):
     # continuation penalty: francisco follows ONLY san, so the backoff
     # term contributes 1/B — p_kn sits below the raw MLE c12/c1
     assert p < c12 / c1[w1]
+
+
+def test_spearman_matches_scipy_free_reference(spark, tmp_path):
+    """Spearman with ties recomputed by an independent Python
+    implementation (average ranks + Pearson on ranks, float path) on
+    a planted monotone-with-ties series; also pins rho = 1.0 on a
+    strictly monotone pair and sign flip on reversal."""
+    import datetime
+    import json
+    import math
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.stats import spearman_corr
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 5.0, 8.0]
+    ks = [10, 30, 20, 30, 50, 40, 50, 60]  # loosely monotone with ties
+    rows = [
+        Row(event_id=i, ts=t0 + datetime.timedelta(seconds=i), user_id=1,
+            event_type="view", value=v, props=json.dumps({"k": k}))
+        for i, (v, k) in enumerate(zip(vals, ks))
+    ]
+    # a second, strictly anti-monotone type
+    rows += [
+        Row(event_id=100 + i, ts=t0 + datetime.timedelta(seconds=i), user_id=1,
+            event_type="click", value=float(i), props=json.dumps({"k": -i}))
+        for i in range(6)
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    got = {r.event_type: r.rho for r in spearman_corr(spark, str(tmp_path)).collect()}
+
+    def avg_ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        r = [0.0] * len(xs)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and xs[order[j]] == xs[order[i]]:
+                j += 1
+            ar = (i + j + 1) / 2  # average of 1-based ranks i+1..j
+            for t in order[i:j]:
+                r[t] = ar
+            i = j
+        return r
+
+    rx, ry = avg_ranks(vals), avg_ranks(ks)
+    mx = sum(rx) / len(rx); my = sum(ry) / len(ry)
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = math.sqrt(sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry))
+    assert abs(got["view"] - round(num / den, 6)) <= 1e-6
+    assert got["click"] == -1.0
