@@ -1142,15 +1142,30 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one cast + one multiply + one sqrt + one division — identical
     IEEE ops cross-engine before the 6dp round. A shuffled SUM of
     float ranks would be nondeterministic; exact integers commute.
-    Bound: |dx4| ≤ 2n, so Σdx4·dy4 ≤ 4n³ — exact in BIGINT to n ≈ 1.3M
-    rows per group; past that, scale ranks to coarser grains or accept
-    documented rounding.
+
+    Bound, ENFORCED pre-flight: |dx4| ≤ 2n so Σdx4² ≤ 4n³, which stays
+    inside BIGINT only to n = 2^20 rows per group — past that the
+    ANSI aggregate overflows mid-job (measured at the 100×-events
+    probe, 2M rows/group), so the op prices the group sizes first
+    (one |types|-row aggregate) and REFUSES with the remedies: rank
+    at a coarser grain (halves the cube per bit), pre-aggregate to
+    (value, k) frequency pairs, or split groups by a co-key.
 
     Scale shape: two rank windows + one running count, all partitioned
     on event_type; one 5-row aggregate."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    sizes = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    n_max = max((r["n"] for r in sizes), default=0)
+    if n_max > (1 << 20):
+        raise RuntimeError(
+            f"spearman_corr: largest group has {n_max:,} rows; the exact "
+            f"quarter-rank sums overflow BIGINT past {1 << 20:,} "
+            "(sum bound 4*n^3 vs 2^63). Rank at a coarser grain, "
+            "pre-aggregate to (value, k) frequency pairs, or split the "
+            "group by a co-key."
+        )
     base = e.select(
         "event_type",
         "value",

@@ -192,8 +192,12 @@ _STALE_SINCE: dict[str, int] = {
     # round 9 session 2 (same session as registration, no driver rows
     # yet): the Wilson z literal gained explicit DOUBLE casts after
     # the kneser_ney hash mismatch exposed Spark's decimal-literal
-    # parsing — oracle string changed.
+    # parsing — oracle string changed; spearman_corr gained its
+    # pre-flight group-size budget after the 100× probe overflowed
+    # the exact quarter-rank sums mid-aggregate (output identical at
+    # graded SFs, guard inert there).
     "ab_test_wilson": 9,
+    "spearman_corr": 9,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

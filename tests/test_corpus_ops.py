@@ -1189,3 +1189,29 @@ def test_spearman_matches_scipy_free_reference(spark, tmp_path):
     den = math.sqrt(sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry))
     assert abs(got["view"] - round(num / den, 6)) <= 1e-6
     assert got["click"] == -1.0
+
+
+def test_spearman_refuses_oversized_groups(spark, tmp_path):
+    """Past 2^20 rows per group the exact quarter-rank sums would
+    overflow BIGINT mid-aggregate (measured at the 100×-events
+    probe) — the op must price group sizes pre-flight and refuse."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.operators.stats import spearman_corr
+
+    (
+        spark.range((1 << 20) + 5)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            (F.col("id") % 97).cast("double").alias("value"),
+            F.format_string('{"k": %d}', (F.col("id") % 31)).alias("props"),
+        )
+        .write.parquet(f"{tmp_path}/events.parquet")
+    )
+    with pytest.raises(RuntimeError, match="overflow BIGINT"):
+        spearman_corr(spark, str(tmp_path))
