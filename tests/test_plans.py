@@ -536,3 +536,12 @@ def test_sequential_kernels_shuffle_once_on_user(plans):
         p = plans(q)
         assert p.count("Exchange hashpartitioning") == 1, q
         assert "FlatMapGroupsInPandas" in p, q
+
+
+def test_item_cf_partitioned_topk_uses_window_group_limit(plans):
+    """Per-item top-10 is a PARTITIONED rank window, which
+    InferWindowGroupLimit reduces to per-partition heaps (contrast
+    the global-top-k queries that must route through
+    TakeOrderedAndProject instead)."""
+    p = plans("item_cf_cosine")
+    assert "WindowGroupLimit" in p
