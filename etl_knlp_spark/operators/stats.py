@@ -1199,3 +1199,115 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rho")
     )
+
+
+_KENDALL_PREFIX = 4096  # deterministic per-type sample: bounds BOTH
+# the kernel's O(n^2) sign matrix and the oracle's pair join at any SF
+
+
+@query(
+    "kendall_tau",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ), pre AS (
+      SELECT * FROM base WHERE rn <= {_KENDALL_PREFIX}
+    ), pairs AS (
+      SELECT a.event_type,
+             SUM(CASE WHEN (a.value - b.value) * (a.k - b.k) > 0 THEN 1
+                      WHEN (a.value - b.value) * (a.k - b.k) < 0 THEN -1
+                      ELSE 0 END) AS cmd,
+             COUNT(*) AS n0
+      FROM pre a JOIN pre b
+        ON b.event_type = a.event_type AND b.rn > a.rn
+      GROUP BY a.event_type
+    ), xt AS (
+      SELECT event_type, SUM(c * (c - 1) // 2) AS n1 FROM (
+        SELECT event_type, value, COUNT(*) AS c FROM pre GROUP BY 1, 2
+      ) GROUP BY event_type
+    ), yt AS (
+      SELECT event_type, SUM(c * (c - 1) // 2) AS n2 FROM (
+        SELECT event_type, k, COUNT(*) AS c FROM pre GROUP BY 1, 2
+      ) GROUP BY event_type
+    )
+    SELECT p.event_type,
+           CAST(p.cmd AS BIGINT) AS c_minus_d,
+           CAST(p.n0 AS BIGINT) AS n_pairs,
+           ROUND(CAST(p.cmd AS DOUBLE)
+                 / sqrt(CAST((p.n0 - xt.n1) AS DOUBLE)
+                        * CAST((p.n0 - yt.n2) AS DOUBLE)), 6) AS tau_b
+    FROM pairs p
+    JOIN xt ON xt.event_type = p.event_type
+    JOIN yt ON yt.event_type = p.event_type
+    """,
+)
+def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between value and props.k per event type, on a
+    DETERMINISTIC per-type prefix (first 4096 rows by (ts, event_id))
+    — the pair-concordance dependence measure whose O(n²) definition
+    the prefix bounds for kernel AND oracle alike at any SF, the
+    honest cap documented rather than hidden (the dedup family's
+    bounded-verifier pattern applied to a statistic).
+
+    C−D and the tie corrections are EXACT INTEGERS (the kernel sums
+    int8 sign products; pairs are ≤ C(4096,2) ≈ 8.4M so the sums are
+    nowhere near overflow); tau-b is one cast+mult+sqrt+div at the
+    end — the Spearman recipe again. The Arrow kernel computes the
+    sign matrix in 512-row blocks (bounded memory); the oracle is
+    the genuinely independent quadratic pair JOIN."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pre = (
+        e.select(
+            "event_type",
+            "value",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KENDALL_PREFIX)
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["value"].to_numpy()
+        y = pdf["k"].to_numpy()
+        n = len(x)
+        cmd = 0
+        for lo in range(0, n, 512):
+            hi = min(lo + 512, n)
+            sx = np.sign(x[lo:hi, None] - x[None, :]).astype(np.int8)
+            sy = np.sign(y[lo:hi, None] - y[None, :]).astype(np.int8)
+            prod = (sx.astype(np.int32) * sy).sum(axis=1)
+            # full-matrix sum counts each unordered pair twice and the
+            # zero diagonal never contributes
+            cmd += int(prod.sum())
+        cmd //= 2
+        n0 = n * (n - 1) // 2
+        _, cx = np.unique(x, return_counts=True)
+        _, cy = np.unique(y, return_counts=True)
+        n1 = int((cx * (cx - 1) // 2).sum())
+        n2 = int((cy * (cy - 1) // 2).sum())
+        tau = float(cmd) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "c_minus_d": [cmd],
+                "n_pairs": [n0],
+                "tau_b": [round(tau, 6)],
+            }
+        )
+
+    return pre.groupBy("event_type").applyInPandas(
+        kernel,
+        "event_type string, c_minus_d long, n_pairs long, tau_b double",
+    )

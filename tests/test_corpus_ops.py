@@ -1215,3 +1215,47 @@ def test_spearman_refuses_oversized_groups(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="overflow BIGINT"):
         spearman_corr(spark, str(tmp_path))
+
+
+def test_kendall_tau_known_values(spark, tmp_path):
+    """tau_b = +1 on perfect concordance, -1 on reversal, and the
+    tie-corrected value hand-computed on a small mixed series."""
+    import datetime
+    import json
+    import math
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.stats import kendall_tau
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):  # concordant type
+        rows.append(Row(event_id=i, ts=t0 + datetime.timedelta(seconds=i),
+                        user_id=1, event_type="view", value=float(i),
+                        props=json.dumps({"k": i * 3})))
+    for i in range(10):  # reversed type
+        rows.append(Row(event_id=100 + i, ts=t0 + datetime.timedelta(seconds=i),
+                        user_id=1, event_type="click", value=float(i),
+                        props=json.dumps({"k": -i})))
+    # tied type: x = [1,1,2,3], y = [5,6,6,7]
+    for i, (v, k) in enumerate([(1.0, 5), (1.0, 6), (2.0, 6), (3.0, 7)]):
+        rows.append(Row(event_id=200 + i, ts=t0 + datetime.timedelta(seconds=i),
+                        user_id=1, event_type="error", value=v,
+                        props=json.dumps({"k": k})))
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    got = {r.event_type: r for r in kendall_tau(spark, str(tmp_path)).collect()}
+    assert got["view"].tau_b == 1.0 and got["view"].c_minus_d == 45
+    assert got["click"].tau_b == -1.0
+    # hand count for the tied series: pairs (i<j) of ([1,1,2,3],[5,6,6,7])
+    xs, ys = [1, 1, 2, 3], [5, 6, 6, 7]
+    c = d = 0
+    for i in range(4):
+        for j in range(i + 1, 4):
+            s = (xs[i] - xs[j]) * (ys[i] - ys[j])
+            c += s > 0
+            d += s < 0
+    n0, n1, n2 = 6, 1, 1  # one x-tie pair, one y-tie pair
+    want = round((c - d) / math.sqrt((n0 - n1) * (n0 - n2)), 6)
+    assert got["error"].c_minus_d == c - d
+    assert abs(got["error"].tau_b - want) <= 1e-6
