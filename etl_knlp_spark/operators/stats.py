@@ -1311,3 +1311,72 @@ def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "event_type string, c_minus_d long, n_pairs long, tau_b double",
     )
+
+
+@query(
+    "target_encode_loo",
+    oracle="""
+    WITH cents AS (
+      SELECT event_id, user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), per_user AS (
+      SELECT user_id, SUM(c) AS s, COUNT(*) AS n FROM cents GROUP BY user_id
+    ), g_all AS (
+      -- "glob" is a DuckDB keyword (the GLOB operator)
+      SELECT SUM(c) AS gs, COUNT(*) AS gn FROM cents
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(CASE WHEN p.n > 1
+                     THEN ((p.s - e.c) * 10000) // (p.n - 1)
+                     ELSE (g.gs * 10000) // g.gn
+                END AS BIGINT) AS loo_mean_micro,
+           p.n > 1 AS from_own_history
+    FROM cents e
+    JOIN per_user p ON p.user_id = e.user_id
+    CROSS JOIN g_all g
+    """,
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the user_id categorical
+    against the value target — the standard high-cardinality feature
+    encoder for tabular ML, with the leakage-avoidance twist that
+    makes it non-trivial: each row's encoding averages the user's
+    OTHER rows ((Σ−x)/(n−1)), never its own target; singleton users
+    fall back to the global mean (flagged). Naive mean-encoding leaks
+    the label into the feature; LOO is why this is an operator and
+    not a GROUP BY.
+
+    Exactness: values are 2dp so cents are exact BIGINTs; both the
+    LOO and global means ship as exact INTEGER-DIVISION micro-units
+    ((Σcents−x)·10⁴ // (n−1)) — zero float anywhere. One user-keyed
+    aggregate joined back (broadcast by AQE against the user-grain
+    side at real scale) + one scalar broadcast."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    per_user = cents.groupBy("user_id").agg(
+        F.sum("c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    glob = F.broadcast(
+        cents.agg(F.sum("c").alias("gs"), F.count(F.lit(1)).alias("gn"))
+    )
+    return (
+        cents.join(per_user, "user_id")
+        .crossJoin(glob)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(
+                F.col("n") > 1,
+                F.expr("((s - c) * 10000) div (n - 1)"),
+            )
+            .otherwise(F.expr("(gs * 10000) div gn"))
+            .cast("bigint")
+            .alias("loo_mean_micro"),
+            (F.col("n") > 1).alias("from_own_history"),
+        )
+    )

@@ -1259,3 +1259,32 @@ def test_kendall_tau_known_values(spark, tmp_path):
     want = round((c - d) / math.sqrt((n0 - n1) * (n0 - n2)), 6)
     assert got["error"].c_minus_d == c - d
     assert abs(got["error"].tau_b - want) <= 1e-6
+
+
+def test_target_encode_loo_excludes_own_row(spark, tmp_path):
+    """LOO semantics hand-pinned: user 1 has values [10, 20, 30] —
+    row 10 encodes to mean(20,30)=25, never mean incl. itself;
+    singleton user 2 falls back to the global mean, flagged."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.stats import target_encode_loo
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=t0, user_id=1, event_type="view",
+            value=v, props="{}")
+        for i, v in enumerate([10.0, 20.0, 30.0])
+    ] + [Row(event_id=9, ts=t0, user_id=2, event_type="view",
+             value=99.0, props="{}")]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.event_id: (r.loo_mean_micro, r.from_own_history)
+        for r in target_encode_loo(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == ((2000 + 3000) * 10000 // 2, True)     # mean(20,30)
+    assert got[1] == ((1000 + 3000) * 10000 // 2, True)     # mean(10,30)
+    assert got[2] == ((1000 + 2000) * 10000 // 2, True)     # mean(10,20)
+    glob = (1000 + 2000 + 3000 + 9900) * 10000 // 4
+    assert got[9] == (glob, False)
