@@ -301,3 +301,160 @@ def perplexity_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_kept") * 1.0 / F.col("n_total"), 6).alias("keep_rate"),
         F.col("bigrams_kept").cast("bigint").alias("bigrams_kept"),
     )
+
+
+# NDCG@10 discount weights 1/log2(rank+1), materialized as full-repr
+# double literals so BOTH engines parse the identical values and no
+# libm log runs at eval time (the bm25 ln() is the only ULP-risky call
+# in the retrieval stack; the EVAL stays literal-exact).
+_NDCG_W = (
+    "1.0, 0.6309297535714575, 0.5, 0.43067655807339306, "
+    "0.38685280723454163, 0.3562071871080222, 0.3333333333333333, "
+    "0.31546487678572877, 0.3010299956639812, 0.2890648263178879"
+)
+_NDCG_K1 = 1.2
+_NDCG_B = 0.75
+_NDCG_TERMS = ("vector", "hash", "stream")
+
+
+@query(
+    "ndcg_retrieval_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(t)::BIGINT AS dl FROM toks
+    ), stats AS (
+      SELECT AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      WHERE term IN {_NDCG_TERMS!r}
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT tf.term, tf.doc_id,
+             LEAST(tf.tf, 3) AS rel,
+             ROUND(tf.tf * ({_NDCG_K1} + 1.0)
+                   / (tf.tf + {_NDCG_K1}
+                      * (1.0 - {_NDCG_B} + {_NDCG_B} * dl.dl / stats.avgdl)),
+                   6) AS s
+      FROM tf JOIN dl USING (doc_id) CROSS JOIN stats
+    ), run AS (
+      SELECT term, rel,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY s DESC, doc_id) AS rnk
+      FROM scored
+    ), ideal AS (
+      SELECT term, rel,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY rel DESC, doc_id) AS rnk
+      FROM scored WHERE rel > 0
+    ), dcg AS (
+      SELECT term,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_sort(list([rnk::BIGINT,
+                                              CAST((1 << rel) - 1 AS BIGINT)])),
+                              p -> p[2] * ([{_NDCG_W}])[p[1]])),
+               (a, x) -> a + x) AS dcg
+      FROM run WHERE rnk <= 10 GROUP BY term
+    ), idcg AS (
+      SELECT term,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_sort(list([rnk::BIGINT,
+                                              CAST((1 << rel) - 1 AS BIGINT)])),
+                              p -> p[2] * ([{_NDCG_W}])[p[1]])),
+               (a, x) -> a + x) AS idcg
+      FROM ideal WHERE rnk <= 10 GROUP BY term
+    )
+    SELECT d.term AS query_term,
+           CAST(FLOOR(d.dcg / i.idcg * 1000000.0) AS BIGINT) AS ndcg_micro
+    FROM dcg d JOIN idcg i USING (term)
+    """,
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25-style per-term ranking against graded
+    count-based relevance — the RANKING evaluation metric next to
+    `eval_prf_summary`'s classification P/R/F1. The run ranks by the
+    length-normalized tf saturation score; the qrels grade by raw
+    capped term count (rel 0-3) — independent enough that
+    normalization-induced reorderings genuinely cost NDCG.
+
+    Determinism: gains (2^rel − 1) are exact integers; the rank
+    discounts are FULL-REPR DOUBLE LITERALS of 1/log2(r+1) shared by
+    both engines (no runtime libm, the ULP risk the bm25 score's
+    ln() carries is rounded away at 6dp before ranking); both DCG
+    sums fold in pinned rank order (sorted (rank, gain) pairs →
+    sequential left fold), and the final division is one IEEE op
+    before the micro floor.
+
+    Scale: term-filtered postings before any shuffle (the bm25_topk
+    argument), two per-term rank windows (WindowGroupLimit heaps),
+    ≤10-element folds."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id", "t", F.size("t").cast("bigint").alias("dl")
+    )
+    stats = F.broadcast(base.agg(F.avg("dl").alias("avgdl")))
+    tf = (
+        base.select("doc_id", "dl", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*_NDCG_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"), F.first("dl").alias("dl"))
+    )
+    scored = tf.crossJoin(stats).select(
+        "term",
+        "doc_id",
+        F.least("tf", F.lit(3)).cast("int").alias("rel"),
+        F.round(
+            F.col("tf")
+            * (_NDCG_K1 + 1.0)
+            / (
+                F.col("tf")
+                + _NDCG_K1
+                * (1.0 - _NDCG_B + _NDCG_B * F.col("dl") / F.col("avgdl"))
+            ),
+            6,
+        ).alias("s"),
+    )
+    from pyspark.sql import Window
+
+    w_run = Window.partitionBy("term").orderBy(F.col("s").desc(), "doc_id")
+    w_ideal = Window.partitionBy("term").orderBy(F.col("rel").desc(), "doc_id")
+
+    def fold_dcg(df: DataFrame, out: str) -> DataFrame:
+        pairs = F.array_sort(
+            F.collect_list(
+                F.array(
+                    F.col("rnk").cast("bigint"),
+                    F.expr("CAST(shiftleft(1, rel) - 1 AS BIGINT)"),
+                )
+            )
+        )
+        gains = F.transform(
+            pairs, lambda p: p[1] * F.expr(f"array({_NDCG_W})")[(p[0] - 1).cast("int")]
+        )
+        return df.groupBy("term").agg(
+            F.aggregate(gains, F.lit(0.0), lambda a, x: a + x).alias(out)
+        )
+
+    run = scored.withColumn("rnk", F.row_number().over(w_run)).filter(
+        F.col("rnk") <= 10
+    )
+    ideal = (
+        scored.filter(F.col("rel") > 0)
+        .withColumn("rnk", F.row_number().over(w_ideal))
+        .filter(F.col("rnk") <= 10)
+    )
+    dcg = fold_dcg(run, "dcg")
+    idcg = fold_dcg(ideal, "idcg")
+    return (
+        dcg.join(idcg, "term")
+        .select(
+            F.col("term").alias("query_term"),
+            F.floor(F.col("dcg") / F.col("idcg") * 1000000.0)
+            .cast("bigint")
+            .alias("ndcg_micro"),
+        )
+    )

@@ -1288,3 +1288,45 @@ def test_target_encode_loo_excludes_own_row(spark, tmp_path):
     assert got[2] == ((1000 + 2000) * 10000 // 2, True)     # mean(10,20)
     glob = (1000 + 2000 + 3000 + 9900) * 10000 // 4
     assert got[9] == (glob, False)
+
+
+def test_ndcg_penalizes_normalization_reordering(spark, tmp_path):
+    """A long document with the same relevance grade gets length-
+    penalized below a short low-grade one, so the run deviates from
+    the ideal ordering and NDCG dips below 1 — the exact value
+    recomputed by an independent Python replay of run, ideal, and the
+    literal discount table."""
+    import math
+
+    from etl_knlp_spark.operators.evaluation import ndcg_retrieval_eval
+
+    docs = [
+        (1, "vector vector vector"),              # rel 3, short
+        (2, "vector vector vector " + "x " * 197),  # rel 3, long -> penalized
+        (3, "vector"),                            # rel 1, short
+        (4, "y y y y"),                           # rel 0
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    [r] = ndcg_retrieval_eval(spark, str(tmp_path)).collect()
+    assert r.query_term == "vector"
+
+    # independent replay
+    k1, b = 1.2, 0.75
+    dls = {1: 3, 2: 200, 3: 1, 4: 4}
+    tfs = {1: 3, 2: 3, 3: 1}
+    avgdl = sum(dls.values()) / 4
+    score = {
+        d: round(tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[d] / avgdl)), 6)
+        for d, tf in tfs.items()
+    }
+    rel = {d: min(tf, 3) for d, tf in tfs.items()}
+    run = sorted(rel, key=lambda d: (-score[d], d))
+    ideal = sorted(rel, key=lambda d: (-rel[d], d))
+    w = [1.0 / math.log2(i + 2) for i in range(10)]
+    dcg = sum(((1 << rel[d]) - 1) * w[i] for i, d in enumerate(run))
+    idcg = sum(((1 << rel[d]) - 1) * w[i] for i, d in enumerate(ideal))
+    assert run != ideal  # the reordering actually happened
+    assert r.ndcg_micro == math.floor(dcg / idcg * 1e6)
+    assert r.ndcg_micro < 1_000_000
