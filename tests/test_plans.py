@@ -545,3 +545,16 @@ def test_item_cf_partitioned_topk_uses_window_group_limit(plans):
     TakeOrderedAndProject instead)."""
     p = plans("item_cf_cosine")
     assert "WindowGroupLimit" in p
+
+
+def test_kn_topk_is_take_ordered_and_totals_broadcast(plans):
+    p = plans("kneser_ney_bigrams")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p  # the scalar B total never shuffles
+
+
+def test_url_canonical_is_single_aggregate(plans):
+    """The normalizer is map-side string work: exactly one exchange
+    (the canonical-key hash aggregate)."""
+    p = plans("url_canonical_dedup")
+    assert p.count("Exchange hashpartitioning") == 1

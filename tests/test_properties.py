@@ -1003,3 +1003,48 @@ def test_rake_matches_independent_mirror(spark, docs):
         }
     # top-50 cap can't bite: tiny corpora have < 50 distinct phrases
     assert got == want
+
+
+# ------------- LZW codec duals: GIF (LSB/late) and TIFF (MSB/early)
+
+_lzw_payloads = st.binary(min_size=0, max_size=2000)
+
+
+@given(data=_lzw_payloads)
+@settings(max_examples=300, deadline=None)
+def test_gif_lzw_roundtrips_arbitrary_bytes(data):
+    from etl_knlp_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+
+
+@given(data=_lzw_payloads)
+@settings(max_examples=300, deadline=None)
+def test_tiff_lzw_roundtrips_arbitrary_bytes(data):
+    from etl_knlp_spark.operators.multimodal import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    assert _lzw_decode_tiff(_lzw_encode_tiff(data)) == data
+
+
+@given(data=st.binary(min_size=1, max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_gif_and_bmp_and_tiff_pixel_roundtrip(data):
+    """The three forward duals and decoders agree on arbitrary pixel
+    rows — any convention drift in ONE codec pair shows up as a
+    cross-codec disagreement here even if that pair is self-consistent."""
+    from etl_knlp_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_gif,
+        _decode_tiff,
+        _encode_bmp_gray8,
+        _encode_gif_gray,
+        _encode_tiff_gray8,
+    )
+
+    g = bytes(_decode_gif(_encode_gif_gray(data))[0, :, 0])
+    b = bytes(_decode_bmp(_encode_bmp_gray8(data))[0, :, 0])
+    t = bytes(_decode_tiff(_encode_tiff_gray8(data, lzw=True, predictor=True))[0, :, 0])
+    assert g == b == t == data
