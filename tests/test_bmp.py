@@ -67,3 +67,18 @@ def test_decode_media_routes_bmp():
     assert bytes(arr[0, :, 0]) == b"route bmp"
     arr2 = decode_media(payload, "image/unknown")
     assert (arr2 == arr).all()
+
+
+def test_malformed_inputs_raise_cleanly():
+    import struct
+
+    import pytest
+
+    good = _encode_bmp_gray8(b"abc")
+    with pytest.raises(ValueError, match="not a BMP"):
+        _decode_bmp(b"XX" + good[2:])
+    # RLE8 compression flag -> explicit refusal
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 30, 1)
+    with pytest.raises(NotImplementedError, match="compression"):
+        _decode_bmp(bytes(bad))

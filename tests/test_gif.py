@@ -149,3 +149,23 @@ def test_hand_packed_width_growth_timing():
     lzw = _pack_codes(codes, lambda i: 9 if i <= 255 else 10)
     out = _lzw_decode(lzw, 8)
     assert out == bytes(range(256)) + b"\x0a"
+
+
+def test_malformed_inputs_raise_cleanly():
+    """Corrupt payloads raise ValueError/NotImplementedError with a
+    diagnosable message — never an IndexError deep in the bit reader."""
+    import pytest
+
+    good = _encode_gif_gray(b"abc")
+    with pytest.raises(ValueError, match="not a GIF"):
+        _decode_gif(b"NOPE" + good[4:])
+    # unknown block type where the image descriptor should be
+    bad = bytearray(good)
+    bad[6 + 7 + 768] = 0x7F
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        _decode_gif(bytes(bad))
+    # LZW stream truncated mid-image -> short output detected
+    idx = good.index(b"\x2c")
+    trunc = good[: idx + 9 + 1 + 2]  # descriptor + mcs + 1 byte of data
+    with pytest.raises((ValueError, IndexError)):
+        _decode_gif(bytes(trunc) + b"\x00\x3b")

@@ -96,3 +96,23 @@ def test_pillow_conformance_if_available():
     img = PIL.open(io.BytesIO(_encode_tiff_gray8(data, lzw=True, predictor=True)))
     got = np.asarray(img)
     assert bytes(got.reshape(-1)) == data
+
+
+def test_malformed_inputs_raise_cleanly():
+    import pytest
+
+    good = _encode_tiff_gray8(b"abc")
+    with pytest.raises(ValueError, match="not a TIFF"):
+        _decode_tiff(b"XXXX" + good[4:])
+    # unsupported compression tag value
+    bad = bytearray(good)
+    # tag 259 (compression) short value lives 8 bytes into its entry;
+    # find it by scanning the IFD
+    import struct
+    n = struct.unpack_from("<H", bad, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", bad, off)[0] == 259:
+            struct.pack_into("<H", bad, off + 8, 7)  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError, match="compression"):
+        _decode_tiff(bytes(bad))
