@@ -100,9 +100,14 @@ _STALE_SINCE: dict[str, int] = {
     "eval_prf_summary": 7,
     # round 7 split the prefix join into the jaccard_prefix_pairs
     # helper and added its pre-flight candidate-budget guard (refuses
-    # Σ prefix-df² over 2^31 — the 100× adversarial probe regime);
-    # output identical at graded SFs, function source changed.
-    "dedup_jaccard_prefix": 7,
+    # Σ prefix-df² over 2^31); round 8 session 4 then added the PPJoin
+    # positional filter between the prefix self-join and the gram-set
+    # verify (37% fewer candidates, 1.38× wall at sf0.1) — output
+    # provably identical both times, function source changed. (r9
+    # verdict: these were two duplicate dict keys, 7 then 8 — Python
+    # kept the stricter 8, but test_stale_since_has_no_duplicate_keys
+    # now guards the pattern mechanically.)
+    "dedup_jaccard_prefix": 8,
     # round 7 (same session as registration): the oracle CTE chain
     # gained the word column (bpe_tokenize shares it), then the merge
     # stage was rebuilt as leftmost-iterated substitution after the
@@ -149,11 +154,6 @@ _STALE_SINCE: dict[str, int] = {
     "suffix_array": 8,
     "suffix_lcp": 8,
     "embedding_jl_projection": 8,
-    # round 8 session 4: PPJoin positional filter added between the
-    # prefix self-join and the gram-set verify (37% fewer candidates,
-    # 1.38× wall at sf0.1) — output provably identical (the filter
-    # removes only pairs the verify rejects), function source changed.
-    "dedup_jaccard_prefix": 8,
     # round 8 session 4: both blocked name joins share
     # _blocked_name_sides with its pre-flight pair budget (measured
     # 100.9M-pair refusal on the 10× duplicated-parts probe) — output
@@ -197,23 +197,115 @@ _STALE_SINCE: dict[str, int] = {
     # the exact quarter-rank sums mid-aggregate (output identical at
     # graded SFs, guard inert there).
     "ab_test_wilson": 9,
-    "spearman_corr": 9,
+    # round 10 (r9 ADVICE items 4+5): both rank-correlation kernels and
+    # their oracles now filter k IS NOT NULL symmetrically (np.sign over
+    # NaN-cast-to-int8 was undefined while the oracle CASE treated NULL
+    # comparisons as ties), and kendall_tau emits NULL tau_b when a
+    # stratum's values or keys are all tied (kernel if-check + oracle
+    # NULLIF) instead of kernel-NaN-vs-oracle-division divergence —
+    # guards inert on graded-SF data (k is never NULL there, no all-tied
+    # strata), but the oracle strings changed.
+    "spearman_corr": 10,
+    "kendall_tau": 10,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
-# else. The never-evidenced pool has outgrown the per-round budget
-# (flagship + 49), so within it, queries that have WAITED — flagged
-# missing by a previous round's verdict — outrank queries registered
-# this round (which can take the following round's slots). Prune
-# entries once their green row lands.
-_SWEEP_PRIORITY: set[str] = {
-    # (The r7 priority cohort — kanon_release/eval_prf_summary/
-    # bpe_*/hybrid_*/bm25_pruned/dedup_substring*/warc+avro_roundtrip
-    # — all landed green rows in the r7 sweep and were pruned. Round 8
-    # adds only `similarity_pq_pruned`, which the never-evidenced tier
-    # already fronts without a priority entry; the rest of the r8
-    # window should flow to the r2–r4 evidence tier per verdict #1.)
+# else: name -> round N, meaning "outrank ALL other tiers until a
+# valid green row at round >= N exists". Entries are SELF-PRUNING —
+# once the driver lands the demanded row, the entry deactivates and
+# the query rejoins the normal stalest-first rotation (no r11 edit
+# needed for the entry to stop hogging the window; stale comments can
+# be cleaned up at leisure). Insertion order IS the priority order
+# within the tier (dicts preserve it; the 50-query window cuts the
+# list wherever the budget runs out, and the cut tail simply fronts
+# the NEXT round's window).
+#
+# Round 10 (r9 verdict #1 + #6): the entire window goes to the
+# evidence-latency debt — the 62 queries whose freshest driver row is
+# round 3/4. The stalest-first rotation already fronts most of these;
+# the explicit entries pin the cohort against surprises (an
+# environment-epoch flip or a mid-session invalidation reshuffling the
+# order) and let us curate WHO waits when 64 candidates meet 50 slots
+# (the 9 TPC-H pure-SQL shapes and the layout tail wait — lowest
+# re-verification risk — rather than the streaming cohort or the
+# flagship). Demanded round for all entries: 10.
+_SWEEP_PRIORITY: dict[str, int] = {
+    # -- invalidated this round (r9 ADVICE fixes; no valid rows left) --
+    "kendall_tau": 10,
+    "spearman_corr": 10,
+    # -- freshest evidence round 3 --
+    "approx_percentile_sketch": 10,
+    "layout_bucketed_join": 10,
+    "layout_zorder": 10,
+    "time_travel_read": 10,
+    "compact_small_files": 10,
+    "q6_forecast_revenue": 10,
+    "q18_large_orders": 10,
+    "q4_priority_check": 10,
+    "q7_nation_trade": 10,
+    "q12_late_priority": 10,
+    "q13_order_distribution": 10,
+    "q14_promo_share": 10,
+    "q17_small_quantity": 10,
+    "q19_disjunctive_filter": 10,
+    "q21_waiting_suppliers": 10,
+    # -- the flagship (r9 verdict #6: entry() smoke runs every round
+    #    but is not hash-checked; its freshest hash row is r4) --
+    "q1_dimension_build": 10,
+    # -- freshest evidence round 4: SURVEY-§2 table rows + streaming --
+    "udaf_geomean": 10,
+    "stream_dedup_watermark": 10,
+    "stream_stateful_totals": 10,
+    "cdc_merge": 10,
+    "stream_stream_join": 10,
+    "stream_stream_outer_join": 10,
+    "stream_static_enrich": 10,
+    "stream_topk_trending": 10,
+    "rollup_hierarchical_time": 10,
+    "recursive_cte": 10,
+    # -- freshest evidence round 4: the rest, registration order --
+    "pii_scrub": 10,
+    "ngram_freq": 10,
+    "embedding_centroid": 10,
+    "doc_quality_filter": 10,
+    "token_histogram": 10,
+    "cogrouped_map_enrich": 10,
+    "sessionize_batch": 10,
+    "attribution_last_touch": 10,
+    "timeseries_gapfill": 10,
+    "multimodal_resize": 10,
+    "ivm_aggregate": 10,
+    "join_full_outer": 10,
+    "except_all_rows": 10,
+    "intersect_all_rows": 10,
+    "sample_reservoir": 10,
+    "bitmap_distinct": 10,
+    "html_strip": 10,
+    "text_normalize": 10,
+    "url_domain_counts": 10,
+    "shuffle_shard": 10,
+    "map_ops": 10,
+    "agg_skew_salted": 10,
+    "lateral_join": 10,
+    # -- the cut tail (waits for r11's window if the budget runs out
+    #    here; all pure-plan shapes with the lowest re-verify risk) --
+    "layout_partition_prune": 10,
+    "scan_agg_pushdown": 10,
+    "layout_dpp_join": 10,
+    "runtime_bloom_join": 10,
+    "q22_idle_balances": 10,
+    "q1_pricing_summary": 10,
+    "q2_min_cost_supplier": 10,
+    "q8_market_share": 10,
+    "q9_product_profit": 10,
+    "q11_revenue_concentration": 10,
+    "q15_top_supplier": 10,
+    "q16_supplier_part_types": 10,
+    "q20_excess_suppliers": 10,
 }
+
+# Priority order within the tier = dict insertion order.
+_PRIORITY_INDEX: dict[str, int] = {n: i for i, n in enumerate(_SWEEP_PRIORITY)}
 
 # --- Environment-epoch staleness (round-5 verdict "Next round #2") ---
 #
@@ -348,12 +440,18 @@ def _sweep_order() -> list[str]:
                 else e.get("err") == "no_oracle" and e.get("spark_rows") is not None
             )
         ]
+        demanded = _SWEEP_PRIORITY.get(n)
+        if demanded is not None and not any(r >= demanded for r in valid):
+            # Priority-active: demanded evidence hasn't landed yet —
+            # outrank every other tier, in dict insertion order. Once
+            # the driver records the demanded round, the entry
+            # deactivates by itself and the query falls through to the
+            # normal tiers below (self-pruning).
+            return (0, _PRIORITY_INDEX[n])
         if valid:
             # Evidenced: re-verify stalest first so cumulative coverage
             # stays fresh across rounds.
             return (3, max(valid))
-        if n in _SWEEP_PRIORITY:
-            return (0, 0)
         # Ran but never validly evidenced (ERR row, or rows-only row for
         # a query that has since gained an oracle) before never-ran: a
         # recorded failure is the more urgent signal.
