@@ -1105,6 +1105,7 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, value,
              CAST(json_extract(props, '$.k') AS BIGINT) AS k
       FROM events WHERE value IS NOT NULL
+        AND CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
     ), ranked AS (
       SELECT event_type,
              RANK() OVER (PARTITION BY event_type ORDER BY value) AS rv_min,
@@ -1151,12 +1152,23 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     at a coarser grain (halves the cube per bit), pre-aggregate to
     (value, k) frequency pairs, or split groups by a co-key.
 
+    NULL contract (r9 ADVICE #4): rows with a NULL k are excluded
+    SYMMETRICALLY on both engines (Spark ranks nulls first, DuckDB
+    last, so a null surviving into the rank window would silently
+    desync the rank bases) — the guard is explicit rather than
+    generator-dependent.
+
     Scale shape: two rank windows + one running count, all partitioned
     on event_type; one 5-row aggregate."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    sizes = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    base = e.select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    ).filter(F.col("k").isNotNull())
+    sizes = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     n_max = max((r["n"] for r in sizes), default=0)
     if n_max > (1 << 20):
         raise RuntimeError(
@@ -1166,11 +1178,6 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pre-aggregate to (value, k) frequency pairs, or split the "
             "group by a co-key."
         )
-    base = e.select(
-        "event_type",
-        "value",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
-    )
     wt = Window.partitionBy("event_type")
     ranked = base.select(
         "event_type",
@@ -1214,6 +1221,7 @@ _KENDALL_PREFIX = 4096  # deterministic per-type sample: bounds BOTH
              ROW_NUMBER() OVER (PARTITION BY event_type
                                 ORDER BY ts, event_id) AS rn
       FROM events WHERE value IS NOT NULL
+        AND CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
     ), pre AS (
       SELECT * FROM base WHERE rn <= {_KENDALL_PREFIX}
     ), pairs AS (
@@ -1238,8 +1246,8 @@ _KENDALL_PREFIX = 4096  # deterministic per-type sample: bounds BOTH
            CAST(p.cmd AS BIGINT) AS c_minus_d,
            CAST(p.n0 AS BIGINT) AS n_pairs,
            ROUND(CAST(p.cmd AS DOUBLE)
-                 / sqrt(CAST((p.n0 - xt.n1) AS DOUBLE)
-                        * CAST((p.n0 - yt.n2) AS DOUBLE)), 6) AS tau_b
+                 / sqrt(CAST(NULLIF(p.n0 - xt.n1, 0) AS DOUBLE)
+                        * CAST(NULLIF(p.n0 - yt.n2, 0) AS DOUBLE)), 6) AS tau_b
     FROM pairs p
     JOIN xt ON xt.event_type = p.event_type
     JOIN yt ON yt.event_type = p.event_type
@@ -1258,7 +1266,15 @@ def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     nowhere near overflow); tau-b is one cast+mult+sqrt+div at the
     end — the Spearman recipe again. The Arrow kernel computes the
     sign matrix in 512-row blocks (bounded memory); the oracle is
-    the genuinely independent quadratic pair JOIN."""
+    the genuinely independent quadratic pair JOIN.
+
+    NULL/degenerate contract (r9 ADVICE #4+#5): rows with a NULL k
+    are excluded symmetrically on both engines BEFORE the prefix
+    row_number (np.sign over NaN-cast-to-int is undefined; the
+    oracle's CASE treated NULL comparisons as ties), and a stratum
+    whose values or keys are ALL tied emits tau_b = NULL on both
+    sides (kernel if-check, oracle NULLIF) instead of kernel
+    0/0-NaN vs oracle-division divergence."""
     import numpy as np
     import pandas as pd
 
@@ -1274,6 +1290,7 @@ def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
             "event_id",
         )
+        .filter(F.col("k").isNotNull())
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KENDALL_PREFIX)
     )
@@ -1297,13 +1314,18 @@ def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         _, cy = np.unique(y, return_counts=True)
         n1 = int((cx * (cx - 1) // 2).sum())
         n2 = int((cy * (cy - 1) // 2).sum())
-        tau = float(cmd) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+        if n0 == n1 or n0 == n2:
+            # all values (or all keys) tied: tau-b is 0/0 — NULL, not
+            # NaN, matching the oracle's NULLIF'd denominator
+            tau = None
+        else:
+            tau = round(float(cmd) / np.sqrt(float(n0 - n1) * float(n0 - n2)), 6)
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "c_minus_d": [cmd],
                 "n_pairs": [n0],
-                "tau_b": [round(tau, 6)],
+                "tau_b": [tau],
             }
         )
 

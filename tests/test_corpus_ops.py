@@ -1290,6 +1290,122 @@ def test_target_encode_loo_excludes_own_row(spark, tmp_path):
     assert got[9] == (glob, False)
 
 
+def _duckdb_events_oracle(query_name: str, events_dir: str):
+    """Run a registered query's DuckDB oracle against a planted
+    events parquet directory (the driver's comparison, in miniature)."""
+    import duckdb
+
+    from etl_knlp_spark import registry
+
+    registry._load_all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{events_dir}/*.parquet'"
+    )
+    return con.execute(registry._REGISTRY[query_name].oracle).fetchdf()
+
+
+def test_kendall_tau_null_k_and_all_tied_contract(spark, tmp_path):
+    """r9 ADVICE #4+#5 pinned: rows with NULL props.k are excluded
+    SYMMETRICALLY before the prefix row_number (not fed to np.sign as
+    NaN), and an all-tied stratum (all values equal, or all keys
+    equal) yields tau_b = NULL on BOTH engines instead of kernel-NaN
+    vs oracle-division divergence. Cross-engine: the Spark result and
+    the registered DuckDB oracle replayed on the same planted
+    parquet."""
+    import datetime
+    import json
+    import math
+
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.stats import kendall_tau
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # "mix": 6 valid rows (concordant) + 3 NULL-k rows interleaved
+    # EARLY in (ts, event_id) order — if the null rows weren't dropped
+    # before the prefix row_number, they'd displace valid rows AND
+    # poison the sign kernel.
+    for i in range(6):
+        rows.append(Row(event_id=i * 2, ts=t0 + datetime.timedelta(seconds=i),
+                        user_id=1, event_type="mix", value=float(i),
+                        props=json.dumps({"k": i * 7})))
+    for i in range(3):
+        rows.append(Row(event_id=i * 2 + 1, ts=t0 + datetime.timedelta(seconds=i),
+                        user_id=1, event_type="mix", value=99.0 - i,
+                        props="{}"))  # no k key -> NULL
+    # "allv": every value tied (n0 == n1) -> tau_b NULL
+    for i in range(5):
+        rows.append(Row(event_id=100 + i, ts=t0 + datetime.timedelta(seconds=i),
+                        user_id=1, event_type="allv", value=2.0,
+                        props=json.dumps({"k": i})))
+    # "allk": every k tied (n0 == n2) -> tau_b NULL
+    for i in range(5):
+        rows.append(Row(event_id=200 + i, ts=t0 + datetime.timedelta(seconds=i),
+                        user_id=1, event_type="allk", value=float(i),
+                        props=json.dumps({"k": 42})))
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+
+    got = {r.event_type: r for r in kendall_tau(spark, str(tmp_path)).collect()}
+    # null-k rows excluded: 6 valid rows -> C(6,2)=15 pairs, perfectly
+    # concordant
+    assert got["mix"].n_pairs == 15
+    assert got["mix"].c_minus_d == 15
+    assert got["mix"].tau_b == 1.0
+    # all-tied strata: NULL tau_b, zero C-D
+    assert got["allv"].c_minus_d == 0 and got["allv"].tau_b is None
+    assert got["allk"].c_minus_d == 0 and got["allk"].tau_b is None
+
+    oracle = _duckdb_events_oracle(
+        "kendall_tau", f"{tmp_path}/events.parquet"
+    ).set_index("event_type")
+    for et in ("mix", "allv", "allk"):
+        assert int(oracle.loc[et, "n_pairs"]) == got[et].n_pairs
+        assert int(oracle.loc[et, "c_minus_d"]) == got[et].c_minus_d
+        o_tau = oracle.loc[et, "tau_b"]
+        if got[et].tau_b is None:
+            assert pd.isna(o_tau)
+        else:
+            assert math.isclose(float(o_tau), got[et].tau_b, abs_tol=1e-9)
+
+
+def test_spearman_null_k_excluded_symmetrically(spark, tmp_path):
+    """r9 ADVICE #4 pinned for spearman: NULL-k rows are filtered on
+    both engines BEFORE ranking (Spark ranks nulls first, DuckDB last
+    — a surviving null would silently desync every rank in the
+    stratum). Cross-engine on planted parquet."""
+    import datetime
+    import json
+    import math
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.stats import spearman_corr
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(event_id=i, ts=t0 + datetime.timedelta(seconds=i), user_id=1,
+            event_type="view", value=float(i), props=json.dumps({"k": i * 3}))
+        for i in range(8)
+    ]
+    # null-k rows whose VALUES would re-rank everything if retained
+    rows += [
+        Row(event_id=50 + i, ts=t0, user_id=1, event_type="view",
+            value=-100.0 + i, props="{}")
+        for i in range(4)
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/events.parquet")
+    got = {r.event_type: r.rho for r in spearman_corr(spark, str(tmp_path)).collect()}
+    # on the 8 surviving rows the series is strictly monotone
+    assert got["view"] == 1.0
+    oracle = _duckdb_events_oracle(
+        "spearman_corr", f"{tmp_path}/events.parquet"
+    ).set_index("event_type")
+    assert math.isclose(float(oracle.loc["view", "rho"]), 1.0, abs_tol=1e-9)
+
+
 def test_ndcg_penalizes_normalization_reordering(spark, tmp_path):
     """A long document with the same relevance grade gets length-
     penalized below a short low-grade one, so the run deviates from
