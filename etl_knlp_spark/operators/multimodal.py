@@ -2009,6 +2009,19 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared result shape for every codec's corpus hash gate
+# (multimodal_decode/webp/gif/tiff/bmp/...): the Spark side encodes the
+# UTF-8 BYTES of each document's first 64 CHARACTERS
+# (encode(substring(text, 1, 64))) while the DuckDB oracle recomputes
+# mean_px from the first 64 CODEPOINTS (ascii(substr(text, i, 1))).
+# These agree iff the prefix is pure ASCII (1 byte == 1 codepoint ==
+# ascii() value) — an EXPLICIT ASSUMPTION on the driver's synthetic
+# documents table (r9 ADVICE #3), pinned mechanically by
+# tests/test_multimodal.py::test_graded_documents_prefix_is_ascii so a
+# generator change surfaces as a red test naming this contract, not an
+# unexplained driver hash mismatch. A non-ASCII corpus would need
+# octet_length(text) = length(text) filters on BOTH sides (or byte-
+# level oracles); the synthetic corpus makes that dead weight today.
 DECODE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -2824,21 +2837,36 @@ def _decode_gif(payload: bytes):
     """Decode the first image of a GIF87a/89a file to (h, w, 3) uint8.
     Extension blocks (incl. GCE — transparency is ignored, the frame
     decodes to its palette colors) are skipped; interlaced images are
-    de-interlaced; local color tables override the global one."""
+    de-interlaced; local color tables override the global one.
+
+    Truncation contract (r9 ADVICE #1): every scalar/slice read is
+    bounds-checked and raises ValueError('truncated GIF …'), matching
+    the PNG decoder's hardened short-chunk behavior — a cut-off
+    payload must never surface as a bare IndexError."""
     import numpy as np
+
+    def at(i: int) -> int:
+        if i >= len(payload):
+            raise ValueError("truncated GIF: read past end of payload")
+        return payload[i]
+
+    def take(start: int, n: int, what: str) -> bytes:
+        if start + n > len(payload):
+            raise ValueError(f"truncated GIF: {what} cut off")
+        return payload[start : start + n]
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     pos = 6
-    packed = payload[pos + 4]
+    packed = at(pos + 4)
     gct_flag = packed >> 7
     gct_n = 2 << (packed & 7)
     pos += 7  # LSD
     gct = None
     if gct_flag:
-        gct = np.frombuffer(payload[pos : pos + 3 * gct_n], dtype=np.uint8).reshape(
-            gct_n, 3
-        )
+        gct = np.frombuffer(
+            take(pos, 3 * gct_n, "global color table"), dtype=np.uint8
+        ).reshape(gct_n, 3)
         pos += 3 * gct_n
     while pos < len(payload):
         block = payload[pos]
@@ -2847,32 +2875,32 @@ def _decode_gif(payload: bytes):
             break
         if block == 0x21:  # extension: label + sub-blocks
             pos += 1
-            while payload[pos]:
+            while at(pos):
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-        iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
-        ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
-        ipacked = payload[pos + 8]
+        iw = int.from_bytes(take(pos + 4, 2, "image descriptor"), "little")
+        ih = int.from_bytes(take(pos + 6, 2, "image descriptor"), "little")
+        ipacked = at(pos + 8)
         pos += 9
         interlaced = bool(ipacked & 0x40)
         pal = gct
         if ipacked >> 7:  # local color table
             lct_n = 2 << (ipacked & 7)
             pal = np.frombuffer(
-                payload[pos : pos + 3 * lct_n], dtype=np.uint8
+                take(pos, 3 * lct_n, "local color table"), dtype=np.uint8
             ).reshape(lct_n, 3)
             pos += 3 * lct_n
         if pal is None:
             raise ValueError("GIF image with no color table")
-        mcs = payload[pos]
+        mcs = at(pos)
         pos += 1
         chunks = []
-        while payload[pos]:
+        while at(pos):
             ln = payload[pos]
-            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            chunks.append(take(pos + 1, ln, "image data sub-block"))
             pos += 1 + ln
         pos += 1
         idx = np.frombuffer(
@@ -3010,12 +3038,17 @@ def _decode_bmp(payload: bytes):
         n = n_colors or (1 << bpp)
         pal_off = 14 + hdr_size
         raw = np.frombuffer(payload[pal_off : pal_off + 4 * n], dtype=np.uint8)
+        if raw.size != 4 * n:
+            raise ValueError("truncated BMP: color table cut off")
         pal = raw.reshape(n, 4)[:, [2, 1, 0]]  # BGRA -> RGB
     row_bytes = (w * bpp + 7) // 8
     stride = (row_bytes + 3) & ~3  # rows pad to 4 bytes
-    rows = np.frombuffer(
+    raw_px = np.frombuffer(
         payload[data_off : data_off + stride * h], dtype=np.uint8
-    ).reshape(h, stride)[:, :row_bytes]
+    )
+    if raw_px.size != stride * h:
+        raise ValueError("truncated BMP: pixel array cut off")
+    rows = raw_px.reshape(h, stride)[:, :row_bytes]
     if not top_down:
         rows = rows[::-1]
     if bpp == 24:
@@ -3028,6 +3061,14 @@ def _decode_bmp(payload: bytes):
         shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * bpp
         expanded = (rows[:, :, None] >> shifts[None, None, :]) & ((1 << bpp) - 1)
         idx = expanded.reshape(h, -1)[:, :w]
+    # r9 ADVICE #2: a pixel index past a short declared palette must be
+    # a ValueError (the PNG palette-index guard), not numpy IndexError
+    top = int(idx.max(initial=0))
+    if top >= pal.shape[0]:
+        raise ValueError(
+            f"BMP pixel index {top} exceeds the {pal.shape[0]}-entry "
+            "color table"
+        )
     return pal[idx]
 
 
@@ -3236,6 +3277,11 @@ def _decode_tiff(payload: bytes):
         voff = off + 8 if total <= 4 else struct.unpack_from(bo + "I", payload, off + 8)[0]
         fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
         tags[tag] = list(struct.unpack_from(bo + str(cnt) + fmt, payload, voff))
+    # r9 ADVICE #2: a malformed IFD missing a required tag must raise
+    # the documented ValueError, not a bare KeyError
+    for required in (256, 257, 273, 279):
+        if required not in tags:
+            raise ValueError(f"TIFF missing required IFD tag {required}")
     w = tags[256][0]
     h = tags[257][0]
     bps = tags.get(258, [8])

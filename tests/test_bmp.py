@@ -82,3 +82,32 @@ def test_malformed_inputs_raise_cleanly():
     struct.pack_into("<I", bad, 30, 1)
     with pytest.raises(NotImplementedError, match="compression"):
         _decode_bmp(bytes(bad))
+
+
+def test_pixel_index_past_short_palette_raises_valueerror():
+    """r9 ADVICE #2: a pixel index beyond the declared color-table
+    length must be the documented ValueError (the PNG palette-index
+    guard), not numpy IndexError from pal[idx]. Shrink the declared
+    biClrUsed to 8 entries while the pixels index 'a'..'c' (97..99)."""
+    import struct
+
+    import pytest
+
+    bad = bytearray(_encode_bmp_gray8(b"abc"))
+    struct.pack_into("<I", bad, 46, 8)  # biClrUsed: 256 -> 8
+    with pytest.raises(ValueError, match="exceeds the 8-entry color table"):
+        _decode_bmp(bytes(bad))
+
+
+def test_truncated_palette_and_pixels_raise_valueerror():
+    """Truncation at the color table or the pixel array stays inside
+    the ValueError contract with a message naming the cut."""
+    import pytest
+
+    good = _encode_bmp_gray8(b"abcdef")
+    # cut inside the 1024-byte palette
+    with pytest.raises(ValueError, match="color table cut off"):
+        _decode_bmp(good[: 14 + 40 + 100])
+    # cut inside the pixel rows (keep palette intact)
+    with pytest.raises(ValueError, match="pixel array cut off"):
+        _decode_bmp(good[:-3])

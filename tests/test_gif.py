@@ -153,7 +153,9 @@ def test_hand_packed_width_growth_timing():
 
 def test_malformed_inputs_raise_cleanly():
     """Corrupt payloads raise ValueError/NotImplementedError with a
-    diagnosable message — never an IndexError deep in the bit reader."""
+    diagnosable message — NEVER an IndexError deep in the walk (r9
+    ADVICE #1 hardened the sub-block/extension reads to the PNG
+    decoder's truncation contract, so this pins plain ValueError)."""
     import pytest
 
     good = _encode_gif_gray(b"abc")
@@ -164,8 +166,40 @@ def test_malformed_inputs_raise_cleanly():
     bad[6 + 7 + 768] = 0x7F
     with pytest.raises(ValueError, match="unknown GIF block"):
         _decode_gif(bytes(bad))
-    # LZW stream truncated mid-image -> short output detected
+    # LZW stream truncated mid-image: the first sub-block's declared
+    # length overruns the remaining bytes -> ValueError, not IndexError
     idx = good.index(b"\x2c")
     trunc = good[: idx + 9 + 1 + 2]  # descriptor + mcs + 1 byte of data
-    with pytest.raises((ValueError, IndexError)):
+    with pytest.raises(ValueError, match="truncated GIF"):
         _decode_gif(bytes(trunc) + b"\x00\x3b")
+
+
+def test_truncation_raises_valueerror_at_every_walk_stage():
+    """Cutting the payload at each structural stage (header, color
+    table, extension walk, image data) stays inside the ValueError
+    contract — the exact r9 ADVICE #1 finding (payload[pos] reads in
+    the extension/sub-block walk used to escape as IndexError)."""
+    import pytest
+
+    good = _encode_gif_gray(b"hello world")
+    # 1. header cut before the LSD packed byte
+    with pytest.raises(ValueError, match="truncated GIF"):
+        _decode_gif(good[:8])
+    # 2. global color table cut off mid-way
+    with pytest.raises(ValueError, match="truncated GIF"):
+        _decode_gif(good[: 6 + 7 + 100])
+    # 3. extension introducer then EOF: the label/sub-block walk runs
+    # off the end (the ADVICE's exact repro shape)
+    hdr_no_gct = b"GIF89a" + (1).to_bytes(2, "little") * 2 + bytes([0x00, 0, 0])
+    with pytest.raises(ValueError, match="truncated GIF"):
+        _decode_gif(hdr_no_gct + b"\x21\xf9")
+    # 4. extension sub-block declares 200 bytes, payload ends first
+    with pytest.raises(ValueError, match="truncated GIF"):
+        _decode_gif(hdr_no_gct + b"\x21\xf9\xc8" + b"\x00" * 10)
+    # 5. image descriptor cut off after the separator
+    idx = good.index(b"\x2c")
+    with pytest.raises(ValueError, match="truncated GIF"):
+        _decode_gif(good[: idx + 3])
+    # and an UNCUT payload still decodes (the guards are inert on
+    # well-formed input)
+    assert _decode_gif(good).shape == (1, 11, 3)

@@ -1869,3 +1869,39 @@ def test_pitch_detects_period_on_synthetic_signal(spark, tmp_path):
     assert got[1].best_lag == 4
     # energy is the exact integer sum of squared codepoints
     assert got[0].energy == 32 * (ord("a") ** 2 + ord("z") ** 2)
+
+
+def test_graded_documents_prefix_is_ascii():
+    """The codec corpus gates (multimodal_decode/webp/gif/tiff/bmp/
+    pitch) encode the UTF-8 BYTES of each document's first 64
+    CHARACTERS while their DuckDB oracles recompute over the first 64
+    CODEPOINTS — the two agree iff the prefix is pure ASCII (r9 ADVICE
+    #3; documented at DECODE_STATS_SCHEMA). This pins the assumption
+    against the LIVE graded testdata, so a generator change that
+    introduces multi-byte characters fails HERE with the contract
+    named, instead of as an unexplained driver hash mismatch."""
+    import os
+
+    import duckdb
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        offenders = duckdb.sql(
+            f"""
+            SELECT count(*) FROM '{path}'
+            WHERE strlen(substr(text, 1, 64))
+                  <> length(substr(text, 1, 64))
+            """
+        ).fetchone()[0]
+        assert offenders == 0, (
+            f"{offenders} documents at {sf} have non-ASCII bytes in "
+            "their first-64-character prefix — the multimodal gate "
+            "oracles (codepoint-based) no longer match the Spark side "
+            "(byte-based); both sides need octet_length(text) = "
+            "length(text) filters (see DECODE_STATS_SCHEMA)"
+        )
+        checked += 1
+    assert checked, "no graded testdata found to pin the contract on"

@@ -116,3 +116,24 @@ def test_malformed_inputs_raise_cleanly():
             struct.pack_into("<H", bad, off + 8, 7)  # JPEG-in-TIFF
     with pytest.raises(NotImplementedError, match="compression"):
         _decode_tiff(bytes(bad))
+
+
+def test_missing_required_ifd_tag_raises_valueerror():
+    """r9 ADVICE #2: an IFD lacking a required tag (width 256, height
+    257, strip offsets 273, strip byte counts 279) must raise the
+    documented ValueError naming the tag — not a bare KeyError."""
+    import struct
+
+    import pytest
+
+    for missing in (256, 257, 273, 279):
+        bad = bytearray(_encode_tiff_gray8(b"abc"))
+        n = struct.unpack_from("<H", bad, 8)[0]
+        for i in range(n):
+            off = 10 + 12 * i
+            if struct.unpack_from("<H", bad, off)[0] == missing:
+                # retag as a private/unknown tag id: the entry parses
+                # but the required id is now absent
+                struct.pack_into("<H", bad, off, 65000)
+        with pytest.raises(ValueError, match=f"missing required IFD tag {missing}"):
+            _decode_tiff(bytes(bad))
