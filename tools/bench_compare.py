@@ -6,6 +6,16 @@ more than REGRESSION_X vs the previous round — so an edit that slows
 one plan 2x can't hide inside a flat suite total. Usage:
 
     python tools/bench_compare.py [prev.json curr.json]
+    python tools/bench_compare.py --vs-floors [curr.json]
+
+`--vs-floors` compares against tools/bench_floors.json — the
+per-query MINIMUM ever recorded on this host (BASELINE.md "round-10:
+per-query MIN_BASE floors"). This is the ambient-episode diagnostic
+(r9 verdict #4): outside-VM contention inflates every query
+UNIFORMLY, so a high wall total with a tight ratio spread around the
+median is ambient; a plan regression shows as outlier queries far
+above the median ratio. The mode prints the median floor-ratio and
+flags only queries > OUTLIER_X × median — judging floors, not walls.
 """
 
 from __future__ import annotations
@@ -20,6 +30,10 @@ REGRESSION_X = 1.5
 # queries faster than this in the baseline are dominated by per-query
 # fixed overhead (session dispatch, file listing) — ratio noise, not plan
 MIN_BASE_SEC = 0.4
+# --vs-floors: a query is suspicious only when its floor-ratio exceeds
+# this multiple of the suite's MEDIAN floor-ratio (uniform ambient
+# inflation moves the median, a plan regression moves one query)
+OUTLIER_X = 1.6
 
 
 def _round_files(root: str) -> list[str]:
@@ -30,6 +44,38 @@ def _round_files(root: str) -> list[str]:
     return sorted(glob.glob(os.path.join(root, "BENCH_r*.json")), key=round_no)
 
 
+def _vs_floors(curr: dict) -> int:
+    import statistics
+
+    floors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_floors.json")
+    with open(floors_path) as f:
+        floors = json.load(f)
+    ratios = {
+        q: t / floors[q]
+        for q, t in curr.get("queries", {}).items()
+        if q in floors and floors[q] >= MIN_BASE_SEC
+    }
+    if not ratios:
+        print("no floor-comparable queries (all below MIN_BASE_SEC)")
+        return 0
+    med = statistics.median(ratios.values())
+    print(
+        f"median floor-ratio {med:.2f}x over {len(ratios)} queries "
+        f"(1.0 = the best this host has ever run them; a uniform "
+        f"elevation is ambient contention, not a regression)"
+    )
+    outliers = sorted(
+        ((r, q) for q, r in ratios.items() if r > OUTLIER_X * med), reverse=True
+    )
+    for r, q in outliers:
+        print(f"  {q}: {r:.2f}x its floor ({r / med:.2f}x the median) <-- OUTLIER")
+    if outliers:
+        print(f"{len(outliers)} quer{'y' if len(outliers) == 1 else 'ies'} above {OUTLIER_X}x the median floor-ratio")
+        return 1
+    print("no per-query outlier vs floors")
+    return 0
+
+
 def main() -> int:
     def load(path: str) -> dict | None:
         with open(path) as f:
@@ -38,6 +84,23 @@ def main() -> int:
         # a crashed round records "parsed": null — unusable for comparison
         p = d.get("parsed", d)
         return p if isinstance(p, dict) and "value" in p else None
+
+    if "--vs-floors" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--vs-floors"]
+        if args:
+            curr = load(args[0])
+        else:
+            root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            usable = [(p, load(p)) for p in _round_files(root)]
+            usable = [(p, d) for p, d in usable if d is not None]
+            if not usable:
+                print("no usable bench file")
+                return 1
+            _, curr = usable[-1]
+        if curr is None:
+            print("bench file has no parsed result")
+            return 1
+        return _vs_floors(curr)
 
     if len(sys.argv) == 3:
         prev_path, curr_path = sys.argv[1], sys.argv[2]
