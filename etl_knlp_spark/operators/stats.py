@@ -1212,6 +1212,50 @@ _KENDALL_PREFIX = 4096  # deterministic per-type sample: bounds BOTH
 # the kernel's O(n^2) sign matrix and the oracle's pair join at any SF
 
 
+def _kendall_tau_kernel(pdf):
+    """tau-b for one event_type group (columns: event_type, value, k —
+    k pre-filtered non-null). Module-level so the hypothesis property
+    (test_properties.py) drives the EXACT production kernel against an
+    independent O(n²) mirror. C−D and the tie corrections are exact
+    integers; the 512-row sign-matrix blocks bound memory; an all-tied
+    stratum (n0==n1 or n0==n2) emits NULL tau_b, the oracle's NULLIF."""
+    import numpy as np
+    import pandas as pd
+
+    x = pdf["value"].to_numpy()
+    y = pdf["k"].to_numpy()
+    n = len(x)
+    cmd = 0
+    for lo in range(0, n, 512):
+        hi = min(lo + 512, n)
+        sx = np.sign(x[lo:hi, None] - x[None, :]).astype(np.int8)
+        sy = np.sign(y[lo:hi, None] - y[None, :]).astype(np.int8)
+        prod = (sx.astype(np.int32) * sy).sum(axis=1)
+        # full-matrix sum counts each unordered pair twice and the
+        # zero diagonal never contributes
+        cmd += int(prod.sum())
+    cmd //= 2
+    n0 = n * (n - 1) // 2
+    _, cx = np.unique(x, return_counts=True)
+    _, cy = np.unique(y, return_counts=True)
+    n1 = int((cx * (cx - 1) // 2).sum())
+    n2 = int((cy * (cy - 1) // 2).sum())
+    if n0 == n1 or n0 == n2:
+        # all values (or all keys) tied: tau-b is 0/0 — NULL, not
+        # NaN, matching the oracle's NULLIF'd denominator
+        tau = None
+    else:
+        tau = round(float(cmd) / np.sqrt(float(n0 - n1) * float(n0 - n2)), 6)
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "c_minus_d": [cmd],
+            "n_pairs": [n0],
+            "tau_b": [tau],
+        }
+    )
+
+
 @query(
     "kendall_tau",
     oracle=f"""
@@ -1275,9 +1319,6 @@ def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose values or keys are ALL tied emits tau_b = NULL on both
     sides (kernel if-check, oracle NULLIF) instead of kernel
     0/0-NaN vs oracle-division divergence."""
-    import numpy as np
-    import pandas as pd
-
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
@@ -1294,43 +1335,8 @@ def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KENDALL_PREFIX)
     )
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["value"].to_numpy()
-        y = pdf["k"].to_numpy()
-        n = len(x)
-        cmd = 0
-        for lo in range(0, n, 512):
-            hi = min(lo + 512, n)
-            sx = np.sign(x[lo:hi, None] - x[None, :]).astype(np.int8)
-            sy = np.sign(y[lo:hi, None] - y[None, :]).astype(np.int8)
-            prod = (sx.astype(np.int32) * sy).sum(axis=1)
-            # full-matrix sum counts each unordered pair twice and the
-            # zero diagonal never contributes
-            cmd += int(prod.sum())
-        cmd //= 2
-        n0 = n * (n - 1) // 2
-        _, cx = np.unique(x, return_counts=True)
-        _, cy = np.unique(y, return_counts=True)
-        n1 = int((cx * (cx - 1) // 2).sum())
-        n2 = int((cy * (cy - 1) // 2).sum())
-        if n0 == n1 or n0 == n2:
-            # all values (or all keys) tied: tau-b is 0/0 — NULL, not
-            # NaN, matching the oracle's NULLIF'd denominator
-            tau = None
-        else:
-            tau = round(float(cmd) / np.sqrt(float(n0 - n1) * float(n0 - n2)), 6)
-        return pd.DataFrame(
-            {
-                "event_type": [pdf["event_type"].iloc[0]],
-                "c_minus_d": [cmd],
-                "n_pairs": [n0],
-                "tau_b": [tau],
-            }
-        )
-
     return pre.groupBy("event_type").applyInPandas(
-        kernel,
+        _kendall_tau_kernel,
         "event_type string, c_minus_d long, n_pairs long, tau_b double",
     )
 

@@ -1048,3 +1048,56 @@ def test_gif_and_bmp_and_tiff_pixel_roundtrip(data):
     b = bytes(_decode_bmp(_encode_bmp_gray8(data))[0, :, 0])
     t = bytes(_decode_tiff(_encode_tiff_gray8(data, lzw=True, predictor=True))[0, :, 0])
     assert g == b == t == data
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=2,
+        max_size=80,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_kendall_kernel_matches_brute_force_mirror(pairs):
+    """The production tau-b kernel (blocked sign-matrix, exact-integer
+    C−D and tie corrections, NULL on all-tied strata) must equal the
+    textbook O(n²) pair walk on arbitrary small-domain integer pairs —
+    tiny domains force heavy ties, the regime where tau-b's
+    corrections and the r10 degenerate guard actually bite. Pure
+    pandas, no Spark, so hundreds of examples are free."""
+    import math
+
+    import pandas as pd
+
+    from etl_knlp_spark.operators.stats import _kendall_tau_kernel
+
+    xs = [float(a) for a, _ in pairs]
+    ys = [b for _, b in pairs]
+    got = _kendall_tau_kernel(
+        pd.DataFrame({"event_type": "t", "value": xs, "k": ys})
+    ).iloc[0]
+
+    n = len(pairs)
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (xs[i] - xs[j]) * (ys[i] - ys[j])
+            c += s > 0
+            d += s < 0
+    n0 = n * (n - 1) // 2
+    n1 = sum(
+        m * (m - 1) // 2 for m in pd.Series(xs).value_counts().tolist()
+    )
+    n2 = sum(
+        m * (m - 1) // 2 for m in pd.Series(ys).value_counts().tolist()
+    )
+    assert got["c_minus_d"] == c - d
+    assert got["n_pairs"] == n0
+    if n0 == n1 or n0 == n2:
+        assert got["tau_b"] is None or pd.isna(got["tau_b"])
+    else:
+        want = round((c - d) / math.sqrt((n0 - n1) * (n0 - n2)), 6)
+        assert math.isclose(got["tau_b"], want, abs_tol=1e-12)
