@@ -75,8 +75,12 @@ def _decode_pnm(payload: bytes):
     """Pure-numpy decoder for binary PNM images (P6 RGB / P5 gray) —
     the uncompressed format family that needs NO codec library, so the
     decode path is genuinely exercised even in environments without
-    pillow. Handles '#' header comments per the spec; 8-bit maxval
-    only (16-bit PNM is rare and pillow-territory)."""
+    pillow. Handles '#' header comments per the spec. Maxval up to
+    65535: samples over 255 are TWO bytes each, big-endian ("most
+    significant byte first", the Netpbm spec), scaled to uint8 by
+    exact round-half-up integer arithmetic (255·s/maxval — the r9
+    "16-bit PNM" codec boundary, closed in r10; for maxval 65535 this
+    matches the PNG decoder's high-byte convention within rounding)."""
     import numpy as np
 
     magic = payload[:2]
@@ -95,10 +99,22 @@ def _decode_pnm(payload: bytes):
         tokens.append(int(payload[start:pos]))
     pos += 1  # exactly one whitespace byte after maxval, then raster
     w, h, maxval = tokens
-    if maxval > 255:
-        raise NotImplementedError("16-bit PNM needs a real codec library")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"PNM maxval {maxval} outside the spec's (0, 65536)")
     ch = 3 if magic == b"P6" else 1
-    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    n = w * h * ch
+    if maxval > 255:
+        if len(payload) - pos < 2 * n:
+            raise ValueError("truncated PNM: 16-bit raster cut off")
+        wide = np.frombuffer(payload, dtype=">u2", count=n, offset=pos)
+        # exact 255·s/maxval, round half up, in int64 (no float ladder)
+        arr = ((wide.astype(np.int64) * 510 + maxval) // (2 * maxval)).astype(
+            np.uint8
+        )
+    else:
+        if len(payload) - pos < n:
+            raise ValueError("truncated PNM: raster cut off")
+        arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
     return arr.reshape(h, w, ch)
 
 

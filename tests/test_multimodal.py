@@ -1905,3 +1905,53 @@ def test_graded_documents_prefix_is_ascii():
         )
         checked += 1
     assert checked, "no graded testdata found to pin the contract on"
+
+
+def test_pnm_16bit_decodes_with_exact_integer_scaling():
+    """r9 "what's missing" #3 named 16-bit PNM as a codec boundary —
+    closed in r10: samples over maxval 255 are two big-endian bytes,
+    scaled to uint8 by exact round-half-up 255·s/maxval integer
+    arithmetic (no float ladder). Hand-pinned values for maxval 65535
+    (the PNG high-byte convention within rounding) and a non-power
+    maxval 1023; truncation and out-of-spec maxval stay ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from etl_knlp_spark.operators.multimodal import _decode_pnm
+
+    # P5 gray, maxval 65535: 0, 0x8000 (-> round(255*32768/65535)=128),
+    # 0xFFFF -> 255, 0x0101 -> round(255*257/65535)=1
+    samples = [0, 0x8000, 0xFFFF, 0x0101]
+    p5 = b"P5\n4 1\n65535\n" + struct.pack(">4H", *samples)
+    arr = _decode_pnm(p5)
+    assert arr.shape == (1, 4, 1)
+    assert arr.reshape(-1).tolist() == [0, 128, 255, 1]
+    # exact mirror of the scaling rule on all four
+    want = [(s * 510 + 65535) // (2 * 65535) for s in samples]
+    assert arr.reshape(-1).tolist() == want
+
+    # P6 RGB, non-power maxval 1023: 1023 -> 255, 512 -> round(127.63) = 128
+    px = [1023, 512, 0, 1, 2, 3]
+    p6 = b"P6\n# cmt\n2 1\n1023\n" + struct.pack(">6H", *px)
+    arr6 = _decode_pnm(p6)
+    assert arr6.shape == (1, 2, 3)
+    assert arr6.reshape(-1).tolist() == [
+        (s * 510 + 1023) // (2 * 1023) for s in px
+    ]
+    assert arr6[0, 0, 0] == 255 and arr6[0, 0, 1] == 128
+
+    # 8-bit path unchanged by the widening
+    assert _decode_pnm(b"P5\n2 1\n255\n" + bytes([7, 200])).reshape(
+        -1
+    ).tolist() == [7, 200]
+
+    # truncated 16-bit raster names the cut
+    with pytest.raises(ValueError, match="16-bit raster cut off"):
+        _decode_pnm(p5[:-3])
+    # maxval outside the spec's (0, 65536)
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_pnm(b"P5\n1 1\n65536\n" + b"\x00\x00")
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_pnm(b"P5\n1 1\n0\n" + b"\x00")
