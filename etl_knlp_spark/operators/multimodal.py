@@ -377,6 +377,8 @@ def _decode_wav(payload: bytes):
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV: fmt chunk cut off")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -3035,6 +3037,12 @@ def _decode_bmp(payload: bytes):
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 50:
+        # every fixed header field below lives in bytes [10, 50); a
+        # legal BI_RGB BMP is always >= 54 bytes, so this rejects only
+        # truncation (and keeps struct.error inside the ValueError
+        # contract — the r10 every-prefix fuzz finding)
+        raise ValueError("truncated BMP: header cut off")
     data_off = struct.unpack_from("<I", payload, 10)[0]
     hdr_size = struct.unpack_from("<I", payload, 14)[0]
     if hdr_size < 40:
@@ -3280,19 +3288,26 @@ def _decode_tiff(payload: bytes):
         bo = ">"
     else:
         raise ValueError("not a TIFF payload")
-    ifd_off = struct.unpack_from(bo + "I", payload, 4)[0]
-    n_tags = struct.unpack_from(bo + "H", payload, ifd_off)[0]
-    _SZ = {1: 1, 2: 1, 3: 2, 4: 4}
-    tags: dict[int, list[int]] = {}
-    for i in range(n_tags):
-        off = ifd_off + 2 + 12 * i
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", payload, off)
-        if typ not in _SZ:
-            continue
-        total = _SZ[typ] * cnt
-        voff = off + 8 if total <= 4 else struct.unpack_from(bo + "I", payload, off + 8)[0]
-        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
-        tags[tag] = list(struct.unpack_from(bo + str(cnt) + fmt, payload, voff))
+    # the IFD walk reads at file-supplied offsets (ifd_off, each tag
+    # entry, out-of-line value slots); a truncated or lying offset must
+    # surface as the documented ValueError, not struct.error (the r10
+    # every-prefix fuzz finding)
+    try:
+        ifd_off = struct.unpack_from(bo + "I", payload, 4)[0]
+        n_tags = struct.unpack_from(bo + "H", payload, ifd_off)[0]
+        _SZ = {1: 1, 2: 1, 3: 2, 4: 4}
+        tags: dict[int, list[int]] = {}
+        for i in range(n_tags):
+            off = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", payload, off)
+            if typ not in _SZ:
+                continue
+            total = _SZ[typ] * cnt
+            voff = off + 8 if total <= 4 else struct.unpack_from(bo + "I", payload, off + 8)[0]
+            fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(struct.unpack_from(bo + str(cnt) + fmt, payload, voff))
+    except struct.error as exc:
+        raise ValueError(f"truncated TIFF: IFD read past end of payload ({exc})") from exc
     # r9 ADVICE #2: a malformed IFD missing a required tag must raise
     # the documented ValueError, not a bare KeyError
     for required in (256, 257, 273, 279):

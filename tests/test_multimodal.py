@@ -1955,3 +1955,49 @@ def test_pnm_16bit_decodes_with_exact_integer_scaling():
         _decode_pnm(b"P5\n1 1\n65536\n" + b"\x00\x00")
     with pytest.raises(ValueError, match="maxval"):
         _decode_pnm(b"P5\n1 1\n0\n" + b"\x00")
+
+
+def test_every_decoder_survives_truncation_at_every_byte():
+    """The whole r9-ADVICE failure class, generalized (and closed):
+    for a valid payload of EVERY native codec, truncating at every
+    byte boundary must either still decode (a prefix can be a
+    complete file) or raise ValueError/NotImplementedError — never
+    IndexError, KeyError, struct.error, or any other escape. This is
+    the test that found the BMP/TIFF/WAV struct.error escapes fixed
+    in round 10; any future decoder (or decoder edit) gets the same
+    sweep for free by adding its (payload, decoder) pair."""
+    import numpy as np
+
+    from etl_knlp_spark.operators import multimodal as M
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    cases = {
+        "pnm8": (b"P6\n2 2\n255\n" + bytes(range(12)), M._decode_pnm),
+        "pnm16": (b"P5\n2 2\n65535\n" + bytes(8), M._decode_pnm),
+        "png": (_encode_png(img, 0, [0] * 8), M._decode_png),
+        "jpeg": (_encode_jpeg(img), M._decode_jpeg),
+        "webp": (M._encode_vp8l_gray(b"hello"), M._decode_webp),
+        "gif": (M._encode_gif_gray(b"hello"), M._decode_gif),
+        "bmp": (M._encode_bmp_gray8(b"hello"), M._decode_bmp),
+        "tiff": (M._encode_tiff_gray8(b"hello"), M._decode_tiff),
+        "wav": (M._encode_wav_pcm16(bytes(range(16))), M._decode_wav),
+        "flac": (M._encode_flac_pcm16(bytes(range(16))), M._decode_flac),
+        "y4m": (
+            b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420jpeg\nFRAME\n" + bytes(6),
+            M._decode_y4m,
+        ),
+    }
+    escapes = []
+    for name, (payload, decode) in cases.items():
+        decode(payload)  # the full payload must be valid
+        for cut in range(len(payload)):
+            try:
+                decode(payload[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+            except Exception as exc:  # noqa: BLE001 — the contract under test
+                escapes.append((name, cut, type(exc).__name__, str(exc)[:60]))
+    assert not escapes, (
+        f"{len(escapes)} truncation points escaped the ValueError/"
+        f"NotImplementedError contract: {escapes[:10]}"
+    )
