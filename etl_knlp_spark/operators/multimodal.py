@@ -1356,7 +1356,15 @@ def _decode_jpeg(payload: bytes):
             comps = []
             for c in range(nc):
                 cid, hv, tq_id = body[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, tq_id))
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    # T.81 B.2.2: Hi/Vi in 1..4 — a zero factor would
+                    # divide-by-zero the MCU geometry downstream (the
+                    # r10 corruption-fuzz finding)
+                    raise ValueError(
+                        f"JPEG sampling factor {hs}x{vs} outside 1..4"
+                    )
+                comps.append((cid, hs, vs, tq_id))
             frame = (h, w, comps)
         elif marker == 0xC3:  # SOF3 lossless sequential Huffman
             # predictive coding shares nothing with the DCT pipeline
@@ -3210,6 +3218,10 @@ def _lzw_decode_tiff(data: bytes) -> bytes:
         if code == eoi:
             return bytes(out)
         if prev is None:
+            if code >= len(table):
+                # the first code after a clear must be a literal (the
+                # GIF variant's guard, r10 corruption-fuzz finding)
+                raise ValueError("TIFF LZW: first code after clear not a literal")
             out += table[code]
             prev = code
             continue
@@ -3305,7 +3317,14 @@ def _decode_tiff(payload: bytes):
             total = _SZ[typ] * cnt
             voff = off + 8 if total <= 4 else struct.unpack_from(bo + "I", payload, off + 8)[0]
             fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
-            tags[tag] = list(struct.unpack_from(bo + str(cnt) + fmt, payload, voff))
+            vals = list(struct.unpack_from(bo + str(cnt) + fmt, payload, voff))
+            if not vals:
+                # count=0 entries carry no data: storing an empty list
+                # would IndexError every tags[...][0] consumer (the r10
+                # corruption-fuzz finding); dropping the entry routes
+                # required tags to the explicit missing-tag ValueError
+                continue
+            tags[tag] = vals
     except struct.error as exc:
         raise ValueError(f"truncated TIFF: IFD read past end of payload ({exc})") from exc
     # r9 ADVICE #2: a malformed IFD missing a required tag must raise

@@ -2001,3 +2001,53 @@ def test_every_decoder_survives_truncation_at_every_byte():
         f"{len(escapes)} truncation points escaped the ValueError/"
         f"NotImplementedError contract: {escapes[:10]}"
     )
+
+
+def test_every_decoder_survives_single_byte_corruption():
+    """Sibling of the truncation sweep: every byte of each valid
+    payload mutated to 0x00, 0xFF, and value+1 — decode must succeed
+    (plenty of corruptions are benign payload-byte changes) or raise
+    ValueError/NotImplementedError. Found and pinned in r10: a zero
+    JPEG sampling factor divide-by-zeroed the MCU geometry, and a
+    zero-count TIFF IFD entry stored an empty value list that
+    IndexError'd every tags[...][0] consumer."""
+    import numpy as np
+
+    from etl_knlp_spark.operators import multimodal as M
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    cases = {
+        "pnm8": (b"P6\n2 2\n255\n" + bytes(range(12)), M._decode_pnm),
+        "pnm16": (b"P5\n2 2\n65535\n" + bytes(8), M._decode_pnm),
+        "png": (_encode_png(img, 0, [0] * 8), M._decode_png),
+        "jpeg": (_encode_jpeg(img), M._decode_jpeg),
+        "webp": (M._encode_vp8l_gray(b"hello"), M._decode_webp),
+        "gif": (M._encode_gif_gray(b"hello"), M._decode_gif),
+        "bmp": (M._encode_bmp_gray8(b"hello"), M._decode_bmp),
+        "tiff": (M._encode_tiff_gray8(b"hello"), M._decode_tiff),
+        "wav": (M._encode_wav_pcm16(bytes(range(16))), M._decode_wav),
+        "flac": (M._encode_flac_pcm16(bytes(range(16))), M._decode_flac),
+        "y4m": (
+            b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420jpeg\nFRAME\n" + bytes(6),
+            M._decode_y4m,
+        ),
+    }
+    escapes = []
+    for name, (payload, decode) in cases.items():
+        for pos in range(len(payload)):
+            for val in (0x00, 0xFF, (payload[pos] + 1) & 0xFF):
+                if val == payload[pos]:
+                    continue
+                mut = payload[:pos] + bytes([val]) + payload[pos + 1 :]
+                try:
+                    decode(mut)
+                except (ValueError, NotImplementedError):
+                    pass
+                except Exception as exc:  # noqa: BLE001 — the contract under test
+                    escapes.append(
+                        (name, pos, val, type(exc).__name__, str(exc)[:60])
+                    )
+    assert not escapes, (
+        f"{len(escapes)} corruption points escaped the ValueError/"
+        f"NotImplementedError contract: {escapes[:10]}"
+    )
