@@ -225,6 +225,15 @@ def read_ocf(blob: bytes) -> tuple[dict, list[tuple]]:
     if "avro.schema" not in meta:
         raise ValueError("malformed avro: missing schema in metadata")
     schema = json.loads(meta["avro.schema"])
+    # a corrupted header can hold VALID JSON of the wrong shape — the
+    # r10 corruption fuzz hit KeyError('fields'/'type') downstream, so
+    # the record shape is validated here inside the ValueError contract
+    if (
+        not isinstance(schema, dict)
+        or not isinstance(schema.get("fields"), list)
+        or not all(isinstance(f, dict) and "type" in f for f in schema["fields"])
+    ):
+        raise ValueError("malformed avro: schema is not a record with fields")
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"avro codec {codec!r} not supported")
@@ -243,7 +252,10 @@ def read_ocf(blob: bytes) -> tuple[dict, list[tuple]]:
             raise ValueError("malformed avro: sync marker mismatch")
         pos += 16
         if codec == "deflate":
-            data = zlib.decompress(data, -15)
+            try:
+                data = zlib.decompress(data, -15)
+            except zlib.error as exc:
+                raise ValueError(f"malformed avro: deflate block ({exc})") from exc
         p = 0
         for _ in range(n):
             row = []

@@ -130,3 +130,47 @@ def test_distributed_roundtrip_and_idempotent_sink(spark, tmp_path):
 
     os.makedirs(e)
     assert read_avro(spark, e, "a bigint, b string, c double, d boolean").count() == 0
+
+
+def test_ocf_survives_truncation_and_corruption_at_every_byte(tmp_path):
+    """The multimodal decoders' r10 fuzz discipline applied to the
+    Avro OCF parser: every byte-boundary truncation and every
+    single-byte mutation (0x00/0xFF/+1) of a valid OCF blob must parse
+    or raise ValueError/NotImplementedError. The sweep found that a
+    corrupted header can hold VALID JSON of the wrong shape —
+    KeyError('fields') — so read_ocf now validates the record shape."""
+    from etl_knlp_spark.sources.avro import read_ocf, write_ocf
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+        ],
+    }
+    f = str(tmp_path / "t.avro")
+    write_ocf(iter([(1, "x"), (2, None), (3, "yz")]), schema, f)
+    blob = open(f, "rb").read()
+    read_ocf(blob)  # the full blob must parse
+
+    escapes = []
+    for cut in range(len(blob)):
+        try:
+            read_ocf(blob[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as exc:  # noqa: BLE001 — the contract under test
+            escapes.append(("cut", cut, type(exc).__name__))
+    for pos in range(len(blob)):
+        for val in (0x00, 0xFF, (blob[pos] + 1) & 0xFF):
+            if val == blob[pos]:
+                continue
+            mut = blob[:pos] + bytes([val]) + blob[pos + 1 :]
+            try:
+                read_ocf(mut)
+            except (ValueError, NotImplementedError):
+                pass
+            except Exception as exc:  # noqa: BLE001
+                escapes.append(("mut", pos, val, type(exc).__name__, str(exc)[:50]))
+    assert not escapes, escapes[:10]

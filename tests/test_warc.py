@@ -115,3 +115,49 @@ def test_foreign_uri_surfaces_null_identity(spark, tmp_path):
     r = rows[0]
     assert r["doc_id"] is None and r["lang"] is None
     assert r["warc_type"] == "response" and r["text"] == "wild payload"
+
+
+def test_warc_parser_survives_truncation_and_corruption():
+    """The r10 fuzz discipline applied to the WARC record parser and
+    the multi-member gunzip helper: every truncation and single-byte
+    mutation must parse (corrupt payload bytes are legal content) or
+    raise ValueError — no IndexError/UnicodeDecodeError/EOFError
+    escapes."""
+    import gzip
+
+    from etl_knlp_spark.sources.warc import (
+        format_record,
+        gunzip_members,
+        parse_warc,
+    )
+
+    rec = format_record(
+        {"WARC-Type": "response", "WARC-Record-ID": "<urn:x:1>"},
+        b"hello world",
+    )
+    list(parse_warc(rec))  # the full record must parse
+    gz = gzip.compress(b"hello")
+    gunzip_members(gz)
+
+    escapes = []
+    for payload, fn, tag in ((rec, lambda b: list(parse_warc(b)), "warc"),
+                             (gz, gunzip_members, "gz")):
+        for cut in range(len(payload)):
+            try:
+                fn(payload[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+            except Exception as exc:  # noqa: BLE001 — the contract under test
+                escapes.append((tag, "cut", cut, type(exc).__name__))
+        for pos in range(len(payload)):
+            for val in (0x00, 0xFF, (payload[pos] + 1) & 0xFF):
+                if val == payload[pos]:
+                    continue
+                mut = payload[:pos] + bytes([val]) + payload[pos + 1 :]
+                try:
+                    fn(mut)
+                except (ValueError, NotImplementedError):
+                    pass
+                except Exception as exc:  # noqa: BLE001
+                    escapes.append((tag, "mut", pos, val, type(exc).__name__))
+    assert not escapes, escapes[:10]
