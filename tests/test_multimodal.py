@@ -2051,3 +2051,64 @@ def test_every_decoder_survives_single_byte_corruption():
         f"{len(escapes)} corruption points escaped the ValueError/"
         f"NotImplementedError contract: {escapes[:10]}"
     )
+
+
+def test_codec_variant_payloads_survive_truncation_and_corruption():
+    """The two r10 fuzz sweeps extended to the non-default payload
+    shapes each decoder supports — progressive, lossless and 4:2:0
+    JPEG, Adam7 / 16-bit / sub-byte PNG, interlaced GIF, LZW+predictor
+    and uncompressed TIFF, top-down BMP — all clean when pinned (the
+    default-shape sweeps found every escape; this keeps the variant
+    code paths inside the same contract as they evolve)."""
+    import numpy as np
+
+    from etl_knlp_spark.operators import multimodal as M
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    img16 = (np.arange(64, dtype=np.uint16).reshape(8, 8) * 1021) % 65536
+    sub = np.array([[0, 1, 2, 3], [1, 0, 3, 2]], dtype=np.uint8)
+    cases = {
+        "jpeg_prog": (_encode_jpeg_progressive(img), M._decode_jpeg),
+        "jpeg_lossless": (_emit_lossless_jpeg(img), M._decode_jpeg),
+        "jpeg_420": (
+            _encode_jpeg(np.dstack([img] * 3).astype(np.uint8), subsample=True),
+            M._decode_jpeg,
+        ),
+        "png_adam7": (_encode_png_adam7(img), M._decode_png),
+        "png_16": (_encode_png_16bit(img16, 0), M._decode_png),
+        "png_sub": (_encode_png_subbyte(sub, 2, 0, [0, 0]), M._decode_png),
+        "gif_interlaced": (
+            M._encode_gif_gray(bytes(range(16)), interlaced=True),
+            M._decode_gif,
+        ),
+        "tiff_predictor": (
+            M._encode_tiff_gray8(b"hello world", lzw=True, predictor=True),
+            M._decode_tiff,
+        ),
+        "tiff_raw": (M._encode_tiff_gray8(b"hello", lzw=False), M._decode_tiff),
+        "bmp_topdown": (M._encode_bmp_gray8(b"hello", top_down=True), M._decode_bmp),
+    }
+    escapes = []
+    for name, (payload, decode) in cases.items():
+        decode(payload)
+        for cut in range(len(payload)):
+            try:
+                decode(payload[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+            except Exception as exc:  # noqa: BLE001 — the contract under test
+                escapes.append((name, "cut", cut, type(exc).__name__))
+        for pos in range(len(payload)):
+            for val in (0x00, 0xFF, (payload[pos] + 1) & 0xFF):
+                if val == payload[pos]:
+                    continue
+                mut = payload[:pos] + bytes([val]) + payload[pos + 1 :]
+                try:
+                    decode(mut)
+                except (ValueError, NotImplementedError):
+                    pass
+                except Exception as exc:  # noqa: BLE001
+                    escapes.append(
+                        (name, "mut", pos, val, type(exc).__name__, str(exc)[:50])
+                    )
+    assert not escapes, escapes[:10]
