@@ -452,3 +452,41 @@ def test_parity_md_maps_every_registered_query():
         f"{len(missing)} registered queries have no PARITY.md mention: "
         f"{missing} — add a row to the matching §2 section"
     )
+
+
+def test_bench_floors_mode_separates_ambient_from_regression(tmp_path):
+    """r9 verdict #4's mechanism, behaviorally pinned: a bench where
+    every query is uniformly elevated above its floor (the ambient-
+    contention signature) must pass --vs-floors, while the same bench
+    with ONE query far above the median floor-ratio must fail naming
+    it. Runs the real tool against the committed floors file."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "bench_compare.py"),
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+
+    floors_path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "bench_floors.json"
+    )
+    with open(floors_path) as f:
+        floors = _json.load(f)
+    comparable = {q: t for q, t in floors.items() if t >= bc.MIN_BASE_SEC}
+    assert len(comparable) >= 5, "floors file lost its comparable queries"
+
+    ambient = {"queries": {q: t * 1.4 for q, t in floors.items()}}
+    assert bc._vs_floors(ambient) == 0, (
+        "a uniform 1.4x elevation (ambient signature) was flagged as a "
+        "regression"
+    )
+
+    regressed = dict(ambient["queries"])
+    victim = max(comparable, key=comparable.get)
+    regressed[victim] = floors[victim] * 5.0
+    assert bc._vs_floors({"queries": regressed}) == 1, (
+        f"a 5x single-query elevation on {victim!r} was not flagged"
+    )
