@@ -229,6 +229,18 @@ _STALE_SINCE: dict[str, int] = {
 # (the 9 TPC-H pure-SQL shapes and the layout tail wait — lowest
 # re-verification risk — rather than the streaming cohort or the
 # flagship). Demanded round for all entries: 10.
+#
+# STEADY-STATE POLICY (r10 verdict #3): once every entry below has
+# self-pruned (its demanded round's evidence landed), the rotation is
+# a PURE oldest-evidence-first cycle over all 300 queries — 50 slots
+# per round means every query is re-swept within ceil(300/50) = 6
+# rounds, so max evidence staleness is bounded at 6 by construction.
+# tests/test_registry_audit.py::test_steady_state_window_is_the_stalest_50
+# and ::test_rotation_staleness_bounded_by_six_rounds pin both halves;
+# tools/evidence_report.py prints the simulated bound each run. This
+# dict should receive NO new entries in steady state — a priority pin
+# is only for evidence invalidated by a semantics fix (pair it with a
+# `_STALE_SINCE` bump) or an environment-epoch flip.
 _SWEEP_PRIORITY: dict[str, int] = {
     # -- invalidated this round (r9 ADVICE fixes; no valid rows left) --
     "kendall_tau": 10,

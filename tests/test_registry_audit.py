@@ -376,6 +376,88 @@ def test_sweep_priority_names_exist_and_self_prune():
         registry._SWEEP_PRIORITY.update(original)
 
 
+def test_steady_state_window_is_the_stalest_50():
+    """r10 verdict #3, part 1: once every `_SWEEP_PRIORITY` entry has
+    self-pruned (its demanded evidence landed), the rotation must be
+    PURE oldest-evidence-first — the projected window is exactly the
+    50 stalest-evidenced queries, ties broken by registration order.
+    Simulated by clearing the priority dict against the real evidence
+    state, so this pins the steady-state policy today instead of
+    waiting for the r11 rows to land."""
+    registry._load_all()
+    evidence = registry._evidence_rounds()
+    env_epochs = registry._environment_epochs()
+    fresh = {
+        n: _freshest_valid_round(n, evidence, env_epochs)
+        for n in registry._REGISTRY
+    }
+    # Precondition for the pure-rotation claim: every query has valid
+    # evidence (true since round 6; if this ever breaks, the
+    # starvation test above is the one that should fire).
+    unevidenced = [n for n in fresh if fresh[n] is None]
+    assert not unevidenced, (
+        f"steady-state test assumes full evidence coverage; missing: "
+        f"{unevidenced[:5]}"
+    )
+    original = dict(registry._SWEEP_PRIORITY)
+    try:
+        registry._SWEEP_PRIORITY.clear()
+        order = registry._sweep_order()
+    finally:
+        registry._SWEEP_PRIORITY.update(original)
+    reg_pos = {n: i for i, n in enumerate(registry._REGISTRY)}
+    expected = sorted(registry._REGISTRY, key=lambda n: (fresh[n], reg_pos[n]))
+    assert order == expected, (
+        "with no active priorities, _sweep_order must be pure "
+        "stalest-first (ties by registration order)"
+    )
+    stalest_50 = set(expected[:50])
+    assert set(order[:50]) == stalest_50, (
+        "projected window is not the stalest 50"
+    )
+
+
+def test_rotation_staleness_bounded_by_six_rounds():
+    """r10 verdict #3, part 2: with 300 registered queries, a 50-slot
+    driver window, and pure stalest-first rotation, every query is
+    re-swept within ceil(300/50) = 6 rounds — max evidence staleness
+    is bounded by construction. Simulated forward from the real
+    evidence state (each simulated round lands all 50 window rows):
+    from one full cycle in, no query's evidence is older than the
+    cycle length. This is the registration-freeze rationale made
+    mechanical: adding a query past 300 loosens this bound."""
+    registry._load_all()
+    evidence = registry._evidence_rounds()
+    env_epochs = registry._environment_epochs()
+    fresh = {
+        n: _freshest_valid_round(n, evidence, env_epochs)
+        for n in registry._REGISTRY
+    }
+    budget = 50
+    n_queries = len(fresh)
+    cycle = -(-n_queries // budget)  # ceil
+    assert cycle == 6, (
+        f"{n_queries} queries / {budget} slots = {cycle}-round cycle; "
+        "the registration freeze at 300 (BASELINE.md) keeps this at 6 "
+        "— a change here needs a written justification"
+    )
+    reg_pos = {n: i for i, n in enumerate(registry._REGISTRY)}
+    rnd = max(r for r in fresh.values() if r is not None)
+    sim = {n: (r if r is not None else -1) for n, r in fresh.items()}
+    for step in range(2 * cycle):
+        rnd += 1
+        window = sorted(sim, key=lambda n: (sim[n], reg_pos[n]))[:budget]
+        for n in window:
+            sim[n] = rnd
+        if step >= cycle - 1:
+            staleness = rnd - min(sim.values())
+            assert staleness <= cycle, (
+                f"simulated round {rnd}: max staleness {staleness} "
+                f"exceeds the {cycle}-round bound — rotation is not "
+                "pure stalest-first"
+            )
+
+
 def test_stale_since_has_no_duplicate_keys():
     """r9 verdict "what's wrong" #1: `_STALE_SINCE` once held the same
     key twice (`dedup_jaccard_prefix`: 7 then 8) — Python silently
