@@ -14,6 +14,55 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_entry_hash_matches_registered_q1_oracle(spark, sf_dir):
+    """r10 verdict #5: ``entry()`` is only smoke-run by the driver,
+    while the flagship's CORRECTNESS row comes from the registered
+    ``q1_dimension_build`` — so the two could silently drift apart.
+    Pin them together at hash level: entry(spark) at sf0.001 must
+    value-hash-equal BOTH the registered query AND its DuckDB oracle,
+    under the driver's exact canonicalization (columns sorted by
+    name, rows sorted, floats rounded)."""
+    import duckdb
+
+    from etl_knlp_spark import registry
+    from etl_knlp_spark.catalog import TABLES, table_path
+
+    registry._load_all()
+    rq = registry._REGISTRY["q1_dimension_build"]
+
+    def value_hash(pdf):
+        import hashlib
+
+        pdf = pdf[sorted(pdf.columns)].copy()
+        for c in pdf.columns:
+            s = pdf[c]
+            if s.dtype == object:
+                pdf[c] = s.map(str)
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+        return hashlib.md5(
+            pdf.reset_index(drop=True).to_csv(index=False).encode()
+        ).hexdigest()
+
+    h_entry = value_hash(entry_mod.entry(spark).toPandas())
+    h_registry = value_hash(rq.fn(spark, sf_dir).toPandas())
+    assert h_entry == h_registry, (
+        "entry() and the registered q1_dimension_build produce "
+        "different results — the driver's smoke check and the "
+        "correctness gate no longer exercise the same flagship"
+    )
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(sf_dir, t)}')"
+        )
+    h_oracle = value_hash(con.execute(rq.oracle).df())
+    assert h_entry == h_oracle, (
+        "entry() output no longer hash-matches the q1 DuckDB oracle"
+    )
+
+
 def test_every_query_has_callable_and_oracle_alignment():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert len(qs) >= 50
