@@ -115,6 +115,14 @@ def _decode_pnm(payload: bytes):
         if len(payload) - pos < n:
             raise ValueError("truncated PNM: raster cut off")
         arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+        if maxval < 255:
+            # same exact 255·s/maxval round-half-up as the 2-byte path
+            # (identity at maxval=255), so brightness semantics agree
+            # on both sides of the 255 boundary — a maxval=100 sample
+            # of 100 is full-scale white, not dark gray (r10 ADVICE)
+            arr = ((arr.astype(np.int64) * 510 + maxval) // (2 * maxval)).astype(
+                np.uint8
+            )
     return arr.reshape(h, w, ch)
 
 
@@ -3045,6 +3053,13 @@ def _decode_bmp(payload: bytes):
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    # identify an OS/2 BITMAPCOREHEADER before the length guard: such a
+    # file is legal at < 50 bytes, and "unsupported header" is the
+    # accurate rejection for it, not "truncated" (r10 ADVICE)
+    if len(payload) >= 18:
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:
+            raise NotImplementedError("BITMAPCOREHEADER BMP (OS/2 v1)")
     if len(payload) < 50:
         # every fixed header field below lives in bytes [10, 50); a
         # legal BI_RGB BMP is always >= 54 bytes, so this rejects only
@@ -3053,8 +3068,6 @@ def _decode_bmp(payload: bytes):
         raise ValueError("truncated BMP: header cut off")
     data_off = struct.unpack_from("<I", payload, 10)[0]
     hdr_size = struct.unpack_from("<I", payload, 14)[0]
-    if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMP (OS/2 v1)")
     w, h = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]

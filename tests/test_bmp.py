@@ -84,6 +84,26 @@ def test_malformed_inputs_raise_cleanly():
         _decode_bmp(bytes(bad))
 
 
+def test_small_os2_coreheader_is_named_not_called_truncated():
+    """r10 ADVICE: an OS/2 BITMAPCOREHEADER file is legal at < 50
+    bytes (14-byte file header + 12-byte core header), so it must get
+    the accurate NotImplementedError naming the header family — not
+    the generic 'truncated' ValueError the length guard emits."""
+    import pytest
+
+    # minimal complete OS/2 v1 BMP: file header + 12-byte core header
+    core = struct.pack("<IHHHH", 12, 1, 1, 1, 8)  # size,w,h,planes,bpp
+    payload = b"BM" + struct.pack("<IHHI", 14 + 12, 0, 0, 14 + 12) + core
+    assert len(payload) < 50
+    with pytest.raises(NotImplementedError, match="BITMAPCOREHEADER"):
+        _decode_bmp(payload)
+    # a genuinely truncated BI_RGB header (hdr_size 40 readable, body
+    # cut) still takes the truncation ValueError
+    full = _encode_bmp_gray8(b"abc")
+    with pytest.raises(ValueError, match="truncated BMP"):
+        _decode_bmp(full[:30])
+
+
 def test_pixel_index_past_short_palette_raises_valueerror():
     """r9 ADVICE #2: a pixel index beyond the declared color-table
     length must be the documented ValueError (the PNG palette-index

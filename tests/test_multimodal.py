@@ -1947,6 +1947,17 @@ def test_pnm_16bit_decodes_with_exact_integer_scaling():
         -1
     ).tolist() == [7, 200]
 
+    # r10 ADVICE: 8-bit samples with maxval < 255 get the SAME exact
+    # round-half-up 255·s/maxval scaling as the 2-byte path (identity
+    # at maxval=255): maxval=100 full-scale 100 is white (255), 50 is
+    # mid-gray (128), not raw passthrough — brightness semantics now
+    # agree on both sides of the 255 boundary
+    low = _decode_pnm(b"P5\n3 1\n100\n" + bytes([0, 50, 100]))
+    assert low.reshape(-1).tolist() == [0, 128, 255]
+    assert low.reshape(-1).tolist() == [
+        (s * 510 + 100) // (2 * 100) for s in (0, 50, 100)
+    ]
+
     # truncated 16-bit raster names the cut
     with pytest.raises(ValueError, match="16-bit raster cut off"):
         _decode_pnm(p5[:-3])

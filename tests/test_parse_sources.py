@@ -65,6 +65,107 @@ def test_wiki_index_title_with_colon(spark, paths):
     assert rows["5"]["korean"] == "지미 카터"
 
 
+def _hadoop_lines(data: bytes) -> list[bytes]:
+    """Hadoop LineRecordReader's split rule, mirrored byte-for-byte:
+    lines break on \\r\\n, \\r, or \\n; a trailing terminator does not
+    produce a final empty line; an empty file has no lines."""
+    import re
+
+    if not data:
+        return []
+    parts = re.split(b"\r\n|\r|\n", data)
+    if parts[-1] == b"" and re.search(b"(\r\n|\r|\n)$", data):
+        parts.pop()
+    return parts
+
+
+def _kept_lines(data: bytes) -> list[str]:
+    """The readers' blank-line filter, mirrored: Spark's `trim` strips
+    ONLY the space character (probed — tab/NUL/VT all survive), and
+    malformed UTF-8 decodes to non-blank U+FFFD on both engines."""
+    out = []
+    for raw in _hadoop_lines(data):
+        s = raw.decode("utf-8", errors="replace")
+        if s.strip(" "):
+            out.append(s)
+    return out
+
+
+def _fuzz_corpus(fixture: bytes) -> list[bytes]:
+    """Every-prefix truncation + single-byte mutation (0x00, 0xFF,
+    value+1) — the same sweep the eleven media codecs get."""
+    variants = [fixture[:cut] for cut in range(len(fixture))]
+    for i in range(len(fixture)):
+        for nb in (0, 0xFF, (fixture[i] + 1) % 256):
+            variants.append(fixture[:i] + bytes([nb]) + fixture[i + 1 :])
+    return variants
+
+
+def test_read_delimited_survives_truncation_and_mutation(spark, tmp_path):
+    """r10 verdict #7: extend the codec fuzz discipline to the text
+    sources. A ragged/overflow text source has no 'malformed payload'
+    class — every byte string is legal text — so the contract is:
+    NEVER raise, keep the declared schema, and conserve rows exactly
+    (parsed rows == non-blank Hadoop lines across the corpus; silent
+    row loss or duplication is the text-source analog of a codec
+    escape). All variants are read in one distributed scan."""
+    fixture = HANJA.encode("utf-8")
+    variants = _fuzz_corpus(fixture)
+    d = tmp_path / "fuzz_delim"
+    d.mkdir()
+    for i, v in enumerate(variants):
+        (d / f"v{i:05d}.txt").write_bytes(v)
+    expected = sum(len(_kept_lines(v)) for v in variants)
+
+    df = read_delimited(
+        spark, str(d), ["korean", "hanjya", "examples"], sep=":"
+    )
+    assert df.columns == ["korean", "hanjya", "examples"]
+    assert df.count() == expected, (
+        "row conservation broke under truncation/mutation fuzz"
+    )
+
+    arr = read_delimited(
+        spark,
+        str(d),
+        ["korean", "hanjya", "examples"],
+        sep=":",
+        overflow="array",
+    )
+    assert arr.schema["examples"].dataType.simpleString() == "array<string>"
+    assert arr.count() == expected
+
+
+def test_read_tuple_burst_survives_truncation_and_mutation(spark, tmp_path):
+    """Sibling sweep for the row-multiplying reader: rows must equal
+    the mirrored per-line '),('-split non-blank tuple count — an
+    explode that drops or double-counts a tuple under a mangled
+    separator is the escape class here."""
+    import re
+
+    fixture = LANGLINK.encode("utf-8")
+    variants = _fuzz_corpus(fixture)
+    d = tmp_path / "fuzz_burst"
+    d.mkdir()
+    for i, v in enumerate(variants):
+        (d / f"v{i:05d}.txt").write_bytes(v)
+    expected = sum(
+        1
+        for v in variants
+        for line in _kept_lines(v)
+        for tup in re.split(r"\),\(", line)
+        if tup.strip(" ")
+    )
+
+    df = read_tuple_burst(
+        spark, str(d), ["article_id", "language", "text"]
+    )
+    assert df.columns == ["article_id", "language", "text"]
+    assert df.count() == expected, (
+        "tuple conservation broke under truncation/mutation fuzz"
+    )
+
+
 def test_tuple_burst_fanout_and_comma_overflow(spark, paths):
     df = read_tuple_burst(
         spark, str(paths / "langlink.txt"), ["article_id", "language", "text"]

@@ -572,3 +572,38 @@ def test_bench_floors_mode_separates_ambient_from_regression(tmp_path):
     assert bc._vs_floors({"queries": regressed}) == 1, (
         f"a 5x single-query elevation on {victim!r} was not flagged"
     )
+
+    # r10 ADVICE: silent-pass escapes. A bench whose query names share
+    # nothing with the floors table (renamed queries / wrong file) must
+    # FAIL, not report success with zero comparisons...
+    drifted = {"queries": {f"renamed_{q}": t for q, t in floors.items()}}
+    assert bc._vs_floors(drifted) == 1, (
+        "a bench with zero name overlap vs a populated floors table "
+        "passed the gate"
+    )
+    # ...and an explicit path that does not exist or is not JSON must
+    # take the friendly error exit, not traceback.
+    import subprocess
+    import sys as _sys
+
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools", "bench_compare.py")
+    missing = subprocess.run(
+        [_sys.executable, tool, "--vs-floors", str(tmp_path / "nope.json")],
+        capture_output=True,
+        text=True,
+    )
+    assert missing.returncode == 1 and "Traceback" not in missing.stderr, (
+        f"missing explicit bench path escaped the friendly error exit: "
+        f"rc={missing.returncode} stderr={missing.stderr[-500:]}"
+    )
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    garbled = subprocess.run(
+        [_sys.executable, tool, "--vs-floors", str(bad)],
+        capture_output=True,
+        text=True,
+    )
+    assert garbled.returncode == 1 and "Traceback" not in garbled.stderr, (
+        f"non-JSON explicit bench path escaped the friendly error exit: "
+        f"rc={garbled.returncode} stderr={garbled.stderr[-500:]}"
+    )

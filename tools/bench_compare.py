@@ -48,15 +48,30 @@ def _vs_floors(curr: dict) -> int:
     import statistics
 
     floors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_floors.json")
-    with open(floors_path) as f:
-        floors = json.load(f)
+    try:
+        with open(floors_path) as f:
+            floors = json.load(f)
+    except (OSError, ValueError) as e:
+        print(f"cannot load floors file {floors_path}: {e}")
+        return 1
+    comparable = {q: t for q, t in floors.items() if t >= MIN_BASE_SEC}
     ratios = {
         q: t / floors[q]
         for q, t in curr.get("queries", {}).items()
-        if q in floors and floors[q] >= MIN_BASE_SEC
+        if q in comparable
     }
     if not ratios:
-        print("no floor-comparable queries (all below MIN_BASE_SEC)")
+        # A renamed/emptied floors file or drifted query names must not
+        # read as "gate passed" — the only benign empty case is a floors
+        # table whose entries are ALL under MIN_BASE_SEC.
+        if comparable:
+            print(
+                f"floors file has {len(comparable)} comparable entries but "
+                "NONE intersect the bench's query names — names drifted or "
+                "the wrong file was compared"
+            )
+            return 1
+        print("no floor-comparable queries (all floors below MIN_BASE_SEC)")
         return 0
     med = statistics.median(ratios.values())
     print(
@@ -78,8 +93,13 @@ def _vs_floors(curr: dict) -> int:
 
 def main() -> int:
     def load(path: str) -> dict | None:
-        with open(path) as f:
-            d = json.load(f)
+        # an unreadable/invalid file is the same "unusable" outcome as a
+        # crashed round — the callers' None-check message, not a traceback
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            return None
         # driver-recorded BENCH_r*.json wraps bench.py's line in "parsed";
         # a crashed round records "parsed": null — unusable for comparison
         p = d.get("parsed", d)
