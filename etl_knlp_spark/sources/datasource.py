@@ -61,7 +61,13 @@ try:
             return [_FilePartition(f) for f in files]
 
         def read(self, partition):
-            with open(partition.file_path, encoding="utf-8") as fh:
+            # errors="replace": invalid UTF-8 (legacy dumps, bit rot)
+            # parses as U+FFFD like the declarative spark.read.text
+            # path, instead of a strict-mode UnicodeDecodeError
+            # killing the whole task (r11 fuzz finding)
+            with open(
+                partition.file_path, encoding="utf-8", errors="replace"
+            ) as fh:
                 for raw in fh:
                     line = raw.rstrip("\n")
                     if not line.strip():
@@ -176,8 +182,12 @@ try:
 
         def _parse(self, names):
             for name in names:
+                # same decode hardening as the batch reader: U+FFFD,
+                # not a task-killing UnicodeDecodeError
                 with open(
-                    os.path.join(self.path, name), encoding="utf-8"
+                    os.path.join(self.path, name),
+                    encoding="utf-8",
+                    errors="replace",
                 ) as fh:
                     for line in fh:
                         line = line.rstrip("\n")

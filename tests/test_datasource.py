@@ -60,6 +60,52 @@ def test_custom_source_matches_declarative_reader(spark, raw_dir):
     )
 
 
+def test_connector_survives_truncation_and_mutation_fuzz(spark, tmp_path):
+    """The codec fuzz discipline, applied to the pure-Python reader
+    (r11, after the text-source sweep): every-prefix truncation and
+    single-byte mutation of a multi-byte-UTF-8 fixture must parse —
+    invalid byte sequences decode to U+FFFD like the declarative
+    spark.read.text path — never kill the task with a strict-mode
+    UnicodeDecodeError (the escape this test found). Contract: stable
+    schema + exact row conservation vs a mirror of Python text-mode
+    line iteration. Variants are packed into a few files so the
+    one-partition-per-file planner doesn't make 400 tasks."""
+    fixture = LINES_A.encode("utf-8")
+    variants = [fixture[:cut] for cut in range(len(fixture))]
+    for i in range(len(fixture)):
+        for nb in (0, 0xFF, (fixture[i] + 1) % 256):
+            variants.append(fixture[:i] + bytes([nb]) + fixture[i + 1 :])
+
+    d = tmp_path / "fuzz_ds"
+    d.mkdir()
+    n_files = 8
+    expected = 0
+    for g in range(n_files):
+        blob = b"\n".join(variants[g::n_files])
+        (d / f"g{g}.txt").write_bytes(blob)
+        # mirror of the reader: utf-8 decode with replacement,
+        # universal-newline translation, split on \n, drop the
+        # empty-after-final-newline tail, keep non-blank lines
+        s = blob.decode("utf-8", errors="replace")
+        lines = s.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        expected += sum(1 for ln in lines if ln.strip())
+
+    register(spark)
+    df = (
+        spark.read.format("knlp_delimited")
+        .schema("korean string, hanjya string, examples string")
+        .option("path", str(d))
+        .option("sep", ":")
+        .load()
+    )
+    assert df.columns == ["korean", "hanjya", "examples"]
+    assert df.count() == expected, (
+        "row conservation broke under connector truncation/mutation fuzz"
+    )
+
+
 def test_writer_roundtrips_through_the_connector(spark, tmp_path):
     """Write through the connector's writer, read back through its
     reader: the sep-joined line format round-trips, including a sep
