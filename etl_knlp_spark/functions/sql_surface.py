@@ -135,12 +135,13 @@ spine(month_start, hi) AS (
 monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
          COUNT(*) AS n_orders,
-         ROUND(SUM(o_totalprice), 2) AS revenue
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS revenue
   FROM orders GROUP BY 1
 )
 SELECT s.month_start,
        COALESCE(m.n_orders, 0) AS n_orders,
-       COALESCE(m.revenue, 0.0) AS revenue
+       COALESCE(m.revenue, CAST(0.0 AS DOUBLE)) AS revenue
 FROM (SELECT month_start FROM spine) s
 LEFT JOIN monthly m ON m.month_start = s.month_start
 """
@@ -295,8 +296,8 @@ def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPE_SQL = """
 FROM lineitem
 |> WHERE l_shipdate >= DATE '1995-01-01'
-|> EXTEND l_extendedprice * (1 - l_discount) AS net
-|> AGGREGATE ROUND(SUM(net), 2) AS revenue,
+|> EXTEND CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS net_u
+|> AGGREGATE CAST(SUM(net_u) AS BIGINT) / CAST(10000.0 AS DOUBLE) AS revenue,
              CAST(COUNT(*) AS BIGINT) AS n_items
    GROUP BY l_returnflag, l_linestatus
 |> WHERE n_items > 0
@@ -305,7 +306,8 @@ FROM lineitem
 
 _PIPE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) / CAST(10000.0 AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 WHERE l_shipdate >= DATE '1995-01-01'

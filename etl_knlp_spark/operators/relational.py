@@ -318,10 +318,13 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupby_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           CAST(SUM(l_quantity) AS BIGINT) * 1.0                       AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0                                                   AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) / 10000.0              AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+             / CAST(100 * COUNT(*) AS BIGINT)                          AS avg_disc,
            COUNT(*)                                                    AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -331,19 +334,26 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style GROUP BY with sum/avg/count (SURVEY §2.4 A4).
 
     Partial aggregation runs map-side before the 6-group shuffle, so
-    network traffic is O(groups × partitions), not O(rows). Double
-    aggregates round to a fixed scale on both engine and oracle —
-    summation order is partition-dependent.
+    network traffic is O(groups × partitions), not O(rows). Money
+    aggregates accumulate in exact integer units (cents / 1e-4 per the
+    addends' decimal granularity) because a rounded float sum flips at
+    half-cent boundaries under a different partition combine order —
+    the r11 determinism-probe class; quantity sums are exact integers
+    in double to begin with.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    ep_c = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    dp_u = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    cnt = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "sum_disc_price"
-        ),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
+        (F.sum("l_quantity").cast("bigint") * 1.0).alias("sum_qty"),
+        (F.sum(ep_c) / F.lit(100.0)).alias("sum_base_price"),
+        (F.sum(dp_u) / F.lit(10000.0)).alias("sum_disc_price"),
+        (F.sum(disc_c) / (F.lit(100) * cnt).cast("bigint")).alias("avg_disc"),
+        cnt.alias("count_order"),
     )
 
 

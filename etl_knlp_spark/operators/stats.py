@@ -91,21 +91,27 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
            CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
-           ROUND(SUM(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END), 2)
+           CAST(SUM(CASE WHEN o_totalprice > 200000
+                    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) / 100.0
              AS big_spend
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation (count_if / sum-case) — the one-pass
-    alternative to N filtered scans."""
+    alternative to N filtered scans. The money sum accumulates in
+    exact integer cents (layout-independent; r11 determinism-probe
+    recipe) — its groups grow with the corpus, unlike the bounded
+    per-window sums that keep plain float sums."""
     o = load_table(spark, sf_dir, "orders")
+    price_c = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     return o.groupBy("o_orderpriority").agg(
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
         F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
-        F.round(
-            F.sum(F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).otherwise(0.0)),
-            2,
+        (
+            F.sum(F.when(F.col("o_totalprice") > 200000, price_c).otherwise(0))
+            / F.lit(100.0)
         ).alias("big_spend"),
     )
 

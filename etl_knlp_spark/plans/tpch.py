@@ -9,9 +9,16 @@ choosing join order/strategy and AQE re-planning at runtime. Each
 docstring names the shape's scale-critical plan property; the load-
 bearing ones are pinned in tests/test_plans.py.
 
-Determinism note: revenue is a shuffled double sum, so ordering ranks
-on the ROUNDED value with a unique key tiebreak on both engine and
-oracle (unrounded fp sums differ in the last ulp across engines).
+Determinism note (round 11): every money aggregate accumulates in
+EXACT integer units (`_rev_u` and friends — cents / 1e-4 / 1e-6 per
+the addends' decimal granularity), because ROUND(SUM(double), 2) is
+layout-dependent: the float sum's last ulp varies with partition
+combine order, and a group landing on a half-cent boundary flips a
+cent between layouts (caught live by tools/determinism_probe.py on
+q9). Integer sums are associative — same total under ANY layout, any
+join strategy, and both engines. Ratios divide the exact integer
+units (bigint/bigint → identical IEEE doubles on both engines).
+Orderings rank on the exact values with a unique key tiebreak.
 """
 
 from __future__ import annotations
@@ -28,11 +35,31 @@ def _revenue():
     return F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
 
 
+def _rev_u():
+    """Per-row revenue in EXACT 1e-4 dollar units (BIGINT).
+
+    l_extendedprice and l_discount are 2-decimal, so ep*(1-d) is an
+    exact 4-decimal value; the double product lands within ~1e-9 of
+    that integer multiple of 1e-4 and ROUND recovers it exactly — no
+    half boundary exists at the row level. Summing the BIGINT units is
+    associative, so group totals are independent of partition layout
+    and combine order. This replaces ROUND(SUM(double), 2), which the
+    round-11 layout-perturbation probe (tools/determinism_probe.py)
+    caught flipping a cent whenever a group's float sum landed on a
+    half-cent boundary under a different combine order — a ~1%/group
+    event on 4-decimal addends. BIGINT headroom: ~9.2e18 units ≈
+    $9.2e14 per group. The same q11/q22 integer-unit recipe,
+    generalized to the whole batch-analytics family."""
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("bigint")
+
+
 @query(
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
            CAST(o.o_orderdate AS DATE) AS order_date
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -61,7 +88,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(_revenue(), 2).alias("revenue"))
+        .agg((F.sum(_rev_u()) / F.lit(10000.0)).alias("revenue"))
         .select(
             "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("order_date")
         )
@@ -74,7 +101,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_volume",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -103,7 +130,7 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, (c.c_custkey == o.o_custkey) & (c.c_nationkey == s.s_nationkey))
         .groupBy("n_name")
-        .agg(F.round(_revenue(), 2).alias("revenue"))
+        .agg((F.sum(_rev_u()) / F.lit(10000.0)).alias("revenue"))
     )
 
 
@@ -111,7 +138,7 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -137,7 +164,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(_revenue(), 2).alias("revenue"))
+        .agg((F.sum(_rev_u()) / F.lit(10000.0)).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -147,7 +174,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(CAST(SUM(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue,
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -162,7 +189,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     PushedFilters, so row groups outside them never decompress) and a
     two-value global aggregate — the cheapest possible full-table
     plan, and the canonical test that pushdown actually works. Revenue
-    rounds at 2 (shuffled double sum)."""
+    accumulates in exact 1e-4 integer units (ep*d is an exact
+    4-decimal value per row) — layout-independent (r11 recipe)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -173,9 +201,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000, 0
+                    ).cast("bigint")
+                )
+                / F.lit(10000.0)
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -280,7 +313,7 @@ def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            EXTRACT(YEAR FROM l.l_shipdate)::BIGINT AS l_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -331,7 +364,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
-        .agg(F.round(_revenue(), 2).alias("revenue"))
+        .agg((F.sum(_rev_u()) / F.lit(10000.0)).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -424,48 +457,48 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sums AS (
       SELECT
-        ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
-                  THEN l.l_extendedprice * (1 - l.l_discount) END), 2)
-          AS promo_revenue,
-        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
-          AS total_revenue
+        CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 10000) AS BIGINT) END) AS BIGINT)
+          AS promo_u,
+        CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                            * 10000) AS BIGINT)) AS BIGINT)
+          AS total_u
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
         AND l.l_shipdate <  TIMESTAMP '1996-10-01'
     )
-    SELECT promo_revenue, total_revenue,
-           ROUND(100.0 * promo_revenue / total_revenue, 4) AS promo_pct
+    SELECT promo_u / 10000.0 AS promo_revenue,
+           total_u / 10000.0 AS total_revenue,
+           (promo_u * 100) / total_u AS promo_pct
     FROM sums
     """,
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): conditional-sum ratio over
-    one month of shipments. Determinism: the ratio divides the two
-    ROUNDED sums (round-then-divide, in both engines) — dividing raw
-    shuffled double sums would differ in the last ulp across engines
-    and the final rounding could flip. The month filter pushes to the
+    one month of shipments. Determinism: both sums accumulate in
+    exact 1e-4 integer units and the percentage is (promo_u * 100) /
+    total_u — one exact-integer division both engines compute
+    identically, with no float sum and no final rounding to flip (r11
+    determinism-probe hardening). The month filter pushes to the
     lineitem scan; part broadcasts."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_u = _rev_u()
     sums = (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
-            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)), 2).alias(
-                "promo_revenue"
-            ),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.sum(F.when(F.col("p_type") == "PROMO", rev_u)).alias("promo_u"),
+            F.sum(rev_u).alias("total_u"),
         )
     )
     return sums.select(
-        "promo_revenue",
-        "total_revenue",
-        F.round(
-            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 4
-        ).alias("promo_pct"),
+        (F.col("promo_u") / F.lit(10000.0)).alias("promo_revenue"),
+        (F.col("total_u") / F.lit(10000.0)).alias("total_revenue"),
+        ((F.col("promo_u") * 100) / F.col("total_u")).alias("promo_pct"),
     )
 
 
@@ -478,7 +511,8 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT)        AS cnt_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           / 700.0 AS avg_yearly
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN per_part a ON a.l_partkey = l.l_partkey
@@ -510,14 +544,19 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("bigint") * 5 * F.col("cnt_qty")
             < F.col("sum_qty")
         )
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+                / F.lit(700.0)
+            ).alias("avg_yearly")
+        )
     )
 
 
 @query(
     "q19_disjunctive_filter",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -554,7 +593,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, p.p_partkey == li.l_partkey)
         .filter(cond)
         .agg(
-            F.round(_revenue(), 2).alias("revenue"),
+            (F.sum(_rev_u()) / F.lit(10000.0)).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -687,13 +726,18 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS BIGINT)                          AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                           AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                                                                    AS sum_charge,
-           ROUND(CAST(SUM(l_quantity) AS BIGINT) * 1.0 / COUNT(*), 6)   AS avg_qty,
-           ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*), 6)      AS avg_price,
-           ROUND(ROUND(SUM(l_discount), 4) / COUNT(*), 6)          AS avg_disc,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0                                                AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) / 10000.0           AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               * 1000000) AS BIGINT)) AS BIGINT)
+             / 1000000.0                                            AS sum_charge,
+           CAST(SUM(l_quantity) AS BIGINT) / CAST(COUNT(*) AS BIGINT)   AS avg_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / CAST(100 * COUNT(*) AS BIGINT)                       AS avg_price,
+           CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+             / CAST(100 * COUNT(*) AS BIGINT)                       AS avg_disc,
            CAST(COUNT(*) AS BIGINT)                                 AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-01'
@@ -707,25 +751,34 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-group output. The plan to demand: predicate pushed to the scan,
     whole-stage-codegen'd partial HashAggregate doing ~all the work
     map-side, a 4-row exchange, final aggregate. Determinism: every
-    AVG is round-then-divide (exact integer sum for qty, 2/4-dp
-    rounded sums for price/discount divided by the exact count) —
-    dividing raw shuffled double sums would flip the 6th decimal
-    across engines."""
+    money sum accumulates in exact integer units (cents for the
+    2-decimal base price, 1e-4 for the 4-decimal discounted price,
+    1e-6 for the 6-decimal charge), and every AVG divides exact
+    integer sums by the exact count — one bigint/bigint IEEE division
+    that both engines compute identically. No float accumulation
+    anywhere, so no layout or combine-order sensitivity (r11
+    determinism-probe hardening)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ep_c = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    dp_u = F.round(disc_price * 10000, 0).cast("bigint")
+    ch_u = F.round(disc_price * (1 + F.col("l_tax")) * 1000000, 0).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("bigint")
     cnt = F.count(F.lit(1))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").cast("bigint").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.sum("l_quantity").cast("bigint") * 1.0 / cnt, 6).alias("avg_qty"),
-            F.round(F.round(F.sum("l_extendedprice"), 2) / cnt, 6).alias("avg_price"),
-            F.round(F.round(F.sum("l_discount"), 4) / cnt, 6).alias("avg_disc"),
+            (F.sum(ep_c) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(dp_u) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(ch_u) / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum("l_quantity").cast("bigint") / cnt.cast("bigint")).alias(
+                "avg_qty"
+            ),
+            (F.sum(ep_c) / (F.lit(100) * cnt).cast("bigint")).alias("avg_price"),
+            (F.sum(disc_c) / (F.lit(100) * cnt).cast("bigint")).alias("avg_disc"),
             cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -789,11 +842,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH vol AS (
       SELECT EXTRACT(YEAR FROM o.o_orderdate)::BIGINT AS o_year,
-             ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
-                       THEN l.l_extendedprice * (1 - l.l_discount) END), 2)
-               AS nation_volume,
-             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
-               AS total_volume
+             CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                      * 10000) AS BIGINT) END) AS BIGINT)
+               AS nation_u,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                 * 10000) AS BIGINT)) AS BIGINT)
+               AS total_u
       FROM lineitem l
       JOIN part p     ON p.p_partkey = l.l_partkey
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -808,7 +863,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     )
     SELECT o_year,
-           ROUND(COALESCE(nation_volume, 0) / total_volume, 6) AS mkt_share
+           COALESCE(nation_u, 0) / total_u AS mkt_share
     FROM vol ORDER BY o_year
     """,
 )
@@ -818,8 +873,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     attaches TWICE (customer's nation restricts the market to a
     region; supplier's nation is the share numerator), then a
     conditional-sum ratio. All dims broadcast; lineitem⋈orders is the
-    only at-scale shuffle. Ratio divides the two ROUNDED sums (the
-    repo's cross-engine determinism rule)."""
+    only at-scale shuffle. Both volumes accumulate in exact 1e-4
+    integer units; the share is one bigint/bigint division — layout-
+    independent and identical across engines (r11 recipe)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -835,7 +891,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_u = _rev_u()
     vol = (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(o, o.o_orderkey == li.l_orderkey)
@@ -846,17 +902,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sn, F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)), 2
-            ).alias("nation_volume"),
-            F.round(F.sum(rev), 2).alias("total_volume"),
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev_u)).alias(
+                "nation_u"
+            ),
+            F.sum(rev_u).alias("total_u"),
         )
     )
     return vol.select(
         "o_year",
-        F.round(
-            F.coalesce(F.col("nation_volume"), F.lit(0.0)) / F.col("total_volume"), 6
-        ).alias("mkt_share"),
+        (F.coalesce(F.col("nation_u"), F.lit(0)) / F.col("total_u")).alias(
+            "mkt_share"
+        ),
     ).orderBy("o_year")
 
 
@@ -865,8 +921,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            EXTRACT(YEAR FROM o.o_orderdate)::BIGINT AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+           CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+                     - CAST(0.6 AS DOUBLE) * p.p_retailprice * l.l_quantity)
+                     * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -883,15 +940,31 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     no partsupp, so cost is modeled as 60% of retail price — the
     join/aggregate shape (LIKE-filtered part ⋈ fact, dims decorating,
     two-key group) is what matters. The LIKE pushes to the part scan
-    as a string-contains filter; part then broadcasts."""
+    as a string-contains filter; part then broadcasts.
+
+    Profit accumulates in EXACT 10^-4 units (per-row double formula in
+    identical IEEE op order on both engines — an exact 4-decimal value
+    that ROUND recovers precisely — summed as BIGINT, the q11/q22
+    recipe): the original
+    ROUND(SUM(double), 2) was layout-dependent, flipping a cent when a
+    group's float sum landed on a half-cent boundary under a different
+    partition combine order (caught by tools/determinism_probe.py at
+    sf0.001, round 11). BIGINT headroom: ~9.2e18 / 1e9-per-row ≈ 9e9
+    widget rows per (nation, year) group before overflow — not a
+    100 TB concern for a per-nation-year group."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    profit_u = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000,
+        0,
+    ).cast("bigint")
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
@@ -901,7 +974,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg((F.sum(profit_u) / F.lit(10000.0)).alias("sum_profit"))
         .orderBy("nation", "o_year")
     )
 
@@ -964,7 +1037,7 @@ def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -981,16 +1054,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a derived per-supplier revenue relation used twice, once as the
     join input and once reduced to its MAX for the filter. Spark
     reuses one DataFrame for both roles (and the MAX is a one-row
-    broadcast, not a rescan, under AQE subquery reuse). Equality on
-    the double is safe because both sides compare the SAME
-    round-to-2 values computed by each engine consistently."""
+    broadcast, not a rescan, under AQE subquery reuse). Revenue
+    accumulates in exact 1e-4 integer units, so the MAX-equality
+    compares doubles derived from identical BIGINTs — exact on both
+    engines and under any layout (r11 recipe)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     s = load_table(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(_revenue(), 2).alias("total_revenue")
+        (F.sum(_rev_u()) / F.lit(10000.0)).alias("total_revenue")
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (

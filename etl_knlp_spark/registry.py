@@ -207,6 +207,34 @@ _STALE_SINCE: dict[str, int] = {
     # strata), but the oracle strings changed.
     "spearman_corr": 10,
     "kendall_tau": 10,
+    # round 11: tools/determinism_probe.py (layout-perturbation sweep)
+    # caught ROUND(SUM(double), 2) flipping a cent when a group's
+    # float sum lands on a half-cent boundary under a different
+    # partition combine order (q9 flipped live at sf0.001). The whole
+    # batch-analytics family — every money sum over corpus-
+    # proportional groups — now accumulates in exact integer units
+    # (cents / 1e-4 / 1e-6 per the addends' decimal granularity, the
+    # q11/q22 recipe generalized): outputs and oracles changed for
+    # all of these. Bounded-group sums (streaming windows, sessions,
+    # per-customer CTE demos) keep plain float sums — their error
+    # margin is ~10 orders under the half-cent boundary by
+    # construction (BASELINE.md round-11 note).
+    "q9_product_profit": 11,
+    "q3_shipping_priority": 11,
+    "q5_nation_volume": 11,
+    "q6_forecast_revenue": 11,
+    "q7_nation_trade": 11,
+    "q8_market_share": 11,
+    "q10_returned_items": 11,
+    "q14_promo_share": 11,
+    "q17_small_quantity": 11,
+    "q19_disjunctive_filter": 11,
+    "q15_top_supplier": 11,
+    "q1_pricing_summary": 11,
+    "groupby_agg": 11,
+    "conditional_agg": 11,
+    "sql_pipe_syntax": 11,
+    "recursive_cte": 11,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
@@ -314,6 +342,16 @@ _SWEEP_PRIORITY: dict[str, int] = {
     "q15_top_supplier": 10,
     "q16_supplier_part_types": 10,
     "q20_excess_suppliers": 10,
+    # -- round 11: the exact-integer-unit determinism fix invalidated
+    #    these six on top of entries above (whose stale bars moved to
+    #    11; an entry demanding r10 stays active until an r11+ row
+    #    lands, since the stale bar filters older rows first) --
+    "q3_shipping_priority": 11,
+    "q5_nation_volume": 11,
+    "q10_returned_items": 11,
+    "groupby_agg": 11,
+    "conditional_agg": 11,
+    "sql_pipe_syntax": 11,
 }
 
 # Priority order within the tier = dict insertion order.

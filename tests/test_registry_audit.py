@@ -391,14 +391,6 @@ def test_steady_state_window_is_the_stalest_50():
         n: _freshest_valid_round(n, evidence, env_epochs)
         for n in registry._REGISTRY
     }
-    # Precondition for the pure-rotation claim: every query has valid
-    # evidence (true since round 6; if this ever breaks, the
-    # starvation test above is the one that should fire).
-    unevidenced = [n for n in fresh if fresh[n] is None]
-    assert not unevidenced, (
-        f"steady-state test assumes full evidence coverage; missing: "
-        f"{unevidenced[:5]}"
-    )
     original = dict(registry._SWEEP_PRIORITY)
     try:
         registry._SWEEP_PRIORITY.clear()
@@ -406,13 +398,31 @@ def test_steady_state_window_is_the_stalest_50():
     finally:
         registry._SWEEP_PRIORITY.update(original)
     reg_pos = {n: i for i, n in enumerate(registry._REGISTRY)}
-    expected = sorted(registry._REGISTRY, key=lambda n: (fresh[n], reg_pos[n]))
+
+    # Mirror of the registry's non-priority tiers: queries whose
+    # evidence was invalidated (a stale-bar bump mid-cycle, like the
+    # r11 integer-unit fix) front the order, then the evidenced rest
+    # rotates pure stalest-first. Both halves together ARE the
+    # steady-state policy — an unevidenced query is just "staleness
+    # = -inf".
+    def min_round(n):
+        mr = registry._STALE_SINCE.get(n, 0)
+        for t in registry._tables_of(registry._REGISTRY[n]):
+            mr = max(mr, env_epochs.get(t, 0))
+        return mr
+
+    def tier(n):
+        if fresh[n] is not None:
+            return (3, fresh[n])
+        rows = [r for r, _ in evidence.get(n, []) if r >= min_round(n)]
+        return (1, 0) if rows else (2, 0)
+
+    expected = sorted(registry._REGISTRY, key=lambda n: (*tier(n), reg_pos[n]))
     assert order == expected, (
         "with no active priorities, _sweep_order must be pure "
-        "stalest-first (ties by registration order)"
+        "stalest-first (unevidenced first, ties by registration order)"
     )
-    stalest_50 = set(expected[:50])
-    assert set(order[:50]) == stalest_50, (
+    assert set(order[:50]) == set(expected[:50]), (
         "projected window is not the stalest 50"
     )
 
@@ -456,6 +466,54 @@ def test_rotation_staleness_bounded_by_six_rounds():
                 f"exceeds the {cycle}-round bound — rotation is not "
                 "pure stalest-first"
             )
+
+
+def test_no_rounded_float_sum_over_multiplied_addends():
+    """r11 determinism-probe class, mechanized: ROUND(SUM(expr), k)
+    where expr multiplies columns produces addends with MORE decimals
+    than the rounding unit — group sums then land exactly on half
+    boundaries (~1%/group for 4-decimal addends rounded to 2) and the
+    float sum's combine-order ulp decides which way they round: a
+    layout-dependent coin flip (q9_product_profit flipped live). Such
+    sums must accumulate in exact integer units (the _rev_u recipe).
+    This audit scans every oracle for the hazard signature — a
+    ROUND(SUM(...)) whose summed expression contains a '*' — so the
+    class cannot be reintroduced silently. Log-sum queries (irrational
+    addends, boundary mass ~1e-5/group, documented in BASELINE.md
+    round-11) are whitelisted BY NAME; a new hazard site must either
+    use integer units or argue its way into the whitelist."""
+    import re
+
+    registry._load_all()
+    # documented-safe: sums of ln(...) terms — no decimal structure,
+    # negligible boundary mass (BASELINE.md round-11 tier table)
+    LOG_SUM_WHITELIST = {
+        "dsir_importance",
+        "hybrid_retrieval_rrf",
+        "hybrid_retrieval_rrf_pruned",
+    }
+    pat = re.compile(r"ROUND\s*\(\s*SUM\s*\(", re.I)
+    offenders = []
+    for name, rq in registry._REGISTRY.items():
+        if rq.oracle is None or name in LOG_SUM_WHITELIST:
+            continue
+        for m in pat.finditer(rq.oracle):
+            depth = 0
+            for i in range(m.end() - 1, len(rq.oracle)):
+                if rq.oracle[i] == "(":
+                    depth += 1
+                elif rq.oracle[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            arg = rq.oracle[m.end() : i]
+            if "*" in arg or "ln(" in arg.lower() or "log(" in arg.lower():
+                offenders.append((name, arg.strip()[:60]))
+    assert not offenders, (
+        f"rounded float sums over multiplied/log addends (the layout-"
+        f"dependent half-boundary class): {offenders} — accumulate in "
+        "exact integer units instead (plans/tpch.py _rev_u docstring)"
+    )
 
 
 def test_stale_since_has_no_duplicate_keys():

@@ -42,10 +42,12 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5(canon(df).to_csv(index=False).encode()).hexdigest()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(cpus=16)
+def run_sweep(spark, sf_dir: str, only: set[str] | None = None) -> list[str]:
+    """Run every registered query on the GIVEN session and compare
+    against its DuckDB oracle; returns the failure list. Split out of
+    main() so tools/determinism_probe.py can drive the identical
+    comparison under a deliberately perturbed session."""
+    only = only or set()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
@@ -87,7 +89,14 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(sdf)} rows")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
-    return 1 if failures else 0
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(cpus=16)
+    return 1 if run_sweep(spark, sf_dir, only) else 0
 
 
 if __name__ == "__main__":
