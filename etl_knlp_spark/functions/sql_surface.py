@@ -135,7 +135,7 @@ spine(month_start, hi) AS (
 monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
          COUNT(*) AS n_orders,
-         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
            / CAST(100.0 AS DOUBLE) AS revenue
   FROM orders GROUP BY 1
 )
@@ -296,7 +296,7 @@ def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPE_SQL = """
 FROM lineitem
 |> WHERE l_shipdate >= DATE '1995-01-01'
-|> EXTEND CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS net_u
+|> EXTEND CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT) AS net_u
 |> AGGREGATE CAST(SUM(net_u) AS BIGINT) / CAST(10000.0 AS DOUBLE) AS revenue,
              CAST(COUNT(*) AS BIGINT) AS n_items
    GROUP BY l_returnflag, l_linestatus
@@ -306,7 +306,7 @@ FROM lineitem
 
 _PIPE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
                      AS BIGINT)) AS BIGINT) / CAST(10000.0 AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem

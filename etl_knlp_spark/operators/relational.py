@@ -319,11 +319,11 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS BIGINT) * 1.0                       AS sum_qty,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
              / 100.0                                                   AS sum_base_price,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
                          AS BIGINT)) AS BIGINT) / 10000.0              AS sum_disc_price,
-           CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
              / CAST(100 * COUNT(*) AS BIGINT)                          AS avg_disc,
            COUNT(*)                                                    AS count_order
     FROM lineitem
@@ -342,11 +342,11 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     in double to begin with.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    ep_c = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-    dp_u = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ep_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    dp_u = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
     ).cast("bigint")
-    disc_c = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    disc_c = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
     cnt = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         (F.sum("l_quantity").cast("bigint") * 1.0).alias("sum_qty"),

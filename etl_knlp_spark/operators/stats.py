@@ -92,7 +92,7 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
            CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
            CAST(SUM(CASE WHEN o_totalprice > 200000
-                    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
                     ELSE 0 END) AS BIGINT) / 100.0
              AS big_spend
     FROM orders GROUP BY o_orderpriority
@@ -105,7 +105,7 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe) — its groups grow with the corpus, unlike the bounded
     per-window sums that keep plain float sums."""
     o = load_table(spark, sf_dir, "orders")
-    price_c = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    price_c = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
     return o.groupBy("o_orderpriority").agg(
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
         F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
@@ -137,9 +137,9 @@ def histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minmax_by",
     oracle="""
     SELECT c_nationkey,
-           arg_max(c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+           arg_max(c_custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * 10000000 + c_custkey)
              AS richest_cust,
-           arg_min(c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey)
+           arg_min(c_custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * 10000000 + c_custkey)
              AS poorest_cust,
            ROUND(MAX(c_acctbal), 2) AS max_bal
     FROM customer GROUP BY c_nationkey
@@ -1352,7 +1352,7 @@ def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cents AS (
       SELECT event_id, user_id,
-             CAST(ROUND(value * 100) AS BIGINT) AS c
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
       FROM events WHERE value IS NOT NULL
     ), per_user AS (
       SELECT user_id, SUM(c) AS s, COUNT(*) AS n FROM cents GROUP BY user_id

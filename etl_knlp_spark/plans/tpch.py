@@ -40,8 +40,10 @@ def _rev_u():
 
     l_extendedprice and l_discount are 2-decimal, so ep*(1-d) is an
     exact 4-decimal value; the double product lands within ~1e-9 of
-    that integer multiple of 1e-4 and ROUND recovers it exactly — no
-    half boundary exists at the row level. Summing the BIGINT units is
+    that integer multiple of 1e-4 and FLOOR(x + 0.5) recovers it
+    exactly — no half boundary exists at the row level, and floor is
+    a native double op (Spark's ROUND(double) routes through per-row
+    BigDecimal: the A/B measured it 1.8x slower on groupby_agg). Summing the BIGINT units is
     associative, so group totals are independent of partition layout
     and combine order. This replaces ROUND(SUM(double), 2), which the
     round-11 layout-perturbation probe (tools/determinism_probe.py)
@@ -50,8 +52,8 @@ def _rev_u():
     event on 4-decimal addends. BIGINT headroom: ~9.2e18 units ≈
     $9.2e14 per group. The same q11/q22 integer-unit recipe,
     generalized to the whole batch-analytics family."""
-    return F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    return F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
     ).cast("bigint")
 
 
@@ -59,7 +61,7 @@ def _rev_u():
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
            CAST(o.o_orderdate AS DATE) AS order_date
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -101,7 +103,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_volume",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -138,7 +140,7 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -174,7 +176,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -203,8 +205,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * F.col("l_discount") * 10000, 0
+                    F.floor(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000 + 0.5
                     ).cast("bigint")
                 )
                 / F.lit(10000.0)
@@ -313,7 +315,7 @@ def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            EXTRACT(YEAR FROM l.l_shipdate)::BIGINT AS l_year,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -458,11 +460,11 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sums AS (
       SELECT
         CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                 THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
-                                 * 10000) AS BIGINT) END) AS BIGINT)
+                 THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                 * 10000 + 0.5) AS BIGINT) END) AS BIGINT)
           AS promo_u,
-        CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
-                            * 10000) AS BIGINT)) AS BIGINT)
+        CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                            * 10000 + 0.5) AS BIGINT)) AS BIGINT)
           AS total_u
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
@@ -511,7 +513,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT)        AS cnt_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
            / 700.0 AS avg_yearly
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
@@ -546,7 +548,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             (
-                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
                 / F.lit(700.0)
             ).alias("avg_yearly")
         )
@@ -556,7 +558,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_filter",
     oracle="""
-    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -671,16 +673,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_balances",
     oracle="""
     WITH pos AS (
-      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS sum_cents,
              CAST(COUNT(*) AS BIGINT) AS n_pos
       FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c.c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+           SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS totacctbal
     FROM customer c, pos
-    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * pos.n_pos > pos.sum_cents
+    WHERE CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) * pos.n_pos > pos.sum_cents
       AND NOT EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey
@@ -726,17 +728,17 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS BIGINT)                          AS sum_qty,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
              / 100.0                                                AS sum_base_price,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
                          AS BIGINT)) AS BIGINT) / 10000.0           AS sum_disc_price,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                               * 1000000) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
              / 1000000.0                                            AS sum_charge,
            CAST(SUM(l_quantity) AS BIGINT) / CAST(COUNT(*) AS BIGINT)   AS avg_qty,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
              / CAST(100 * COUNT(*) AS BIGINT)                       AS avg_price,
-           CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
              / CAST(100 * COUNT(*) AS BIGINT)                       AS avg_disc,
            CAST(COUNT(*) AS BIGINT)                                 AS count_order
     FROM lineitem
@@ -762,10 +764,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("2000-09-01").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    ep_c = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-    dp_u = F.round(disc_price * 10000, 0).cast("bigint")
-    ch_u = F.round(disc_price * (1 + F.col("l_tax")) * 1000000, 0).cast("bigint")
-    disc_c = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    ep_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    dp_u = F.floor(disc_price * 10000 + 0.5).cast("bigint")
+    ch_u = F.floor(disc_price * (1 + F.col("l_tax")) * 1000000 + 0.5).cast("bigint")
+    disc_c = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
     cnt = F.count(F.lit(1))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -843,11 +845,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH vol AS (
       SELECT EXTRACT(YEAR FROM o.o_orderdate)::BIGINT AS o_year,
              CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
-                      THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
-                                      * 10000) AS BIGINT) END) AS BIGINT)
+                      THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                      * 10000 + 0.5) AS BIGINT) END) AS BIGINT)
                AS nation_u,
-             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
-                                 * 10000) AS BIGINT)) AS BIGINT)
+             CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                 * 10000 + 0.5) AS BIGINT)) AS BIGINT)
                AS total_u
       FROM lineitem l
       JOIN part p     ON p.p_partkey = l.l_partkey
@@ -921,9 +923,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            EXTRACT(YEAR FROM o.o_orderdate)::BIGINT AS o_year,
-           CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+           CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)
                      - CAST(0.6 AS DOUBLE) * p.p_retailprice * l.l_quantity)
-                     * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_profit
+                     * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -944,8 +946,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Profit accumulates in EXACT 10^-4 units (per-row double formula in
     identical IEEE op order on both engines — an exact 4-decimal value
-    that ROUND recovers precisely — summed as BIGINT, the q11/q22
-    recipe): the original
+    that FLOOR(x*10000 + 0.5) recovers precisely, for negative values
+    too since the argument sits within 1e-9 of an integer — summed as
+    BIGINT, the q11/q22 recipe): the original
     ROUND(SUM(double), 2) was layout-dependent, flipping a cent when a
     group's float sum landed on a half-cent boundary under a different
     partition combine order (caught by tools/determinism_probe.py at
@@ -957,13 +960,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
-    profit_u = F.round(
+    profit_u = F.floor(
         (
             F.col("l_extendedprice") * (1 - F.col("l_discount"))
             - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
         )
-        * 10000,
-        0,
+        * 10000
+        + 0.5
     ).cast("bigint")
     return (
         li.join(p, li.l_partkey == p.p_partkey)
@@ -984,7 +987,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cents AS (
       SELECT l_partkey,
-             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+             CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
                   AS BIGINT) AS rev_c
       FROM lineitem
     ), total AS (
@@ -1037,7 +1040,7 @@ def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS total_revenue
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
