@@ -558,3 +558,41 @@ def test_url_canonical_is_single_aggregate(plans):
     (the canonical-key hash aggregate)."""
     p = plans("url_canonical_dedup")
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_integer_unit_revenue_is_layout_invariant_on_boundary_sums(spark):
+    """r11 determinism class, pinned behaviorally: a group whose true
+    decimal revenue ends in .xx50 (the half-cent boundary that made
+    ROUND(SUM(double), 2) a combine-order coin flip) must produce the
+    IDENTICAL value under 1-partition and many-partition layouts with
+    the integer-unit recipe. The fixture's 4-decimal addends sum to
+    exactly 301.2550 — the boundary case q9 flipped on."""
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.plans.tpch import _rev_u
+
+    # ep * (1 - disc): 100.55*(1-0.05)=95.5225, 102.91*(1-0.01)=101.8809,
+    # 103.8516*... build rows whose exact 4-decimal revenues sum to
+    # a .xx50 total: 95.5225 + 101.8809 + 103.8516 = 301.2550
+    rows = [
+        (100.55, 0.05),   # 95.5225
+        (102.91, 0.01),   # 101.8809
+        (103.8516, 0.0),  # 103.8516  (4-dec price is legal input too)
+        (0.01, 0.0),
+    ] * 7  # replicate so multi-partition layouts actually split groups
+    df = spark.createDataFrame(rows, "l_extendedprice double, l_discount double")
+
+    def total(partitions: int) -> float:
+        return (
+            df.repartition(partitions)
+            .agg((F.sum(_rev_u()) / F.lit(10000.0)).alias("revenue"))
+            .collect()[0]["revenue"]
+        )
+
+    one, seven, thirtytwo = total(1), total(7), total(32)
+    assert one == seven == thirtytwo, (one, seven, thirtytwo)
+    # and the value is the exact decimal total, expressed the same way
+    # the engine derives it (integer units / 1e4 — avoids re-deriving
+    # it through different float arithmetic in the test):
+    # 7 * (955225 + 1018809 + 1038516 + 100) units = 21088550
+    assert one == 21088550 / 10000.0, one
