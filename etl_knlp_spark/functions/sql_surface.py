@@ -135,7 +135,8 @@ spine(month_start, hi) AS (
 monthly AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
          COUNT(*) AS n_orders,
-         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS DECIMAL(38,0)))
+              AS DOUBLE)
            / CAST(100.0 AS DOUBLE) AS revenue
   FROM orders GROUP BY 1
 )
@@ -297,7 +298,8 @@ _PIPE_SQL = """
 FROM lineitem
 |> WHERE l_shipdate >= DATE '1995-01-01'
 |> EXTEND CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT) AS net_u
-|> AGGREGATE CAST(SUM(net_u) AS BIGINT) / CAST(10000.0 AS DOUBLE) AS revenue,
+|> AGGREGATE CAST(SUM(CAST(net_u AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(10000.0 AS DOUBLE) AS revenue,
              CAST(COUNT(*) AS BIGINT) AS n_items
    GROUP BY l_returnflag, l_linestatus
 |> WHERE n_items > 0
@@ -307,7 +309,7 @@ FROM lineitem
 _PIPE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-                     AS BIGINT)) AS BIGINT) / CAST(10000.0 AS DOUBLE) AS revenue,
+                     AS BIGINT)) AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 WHERE l_shipdate >= DATE '1995-01-01'

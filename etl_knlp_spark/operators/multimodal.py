@@ -107,10 +107,13 @@ def _decode_pnm(payload: bytes):
         if len(payload) - pos < 2 * n:
             raise ValueError("truncated PNM: 16-bit raster cut off")
         wide = np.frombuffer(payload, dtype=">u2", count=n, offset=pos)
-        # exact 255·s/maxval, round half up, in int64 (no float ladder)
-        arr = ((wide.astype(np.int64) * 510 + maxval) // (2 * maxval)).astype(
-            np.uint8
-        )
+        # exact 255·s/maxval, round half up, in int64 (no float ladder);
+        # spec-invalid samples above maxval scale past 255 — clamp so
+        # the output stays a monotone function of the sample instead of
+        # wrapping mod 256 in the uint8 cast (r11 review)
+        arr = np.clip(
+            (wide.astype(np.int64) * 510 + maxval) // (2 * maxval), 0, 255
+        ).astype(np.uint8)
     else:
         if len(payload) - pos < n:
             raise ValueError("truncated PNM: raster cut off")
@@ -119,10 +122,11 @@ def _decode_pnm(payload: bytes):
             # same exact 255·s/maxval round-half-up as the 2-byte path
             # (identity at maxval=255), so brightness semantics agree
             # on both sides of the 255 boundary — a maxval=100 sample
-            # of 100 is full-scale white, not dark gray (r10 ADVICE)
-            arr = ((arr.astype(np.int64) * 510 + maxval) // (2 * maxval)).astype(
-                np.uint8
-            )
+            # of 100 is full-scale white, not dark gray (r10 ADVICE);
+            # clamped for the same spec-invalid-sample reason as above
+            arr = np.clip(
+                (arr.astype(np.int64) * 510 + maxval) // (2 * maxval), 0, 255
+            ).astype(np.uint8)
     return arr.reshape(h, w, ch)
 
 

@@ -319,10 +319,10 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS BIGINT) * 1.0                       AS sum_qty,
-           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
              / 100.0                                                   AS sum_base_price,
            CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-                         AS BIGINT)) AS BIGINT) / 10000.0              AS sum_disc_price,
+                         AS BIGINT)) AS DOUBLE) / 10000.0              AS sum_disc_price,
            CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
              / CAST(100 * COUNT(*) AS BIGINT)                          AS avg_disc,
            COUNT(*)                                                    AS count_order
@@ -338,8 +338,12 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates accumulate in exact integer units (cents / 1e-4 per the
     addends' decimal granularity) because a rounded float sum flips at
     half-cent boundaries under a different partition combine order —
-    the r11 determinism-probe class; quantity sums are exact integers
-    in double to begin with.
+    the r11 determinism-probe class. The six whole-table groups grow
+    with the corpus, so the unit sums run in DECIMAL(38,0) (BIGINT
+    crosses 9.2e18 inside the 100 TB posture; DuckDB mirrors with its
+    native HUGEINT sum — r11 review hardening); quantity sums are
+    exact integers in double to begin with, and the discount-cents
+    sum is value-bounded (≤10 cents/row) so BIGINT holds to sf~1e16.
     """
     li = load_table(spark, sf_dir, "lineitem")
     ep_c = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
@@ -350,8 +354,12 @@ def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         (F.sum("l_quantity").cast("bigint") * 1.0).alias("sum_qty"),
-        (F.sum(ep_c) / F.lit(100.0)).alias("sum_base_price"),
-        (F.sum(dp_u) / F.lit(10000.0)).alias("sum_disc_price"),
+        (
+            F.sum(ep_c.cast("decimal(38,0)")).cast("double") / F.lit(100.0)
+        ).alias("sum_base_price"),
+        (
+            F.sum(dp_u.cast("decimal(38,0)")).cast("double") / F.lit(10000.0)
+        ).alias("sum_disc_price"),
         (F.sum(disc_c) / (F.lit(100) * cnt).cast("bigint")).alias("avg_disc"),
         cnt.alias("count_order"),
     )

@@ -93,7 +93,7 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
            CAST(SUM(CASE WHEN o_totalprice > 200000
                     THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
-                    ELSE 0 END) AS BIGINT) / 100.0
+                    ELSE 0 END) AS DOUBLE) / 100.0
              AS big_spend
     FROM orders GROUP BY o_orderpriority
     """,
@@ -101,16 +101,22 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation (count_if / sum-case) — the one-pass
     alternative to N filtered scans. The money sum accumulates in
-    exact integer cents (layout-independent; r11 determinism-probe
-    recipe) — its groups grow with the corpus, unlike the bounded
-    per-window sums that keep plain float sums."""
+    exact integer cents in DECIMAL(38,0) (layout-independent, r11
+    determinism-probe recipe; the five priority groups grow with the
+    corpus, so BIGINT cents cross 9.2e18 inside the 100 TB posture —
+    r11 review hardening), unlike the bounded per-window sums that
+    keep plain float sums."""
     o = load_table(spark, sf_dir, "orders")
     price_c = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
     return o.groupBy("o_orderpriority").agg(
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
         F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
         (
-            F.sum(F.when(F.col("o_totalprice") > 200000, price_c).otherwise(0))
+            F.sum(
+                F.when(F.col("o_totalprice") > 200000, price_c)
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            ).cast("double")
             / F.lit(100.0)
         ).alias("big_spend"),
     )
@@ -155,7 +161,8 @@ def minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the answer well-defined everywhere."""
     c = load_table(spark, sf_dir, "customer")
     ord_key = (
-        F.round(F.col("c_acctbal") * 100).cast("bigint") * 10000000 + F.col("c_custkey")
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint") * 10000000
+        + F.col("c_custkey")
     )
     return c.groupBy("c_nationkey").agg(
         F.max_by("c_custkey", ord_key).alias("richest_cust"),
@@ -1390,7 +1397,7 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
     )
     per_user = cents.groupBy("user_id").agg(
         F.sum("c").alias("s"), F.count(F.lit(1)).alias("n")

@@ -17,8 +17,22 @@ combine order, and a group landing on a half-cent boundary flips a
 cent between layouts (caught live by tools/determinism_probe.py on
 q9). Integer sums are associative — same total under ANY layout, any
 join strategy, and both engines. Ratios divide the exact integer
-units (bigint/bigint → identical IEEE doubles on both engines).
-Orderings rank on the exact values with a unique key tiebreak.
+units (identical IEEE doubles on both engines). Orderings rank on
+the exact values with a unique key tiebreak.
+
+Accumulator width (round-11 review hardening): per-group BIGINT unit
+sums overflow 9.2e18 once a group's row count times its per-row unit
+value crosses that bar — a 1e-4-unit revenue sum over a whole-table
+group does so near sf~2e4, inside the 100 TB posture (sf~1e5).
+Policy: groups whose row count GROWS with the corpus (the global /
+per-year / per-nation shapes — q1, q5–q9, q11's total, q14, q17,
+q19, groupby_agg, conditional_agg) accumulate via `_sum_u_dec`:
+DECIMAL(38,0) unit sums (1e38 headroom; DuckDB mirrors with its
+native HUGEINT sum), cast to DOUBLE once at the end. Groups keyed by
+an entity whose per-key activity is bounded by construction
+(per-order q3, per-customer q10, per-supplier q15, per-nation
+account balances q22) keep plain BIGINT sums — their headroom
+analysis lives in each docstring.
 """
 
 from __future__ import annotations
@@ -55,6 +69,23 @@ def _rev_u():
     return F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
     ).cast("bigint")
+
+
+def _sum_u_dec(u, divisor: float):
+    """SUM of integer money units with DECIMAL(38,0) accumulation,
+    scaled back to dollars as a DOUBLE.
+
+    For groups whose row count grows with the corpus (global sums,
+    per-year, per-nation), BIGINT unit sums cross 9.2e18 inside the
+    100 TB posture; DECIMAL(38,0) raises the ceiling to 1e38 (~1e19×
+    margin) while staying exact and associative. DuckDB needs no
+    mirror change — its SUM(BIGINT) already accumulates in HUGEINT
+    (1.7e38); its oracle-side cast is `CAST(SUM(...) AS DOUBLE)`,
+    matching the single decimal→double rounding here (both engines
+    round the same exact integer to the nearest IEEE double, then
+    divide by the same power of ten — bit-identical results; below
+    2^53 units the double is the integer exactly)."""
+    return F.sum(u.cast("decimal(38,0)")).cast("double") / F.lit(divisor)
 
 
 @query(
@@ -103,7 +134,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_volume",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -132,7 +163,7 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, (c.c_custkey == o.o_custkey) & (c.c_nationkey == s.s_nationkey))
         .groupBy("n_name")
-        .agg((F.sum(_rev_u()) / F.lit(10000.0)).alias("revenue"))
+        .agg(_sum_u_dec(_rev_u(), 10000.0).alias("revenue"))
     )
 
 
@@ -176,7 +207,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -203,13 +234,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            (
-                F.sum(
-                    F.floor(
-                        F.col("l_extendedprice") * F.col("l_discount") * 10000 + 0.5
-                    ).cast("bigint")
-                )
-                / F.lit(10000.0)
+            _sum_u_dec(
+                F.floor(
+                    F.col("l_extendedprice") * F.col("l_discount") * 10000 + 0.5
+                ).cast("bigint"),
+                10000.0,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -315,7 +344,7 @@ def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            EXTRACT(YEAR FROM l.l_shipdate)::BIGINT AS l_year,
-           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -366,7 +395,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
-        .agg((F.sum(_rev_u()) / F.lit(10000.0)).alias("revenue"))
+        .agg(_sum_u_dec(_rev_u(), 10000.0).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -459,31 +488,34 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sums AS (
       SELECT
-        CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                 THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
-                                 * 10000 + 0.5) AS BIGINT) END) AS BIGINT)
+        SUM(CASE WHEN p.p_type = 'PROMO'
+            THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                            * 10000 + 0.5) AS BIGINT) END)
           AS promo_u,
-        CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
-                            * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+        SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                       * 10000 + 0.5) AS BIGINT))
           AS total_u
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
         AND l.l_shipdate <  TIMESTAMP '1996-10-01'
     )
-    SELECT promo_u / 10000.0 AS promo_revenue,
-           total_u / 10000.0 AS total_revenue,
-           (promo_u * 100) / total_u AS promo_pct
+    SELECT CAST(promo_u AS DOUBLE) / 10000.0 AS promo_revenue,
+           CAST(total_u AS DOUBLE) / 10000.0 AS total_revenue,
+           (CAST(promo_u AS DOUBLE) * 100) / CAST(total_u AS DOUBLE)
+             AS promo_pct
     FROM sums
     """,
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion effect): conditional-sum ratio over
     one month of shipments. Determinism: both sums accumulate in
-    exact 1e-4 integer units and the percentage is (promo_u * 100) /
-    total_u — one exact-integer division both engines compute
-    identically, with no float sum and no final rounding to flip (r11
-    determinism-probe hardening). The month filter pushes to the
-    lineitem scan; part broadcasts."""
+    exact 1e-4 integer units in DECIMAL(38,0) (global groups grow
+    with the corpus — module accumulator-width note), and the
+    percentage divides the exact totals after one decimal→double
+    cast each — both engines compute it identically, with no float
+    sum and no final rounding to flip (r11 determinism-probe
+    hardening). The month filter pushes to the lineitem scan; part
+    broadcasts."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
@@ -493,14 +525,19 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", rev_u)).alias("promo_u"),
-            F.sum(rev_u).alias("total_u"),
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev_u).cast("decimal(38,0)")
+            ).alias("promo_u"),
+            F.sum(rev_u.cast("decimal(38,0)")).alias("total_u"),
         )
     )
     return sums.select(
-        (F.col("promo_u") / F.lit(10000.0)).alias("promo_revenue"),
-        (F.col("total_u") / F.lit(10000.0)).alias("total_revenue"),
-        ((F.col("promo_u") * 100) / F.col("total_u")).alias("promo_pct"),
+        (F.col("promo_u").cast("double") / F.lit(10000.0)).alias("promo_revenue"),
+        (F.col("total_u").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+        (
+            (F.col("promo_u").cast("double") * 100)
+            / F.col("total_u").cast("double")
+        ).alias("promo_pct"),
     )
 
 
@@ -513,7 +550,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT)        AS cnt_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
            / 700.0 AS avg_yearly
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
@@ -547,9 +584,8 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("sum_qty")
         )
         .agg(
-            (
-                F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
-                / F.lit(700.0)
+            _sum_u_dec(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"), 700.0
             ).alias("avg_yearly")
         )
     )
@@ -558,7 +594,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_filter",
     oracle="""
-    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -595,7 +631,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, p.p_partkey == li.l_partkey)
         .filter(cond)
         .agg(
-            (F.sum(_rev_u()) / F.lit(10000.0)).alias("revenue"),
+            _sum_u_dec(_rev_u(), 10000.0).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -703,7 +739,7 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subquery broadcasts (one row); the anti-join is the only
     shuffle."""
     c = load_table(spark, sf_dir, "customer")
-    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")
     pos = c.filter(F.col("c_acctbal") > 0.0).agg(
         F.sum(cents).alias("sum_cents"), F.count(F.lit(1)).alias("n_pos")
     )
@@ -728,15 +764,15 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(l_quantity) AS BIGINT)                          AS sum_qty,
-           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
              / 100.0                                                AS sum_base_price,
            CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-                         AS BIGINT)) AS BIGINT) / 10000.0           AS sum_disc_price,
+                         AS BIGINT)) AS DOUBLE) / 10000.0           AS sum_disc_price,
            CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                               * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                               * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
              / 1000000.0                                            AS sum_charge,
            CAST(SUM(l_quantity) AS BIGINT) / CAST(COUNT(*) AS BIGINT)   AS avg_qty,
-           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
              / CAST(100 * COUNT(*) AS BIGINT)                       AS avg_price,
            CAST(SUM(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
              / CAST(100 * COUNT(*) AS BIGINT)                       AS avg_disc,
@@ -755,9 +791,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, a 4-row exchange, final aggregate. Determinism: every
     money sum accumulates in exact integer units (cents for the
     2-decimal base price, 1e-4 for the 4-decimal discounted price,
-    1e-6 for the 6-decimal charge), and every AVG divides exact
-    integer sums by the exact count — one bigint/bigint IEEE division
-    that both engines compute identically. No float accumulation
+    1e-6 for the 6-decimal charge) in DECIMAL(38,0) — the 4-group
+    whole-table shape is the worst overflow case in the module: its
+    1e-6-unit charge sum crosses BIGINT near sf~100 (r11 review) —
+    and every AVG divides the exact sums by the exact count,
+    identically on both engines. No float accumulation
     anywhere, so no layout or combine-order sensitivity (r11
     determinism-probe hardening)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -773,13 +811,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").cast("bigint").alias("sum_qty"),
-            (F.sum(ep_c) / F.lit(100.0)).alias("sum_base_price"),
-            (F.sum(dp_u) / F.lit(10000.0)).alias("sum_disc_price"),
-            (F.sum(ch_u) / F.lit(1000000.0)).alias("sum_charge"),
+            _sum_u_dec(ep_c, 100.0).alias("sum_base_price"),
+            _sum_u_dec(dp_u, 10000.0).alias("sum_disc_price"),
+            _sum_u_dec(ch_u, 1000000.0).alias("sum_charge"),
             (F.sum("l_quantity").cast("bigint") / cnt.cast("bigint")).alias(
                 "avg_qty"
             ),
-            (F.sum(ep_c) / (F.lit(100) * cnt).cast("bigint")).alias("avg_price"),
+            (
+                F.sum(ep_c.cast("decimal(38,0)")).cast("double")
+                / (F.lit(100) * cnt).cast("bigint")
+            ).alias("avg_price"),
             (F.sum(disc_c) / (F.lit(100) * cnt).cast("bigint")).alias("avg_disc"),
             cnt.alias("count_order"),
         )
@@ -844,12 +885,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH vol AS (
       SELECT EXTRACT(YEAR FROM o.o_orderdate)::BIGINT AS o_year,
-             CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
-                      THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
-                                      * 10000 + 0.5) AS BIGINT) END) AS BIGINT)
+             SUM(CASE WHEN sn.n_name = 'NATION_3'
+                 THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                 * 10000 + 0.5) AS BIGINT) END)
                AS nation_u,
-             CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
-                                 * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                            * 10000 + 0.5) AS BIGINT))
                AS total_u
       FROM lineitem l
       JOIN part p     ON p.p_partkey = l.l_partkey
@@ -865,7 +906,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     )
     SELECT o_year,
-           COALESCE(nation_u, 0) / total_u AS mkt_share
+           CAST(COALESCE(nation_u, 0) AS DOUBLE) / CAST(total_u AS DOUBLE)
+             AS mkt_share
     FROM vol ORDER BY o_year
     """,
 )
@@ -876,8 +918,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region; supplier's nation is the share numerator), then a
     conditional-sum ratio. All dims broadcast; lineitem⋈orders is the
     only at-scale shuffle. Both volumes accumulate in exact 1e-4
-    integer units; the share is one bigint/bigint division — layout-
-    independent and identical across engines (r11 recipe)."""
+    integer units in DECIMAL(38,0) (per-year groups grow with the
+    corpus — see the module accumulator-width note); the share
+    divides the two exact totals after one decimal→double cast each,
+    identically on both engines (DuckDB sums into HUGEINT and casts
+    the same exact integers)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -904,17 +949,20 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sn, F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
-            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev_u)).alias(
-                "nation_u"
-            ),
-            F.sum(rev_u).alias("total_u"),
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev_u).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("nation_u"),
+            F.sum(rev_u.cast("decimal(38,0)")).alias("total_u"),
         )
     )
     return vol.select(
         "o_year",
-        (F.coalesce(F.col("nation_u"), F.lit(0)) / F.col("total_u")).alias(
-            "mkt_share"
-        ),
+        (
+            F.coalesce(F.col("nation_u"), F.lit(0)).cast("double")
+            / F.col("total_u").cast("double")
+        ).alias("mkt_share"),
     ).orderBy("o_year")
 
 
@@ -925,7 +973,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            EXTRACT(YEAR FROM o.o_orderdate)::BIGINT AS o_year,
            CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)
                      - CAST(0.6 AS DOUBLE) * p.p_retailprice * l.l_quantity)
-                     * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_profit
+                     * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -952,9 +1000,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(SUM(double), 2) was layout-dependent, flipping a cent when a
     group's float sum landed on a half-cent boundary under a different
     partition combine order (caught by tools/determinism_probe.py at
-    sf0.001, round 11). BIGINT headroom: ~9.2e18 / 1e9-per-row ≈ 9e9
-    widget rows per (nation, year) group before overflow — not a
-    100 TB concern for a per-nation-year group."""
+    sf0.001, round 11). Nation×year groups have FIXED cardinality, so
+    per-group rows grow linearly with the corpus — the sum accumulates
+    in DECIMAL(38,0) via `_sum_u_dec` (r11 review hardening; BIGINT
+    crossed 9.2e18 within ~30× of the 100 TB posture)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     s = load_table(spark, sf_dir, "supplier")
@@ -977,7 +1026,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg((F.sum(profit_u) / F.lit(10000.0)).alias("sum_profit"))
+        .agg(_sum_u_dec(profit_u, 10000.0).alias("sum_profit"))
         .orderBy("nation", "o_year")
     )
 
@@ -1009,24 +1058,31 @@ def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar-subquery-in-HAVING pattern. The cut is scale-free (parts
     earning >1.5× the mean part revenue) so the result is non-trivial
     at every SF, and the compare is exact integer arithmetic
-    (revenue scaled to 10^-4 units, summed as BIGINT,
-    `sum·n_parts > 2·total`) because a float group-sum sitting
-    exactly on the boundary would flip between engines. The global total is one broadcast row; the group
-    aggregate partial-aggregates map-side."""
+    (revenue scaled to 10^-4 units; per-part sums stay BIGINT — rows
+    per part are bounded — while the GLOBAL total and the
+    `sum·n_parts` product run in DECIMAL(38,0), since both cross
+    9.2e18 inside the 100 TB posture) because a float group-sum
+    sitting exactly on the boundary would flip between engines
+    (DuckDB's HUGEINT arithmetic is the exact mirror). The global
+    total is one broadcast row; the group aggregate
+    partial-aggregates map-side."""
     li = load_table(spark, sf_dir, "lineitem")
-    rev_c = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
     ).cast("bigint")
     cents = li.select(F.col("l_partkey"), rev_c.alias("rev_c"))
     total = cents.agg(
-        F.sum("rev_c").alias("total_c"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)")).alias("total_c"),
         F.countDistinct("l_partkey").alias("n_parts"),
     )
     return (
         cents.groupBy("l_partkey")
         .agg(F.sum("rev_c").alias("part_c"))
         .crossJoin(F.broadcast(total))
-        .filter(F.col("part_c") * F.col("n_parts") * 2 > 3 * F.col("total_c"))
+        .filter(
+            F.col("part_c").cast("decimal(38,0)") * F.col("n_parts") * 2
+            > 3 * F.col("total_c")
+        )
         .select(
             F.col("l_partkey").alias("p_partkey"),
             (F.col("part_c") / 10000.0).alias("part_value"),

@@ -240,6 +240,22 @@ _STALE_SINCE: dict[str, int] = {
     "conditional_agg": 11,
     "sql_pipe_syntax": 11,
     "recursive_cte": 11,
+    # round 11, session 2 (review hardening; outputs identical at
+    # graded SFs, verified by sweep): (a) the coarse-group integer-
+    # unit sums moved from BIGINT to DECIMAL(38,0) accumulation —
+    # per-group rows grow with the corpus, so BIGINT unit sums cross
+    # 9.2e18 inside the 100 TB posture (q1's 1e-6-unit charge near
+    # sf~100; q11's global total near sf~2e4) — oracle strings
+    # changed (CAST ... AS DOUBLE instead of the BIGINT narrowing)
+    # for the queries listed above plus q11; (b) the three remaining
+    # engine-side F.round(x*100) cents conversions aligned to the
+    # FLOOR(x*100+0.5) formula their oracles already used (q22,
+    # minmax_by, target_encode_loo — formula-identical on 2-decimal
+    # data, but the audit bar is mechanical).
+    "q11_revenue_concentration": 11,
+    "q22_idle_balances": 11,
+    "minmax_by": 11,
+    "target_encode_loo": 11,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
@@ -261,7 +277,9 @@ _STALE_SINCE: dict[str, int] = {
 # order) and let us curate WHO waits when 64 candidates meet 50 slots
 # (the 9 TPC-H pure-SQL shapes and the layout tail wait — lowest
 # re-verification risk — rather than the streaming cohort or the
-# flagship). Demanded round for all entries: 10.
+# flagship). Demanded round for the round-10 cohort: 10; the six
+# entries appended at the tail demand 11 (the round-11 integer-unit
+# rewrite invalidated their older rows — see their own comment).
 #
 # STEADY-STATE POLICY (r10 verdict #3): once every entry below has
 # self-pruned (its demanded round's evidence landed), the rotation is

@@ -20,28 +20,30 @@ def test_entry_hash_matches_registered_q1_oracle(spark, sf_dir):
     ``q1_dimension_build`` — so the two could silently drift apart.
     Pin them together at hash level: entry(spark) at sf0.001 must
     value-hash-equal BOTH the registered query AND its DuckDB oracle,
-    under the driver's exact canonicalization (columns sorted by
-    name, rows sorted, floats rounded)."""
+    under the gate's exact canonicalization — imported from
+    tools/verify_oracles rather than re-implemented, so the test can
+    never drift from the comparison it claims to replay (a hand copy
+    here once omitted the float-rounding/datetime steps, which only
+    passed because the flagship emits no float or timestamp
+    columns)."""
+    import importlib.util
+    import os
+
     import duckdb
 
     from etl_knlp_spark import registry
     from etl_knlp_spark.catalog import TABLES, table_path
 
+    spec = importlib.util.spec_from_file_location(
+        "verify_oracles",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "verify_oracles.py"),
+    )
+    verify_oracles = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(verify_oracles)
+    value_hash = verify_oracles.value_hash
+
     registry._load_all()
     rq = registry._REGISTRY["q1_dimension_build"]
-
-    def value_hash(pdf):
-        import hashlib
-
-        pdf = pdf[sorted(pdf.columns)].copy()
-        for c in pdf.columns:
-            s = pdf[c]
-            if s.dtype == object:
-                pdf[c] = s.map(str)
-        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
-        return hashlib.md5(
-            pdf.reset_index(drop=True).to_csv(index=False).encode()
-        ).hexdigest()
 
     h_entry = value_hash(entry_mod.entry(spark).toPandas())
     h_registry = value_hash(rq.fn(spark, sf_dir).toPandas())

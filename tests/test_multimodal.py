@@ -1958,6 +1958,19 @@ def test_pnm_16bit_decodes_with_exact_integer_scaling():
         (s * 510 + 100) // (2 * 100) for s in (0, 50, 100)
     ]
 
+    # r11 review: spec-invalid samples ABOVE maxval clamp to 255
+    # instead of wrapping mod 256 through the uint8 cast — a
+    # maxval=100 sample of 200 (scales to 510) must read as saturated
+    # white, not wrap to 254, and a sample of 128 (scales to 326,
+    # would wrap to 70 — darker than legal mid-scale) must clamp too;
+    # same contract on the 16-bit path
+    bad = _decode_pnm(b"P5\n2 1\n100\n" + bytes([200, 128]))
+    assert bad.reshape(-1).tolist() == [255, 255]
+    import struct as _struct
+
+    bad16 = _decode_pnm(b"P5\n2 1\n1023\n" + _struct.pack(">2H", 2000, 65535))
+    assert bad16.reshape(-1).tolist() == [255, 255]
+
     # truncated 16-bit raster names the cut
     with pytest.raises(ValueError, match="16-bit raster cut off"):
         _decode_pnm(p5[:-3])

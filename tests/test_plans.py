@@ -596,3 +596,32 @@ def test_integer_unit_revenue_is_layout_invariant_on_boundary_sums(spark):
     # it through different float arithmetic in the test):
     # 7 * (955225 + 1018809 + 1038516 + 100) units = 21088550
     assert one == 21088550 / 10000.0, one
+
+
+def test_decimal_unit_sum_survives_past_bigint_range(spark):
+    """r11 review hardening, pinned behaviorally: coarse-group money
+    sums accumulate in DECIMAL(38,0) because BIGINT unit sums cross
+    9.2e18 inside the 100 TB posture (q1's 1e-6-unit charge near
+    sf~100, q11's global 1e-4-unit total near sf~2e4). Feed
+    `_sum_u_dec` a group whose unit total exceeds BIGINT max and
+    assert it returns the exact value — the BIGINT formulation it
+    replaced dies right here (ANSI ARITHMETIC_OVERFLOW) or silently
+    wraps with ANSI off."""
+    from pyspark.sql import functions as F
+
+    from etl_knlp_spark.plans.tpch import _sum_u_dec
+
+    # 4 addends of 4.6e18 units = 1.84e19 > 9.22e18 (BIGINT max)
+    u = 4_600_000_000_000_000_000
+    df = spark.createDataFrame([(u,)] * 4, "u long")
+    out = df.agg(_sum_u_dec(F.col("u"), 10000.0).alias("v")).collect()[0]["v"]
+    assert out == float(4 * u) / 10000.0, out
+
+    # the same shape through a plain BIGINT sum must NOT silently
+    # succeed — pin that the hazard the decimal path closes is real
+    # (ANSI on: overflow raises; this guards against a future config
+    # drift quietly reintroducing wraparound)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)overflow"):
+        df.agg((F.sum("u") / F.lit(10000.0)).alias("v")).collect()
