@@ -326,3 +326,31 @@ def test_item_cf_budget_refuses_whale_basket(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="pre-flight estimate"):
         item_cf_cosine(spark, str(tmp_path))
+
+
+def test_rhp_signatures_matmul_kernel_contract(spark):
+    """r11 rewrite pins: the Arrow matmul kernel must (a) reproduce
+    the sign-bit definition by hand (bit j = [emb·plane_j >= 0],
+    packed little-endian into one long), (b) emit NO row for a NULL
+    embedding (the old posexplode formulation dropped them via the
+    inner join — interface behavior downstream inner joins rely on),
+    and (c) stay correct when a whole Arrow batch is empty/NULL."""
+    from etl_knlp_spark.operators.similarity import rhp_signatures
+
+    planes = [[1.0, -1.0], [1.0, 1.0], [-1.0, -1.0]]
+    rows = [
+        (1, [2.0, 1.0]),   # dots: 1, 3, -3   -> bits 1,1,0 -> sig 3
+        (2, [-1.0, 3.0]),  # dots: -4, 2, -2  -> bits 0,1,0 -> sig 2
+        (3, [0.0, 0.0]),   # dots: 0, 0, 0    -> >=0 ties   -> sig 7
+        (4, None),         # NULL embedding -> no signature row
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["sig"] for r in rhp_signatures(spark, df, planes).collect()}
+    assert out == {1: 3, 2: 2, 3: 7}
+
+    # an input whose rows are ALL null must yield an empty result,
+    # not a kernel crash on np.stack of nothing
+    all_null = spark.createDataFrame(
+        [(9, None)], "vec_id long, embedding array<double>"
+    )
+    assert rhp_signatures(spark, all_null, planes).count() == 0
