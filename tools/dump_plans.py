@@ -56,6 +56,26 @@ SHOWCASE = {
         "corpus never shuffles for scoring; per-query ranking bounded "
         "by WindowGroupLimit."
     ),
+    "simhash_sigs": (
+        "Bit-sliced SimHash signature build (r11): 32 branchless "
+        "lane-packed sums — (h >> p) & 0x0000000100000001 counts bits "
+        "p and p+32 per document in one long — replace the previous "
+        "64-column SUM(CASE) agg whose ~700-node tree cost ~0.7 s of "
+        "driver-side planning per submission. ONE exchange total (the "
+        "thin token stream, repartitioned by doc_id so both the "
+        "distinct-token dedup and the lane sums are partition-local); "
+        "the 64-bit reassembly is a single fold over the lane array. "
+        "1.7x at sf0.1, bit-identical signatures."
+    ),
+    "rhp_sigs": (
+        "Random-hyperplane LSH signature build (r11): map-only Arrow "
+        "matmul kernel — each mapInPandas batch computes all plane "
+        "dots as one BLAS M @ P and packs sign bits vectorized. NO "
+        "exchange at any corpus size (the previous formulation "
+        "posexploded components, fanned them n_planes times through a "
+        "plane join, and repartitioned). 3.3x at sf0.1; the plan is "
+        "scan -> ArrowEvalPython/MapInPandas -> done."
+    ),
     "max_length_toplimit": (
         "Sort-limit written exactly like the reference's DQ check — "
         "Catalyst plans TakeOrderedAndProject (per-partition heap), "
@@ -443,6 +463,26 @@ def main() -> None:
         write_warc(load_table(spark, sf, "documents"), d)
         return read_warc(spark, d)
 
+    def _simhash_sigs_plan(spark, sf):
+        from etl_knlp_spark.operators.dedup import simhash_sigs
+
+        return simhash_sigs(spark, sf)
+
+    def _rhp_sigs_plan(spark, sf):
+        from pyspark.sql import functions as F
+
+        from etl_knlp_spark.functions.vector import as_double
+        from etl_knlp_spark.operators.similarity import (
+            _EMB_DIM,
+            _hyperplanes,
+            rhp_signatures,
+        )
+
+        e = load_table(spark, sf, "embeddings").select(
+            "vec_id", as_double(F.col("embedding")).alias("embedding")
+        )
+        return rhp_signatures(spark, e, _hyperplanes(_EMB_DIM, 16))
+
     def _incremental_screen(spark, sf):
         from pyspark.sql import functions as F
 
@@ -465,6 +505,11 @@ def main() -> None:
         "dedup_ngram_jaccard": lambda spark, sf: capped_postings(
             load_table(spark, sf, "documents"), max_df_abs=256
         ),
+        # r11 signature-build rewrites: showcase the production
+        # subtrees the bench times (the registered entries are
+        # assertion contracts whose checkpoints hide these plans)
+        "simhash_sigs": _simhash_sigs_plan,
+        "rhp_sigs": _rhp_sigs_plan,
     }
     out = [
         "# PLANS — physical-plan evidence for the 100 TB design claims",
