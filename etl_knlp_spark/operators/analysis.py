@@ -14,7 +14,18 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import query
 
-_EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+# Shared between the engine expression and the DuckDB oracle string
+# (one source of truth — a drift here is a silent mirrored-scrub
+# divergence). r11 review: the original local-part class omitted the
+# legal +, %, - characters, so 'jane.doe+spam@x.com' scrubbed to
+# 'jane.doe+<EMAIL>' — the identifying prefix survived on BOTH
+# engines identically, which the hash gate cannot catch. The widened
+# class covers the RFC-common set and anchors the domain on a TLD;
+# the subset used is portable between Java regex and RE2.
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+# 555-0199 AND 415-555-0199 shapes; greedy {1,2} takes the longer
+# form on both engines (leftmost match, same groups).
+_PHONE_RE = "([0-9]{3}[-.]){1,2}[0-9]{4}"
 
 
 @query(
@@ -29,7 +40,7 @@ _EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
     SELECT doc_id,
            regexp_replace(
              regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-             '[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g') AS clean_text
+             '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text
     FROM tainted
     """,
 )
@@ -52,7 +63,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_replace(
             F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
-            r"[0-9]{3}-[0-9]{4}",
+            _PHONE_RE,
             "<PHONE>",
         ).alias("clean_text"),
     )
@@ -124,7 +135,20 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding vectors, long-form
     (label, dim, value): posexplode → per-dimension mean. Shuffle rows
     are (label, dim) pairs — bounded by labels × dim, not corpus size.
-    The k-means/IVF building block for coarse quantization."""
+    The k-means/IVF building block for coarse quantization.
+
+    Why ROUND(AVG(double), 6) is acceptable here when the r11 probe
+    banished ROUND(SUM(money), 2): the boundary-flip hazard needs the
+    group's true value to LAND ON the rounding lattice's half point.
+    Money sums are exact multiples of 1e-4, so ~1% of groups sit
+    exactly on a half-cent and the float sum's combine-order ulp
+    decides the side. Embedding components are continuous — a mean
+    landing within one ulp of an exact half-microunit is measure-zero
+    (and would require the combine-order delta to also straddle it).
+    Empirically pinned by the full hostile-layout sweeps at three
+    SFs; if embeddings ever become fixed-point (quantized int8
+    columns decoded to lattice floats), move this to integer-unit
+    accumulation like the money family."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
@@ -493,33 +517,56 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: token → (document frequency, total term
     frequency, head of the sorted posting list). The core of search
     over a corpus, and the shape every dedup/decontamination pass
-    reuses (posting lists ARE the n-gram→doc map). One explode + one
-    groupBy: Spark partial-aggregates the counts map-side; the
-    posting head is collect_set bounded to 20 ids AFTER sorting, so
-    no group materializes an unbounded list in the result (at 100 TB
-    you'd write full postings as grouped parquet instead — the
-    aggregation shape is identical). The df >= 5 floor keeps the
+    reuses (posting lists ARE the n-gram→doc map).
+
+    Bounded-state formulation (r11 review): the previous single
+    groupBy built the posting head as ``slice(array_sort(
+    collect_set(doc_id)), 1, 20)`` — the slice bounds the RESULT, but
+    the collect_set aggregation buffer still materializes EVERY
+    distinct doc_id of a stopword token map-side before the slice
+    drops all but 20: the classic skewed-group list-agg OOM at corpus
+    scale. Now the token stream repartitions by token ONCE (the same
+    one-exchange idiom as the SimHash/MinHash signature builds —
+    hash clustering on token satisfies every consumer downstream),
+    then partition-local: the scalar counts aggregate, a distinct
+    pass, and a per-token rank window whose ``rn <= 20`` filter gets
+    WindowGroupLimit (non-empty partition spec) — per-group state is
+    a 20-row heap, never the full posting list. collect_list then
+    fires over ≤ 20 survivors. Identical output (the 20 smallest
+    distinct doc_ids under the same total order); at 100 TB you'd
+    write full postings as grouped parquet instead — this shape is
+    the bounded head-of-list variant. The df >= 5 floor keeps the
     long-tail hapax tokens out of the result; serialized as a
     comma-joined string because registry outputs must be scalar
     columns (driver canonicalizer contract)."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    return (
-        docs.select("doc_id", F.explode(toks).alias("token"))
+    base = docs.select("doc_id", F.explode(toks).alias("token")).repartition(
+        "token"
+    )
+    counts = base.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tf"),
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    head = (
+        base.dropDuplicates(["token", "doc_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
         .groupBy("token")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("total_tf"),
             F.concat_ws(
                 ",",
                 F.transform(
-                    F.slice(F.array_sort(F.collect_set("doc_id")), 1, 20),
+                    F.array_sort(F.collect_list("doc_id")),
                     lambda x: x.cast("string"),
                 ),
-            ).alias("posting_head"),
+            ).alias("posting_head")
         )
-        .filter(F.col("n_docs") >= 5)
     )
+    return counts.join(head, "token").filter(F.col("n_docs") >= 5)
 
 
 @query(
@@ -771,6 +818,36 @@ _BM25_ORACLE = f"""
     """
 
 
+def _bm25_postings(docs: DataFrame, terms=None):
+    """Shared tokenize → doc-length → stats → (filtered) postings →
+    tf construction: ONE source of truth for the scan-path retrieval
+    stack (r11 review — this ~15-line pipeline existed verbatim in
+    bm25_topk, bm25_index_build, and hybrid_retrieval_rrf; a fix
+    applied to one copy would silently break the "identical result
+    set, same oracle" invariant the pruned/hybrid variants depend
+    on). With ``terms`` the explode is filtered to the query set
+    BEFORE any shuffle (only matching postings move); without, the
+    full tf table is built (the index-build path). Returns
+    (tf, stats): (doc_id, term, tf, dl) postings and the one-row
+    (n_docs, avgdl) corpus stats."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id", "t", F.size("t").cast("bigint").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    post = base.select("doc_id", "dl", F.explode("t").alias("term"))
+    if terms is not None:
+        post = post.filter(F.col("term").isin(*terms))
+    tf = post.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    return tf, stats
+
+
 @query("bm25_topk", oracle=_BM25_ORACLE)
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval over the corpus for a fixed query term
@@ -789,21 +866,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6 on both engines: ln() is the one libm call whose last ULP
     may differ between the JVM and DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    base = docs.select("doc_id", toks.alias("t")).select(
-        "doc_id", "t", F.size("t").cast("bigint").alias("dl")
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    post = base.select("doc_id", "dl", F.explode("t").alias("term")).filter(
-        F.col("term").isin(*_BM25_TERMS)
-    )
-    tf = post.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf"),
-        F.first("dl").alias("dl"),
-    )
+    tf, stats = _bm25_postings(docs, _BM25_TERMS)
     return _bm25_score(tf, stats)
 
 
@@ -865,19 +928,7 @@ def bm25_index_build(
 
     At 100 TB this is the write-once artifact the retrieval tier
     serves from; rebuilds happen on corpus refresh, not per query."""
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    base = docs.select("doc_id", toks.alias("t")).select(
-        "doc_id", "t", F.size("t").cast("bigint").alias("dl")
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    post = base.select("doc_id", "dl", F.explode("t").alias("term"))
-    tf_all = post.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf"),
-        F.first("dl").alias("dl"),
-    )
+    tf_all, stats = _bm25_postings(docs)
     index = tf_all.withColumn(
         "bucket", F.pmod(F.xxhash64("term"), F.lit(buckets))
     )
@@ -1124,10 +1175,15 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
     )
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").desc(), "term")
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition
+    # top-k heaps, k-row driver merge); the empty-partition-spec
+    # row_number window it replaces single-partition-sorted the FULL
+    # vocabulary (InferWindowGroupLimit skips empty specs — the
+    # repo-pinned rule; r11 review). Same top-10 by the same unique
+    # total order (c desc, term).
     vocab = (
-        counts.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= 10)
+        counts.orderBy(F.col("c").desc(), "term")
+        .limit(10)
         .select("term", F.lit(1).alias("in_vocab"))
     )
     marked = toks.join(F.broadcast(vocab), "term", "left")
@@ -1292,13 +1348,20 @@ def _rrf_fuse(spark: SparkSession, sf_dir: str, lex: DataFrame) -> DataFrame:
         F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
     )
     sim = dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
+    # depth-20 cut via orderBy+limit (TakeOrderedAndProject) with the
+    # rank attached after, over the 20 survivors — the previous
+    # empty-partition-spec row_number window single-partition-sorted
+    # the whole scored corpus (InferWindowGroupLimit skips empty
+    # specs; r11 review, same fix as pmi/rake). Identical rows and
+    # ranks: the (cos_sim desc, vec_id) order is total.
     w_sem = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
     sem = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .withColumn("cos_sim", F.round(sim, 6))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_RRF_DEPTH)
         .withColumn("rank", F.row_number().over(w_sem))
-        .filter(F.col("rank") <= _RRF_DEPTH)
         .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
     )
     fused = lex.join(sem, "doc_id", "full_outer").select(
@@ -1327,35 +1390,28 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: both branches are the already-audited retrieval plans
     (filtered postings + broadcast stats; broadcast query vector +
-    WindowGroupLimit); the fusion joins two ≤20-row lists —
+    TakeOrderedAndProject depth cuts); the fusion joins two ≤20-row
+    lists —
     driver-free, broadcast-sized, cost invisible at any corpus scale.
     Ranks, not raw scores, cross the fusion boundary, so the two
     branches can be swapped for their index-probed variants
     (`bm25_pruned`, `similarity_ivf_pruned`) without touching the
     combiner — rank lists are the stable interface."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    base = docs.select("doc_id", toks.alias("t")).select(
-        "doc_id", "t", F.size("t").cast("bigint").alias("dl")
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-    post = base.select("doc_id", "dl", F.explode("t").alias("term")).filter(
-        F.col("term").isin(*_BM25_TERMS)
-    )
-    tf = post.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf"),
-        F.first("dl").alias("dl"),
-    )
+    tf, stats = _bm25_postings(docs, _BM25_TERMS)
     from pyspark.sql import Window
 
+    # depth-20 cut via orderBy+limit, rank attached over the
+    # survivors (TakeOrderedAndProject — the same discipline as
+    # bm25_topk's own tail; the replaced empty-partition-spec window
+    # single-partition-sorted every scored doc). Identical rows and
+    # ranks under the total (bm25 desc, doc_id) order.
     w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
     lex = (
         _bm25_scored(tf, stats)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
         .withColumn("rank", F.row_number().over(w_lex))
-        .filter(F.col("rank") <= _RRF_DEPTH)
         .select("doc_id", F.col("rank").alias("lex_rank"))
     )
     return _rrf_fuse(spark, sf_dir, lex)
@@ -1803,7 +1859,17 @@ def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator/denominator pair (the divide would be the only float,
     so the contract keeps it rational); TTR's single division rounds
     at 6dp. One token explode + two-level aggregate, partial
-    map-side; per-source rows are fixed-cardinality."""
+    map-side; per-source rows are fixed-cardinality.
+
+    Representability bound (r11 review): simpson_den = N(N−1) exceeds
+    BIGINT once a source holds ≳3e9 tokens — at that point the exact
+    integer pair is unrepresentable in the declared schema on ANY
+    engine, so this is a contract bound, not an accumulator choice
+    (the per-(source,tok) counts and their sum stay comfortably in
+    range; only the final product crosses). Under the session's ANSI
+    mode Spark raises ARITHMETIC_OVERFLOW loudly (DuckDB's HUGEINT →
+    BIGINT cast likewise errors) rather than silently wrapping; a
+    corpus at that scale should consume the ratio form instead."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )

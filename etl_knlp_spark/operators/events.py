@@ -16,41 +16,85 @@ from ..registry import query
 @query(
     "funnel_steps",
     oracle="""
-    WITH per_user AS (
+    WITH pu AS (
       SELECT user_id,
-             min(ts) FILTER (WHERE event_type = 'view')     AS first_view,
-             min(ts) FILTER (WHERE event_type = 'click')    AS first_click,
-             min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+             min(ts) FILTER (WHERE event_type = 'view') AS first_view
       FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS click_after_view
+      FROM events e JOIN pu USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > pu.first_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_after_view
+      GROUP BY e.user_id
     )
     SELECT
-      COUNT(*) FILTER (WHERE first_view IS NOT NULL)            AS n_viewed,
-      COUNT(*) FILTER (WHERE first_view IS NOT NULL
-                         AND first_click > first_view)          AS n_clicked_after_view,
-      COUNT(*) FILTER (WHERE first_view IS NOT NULL
-                         AND first_click > first_view
-                         AND first_purchase > first_click)      AS n_purchased_after_click
-    FROM per_user
+      (SELECT COUNT(*) FROM pu WHERE first_view IS NOT NULL)
+        AS n_viewed,
+      (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+      (SELECT COUNT(*) FROM p) AS n_purchased_after_click
     """,
 )
 def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: users who viewed → clicked after viewing →
-    purchased after clicking (first-touch timestamps per stage).
-    One groupBy on user_id, then a single global aggregate — funnel
-    counts shuffle one row per user, not per event."""
+    purchased after that click, with each stage anchored on the
+    EARLIEST event satisfying the previous stage's cut.
+
+    r11 review fix: the previous formulation compared first-touch
+    timestamps (`first_click > first_view`), which drops a user whose
+    FIRST click predates their first view even when a later click
+    does follow it (click@t1, view@t2, click@t3 is a real
+    view→click conversion; first-touch said no on both engines
+    identically, so the hash gate couldn't catch it). The staged
+    anchors are the standard ordered-funnel semantics: stage 2 is the
+    earliest click strictly after first_view, stage 3 the earliest
+    purchase strictly after that click.
+
+    Plan: three window aggregates over the SAME user_id partitioning
+    — one exchange total, each stage's anchor computed partition-
+    local from the previous one's column — then a single global
+    count. Funnel counts still shuffle one row per user, not per
+    event."""
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
-    per_user = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    w = Window.partitionBy("user_id")
+    typ, ts = F.col("event_type"), F.col("ts")
+    staged = (
+        e.withColumn(
+            "first_view", F.min(F.when(typ == "view", ts)).over(w)
+        )
+        .withColumn(
+            "click_after_view",
+            F.min(
+                F.when((typ == "click") & (ts > F.col("first_view")), ts)
+            ).over(w),
+        )
+        .withColumn(
+            "purch_after_click",
+            F.min(
+                F.when(
+                    (typ == "purchase") & (ts > F.col("click_after_view")), ts
+                )
+            ).over(w),
+        )
     )
-    viewed = F.col("first_view").isNotNull()
-    clicked = viewed & (F.col("first_click") > F.col("first_view"))
-    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    per_user = staged.groupBy("user_id").agg(
+        F.first("first_view").alias("first_view"),
+        F.first("click_after_view").alias("click_after_view"),
+        F.first("purch_after_click").alias("purch_after_click"),
+    )
     return per_user.agg(
-        F.count_if(viewed).alias("n_viewed"),
-        F.count_if(clicked).alias("n_clicked_after_view"),
-        F.count_if(purchased).alias("n_purchased_after_click"),
+        F.count_if(F.col("first_view").isNotNull()).alias("n_viewed"),
+        F.count_if(F.col("click_after_view").isNotNull()).alias(
+            "n_clicked_after_view"
+        ),
+        F.count_if(F.col("purch_after_click").isNotNull()).alias(
+            "n_purchased_after_click"
+        ),
     )
 
 
@@ -206,6 +250,41 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _attribution_pair_budget(e: DataFrame, cap: int = 2**26) -> None:
+    """Pre-flight candidate budget for the attribution joins (r11
+    review; the cooccurrence_edges/dtw discipline): the purchases ×
+    views join is keyed on user_id, so one hot user (a bot with 1e5
+    purchases and 1e6 views) emits ~1e11 candidate rows on a single
+    partition key before any window bounds state — the per-purchase
+    top-1 heap bounds WINDOW memory, not the join's emitted volume.
+    One bounded driver sync (two longs) estimates Σ_user
+    purchases×views — an upper bound that IGNORES the 3-day prune,
+    so it refuses conservatively — and raises with the mitigation
+    instead of melting the shuffle."""
+    est_row = (
+        e.groupBy("user_id")
+        .agg(
+            F.count_if(F.col("event_type") == "purchase").alias("np"),
+            F.count_if(F.col("event_type") == "view").alias("nv"),
+        )
+        .agg(
+            F.sum(F.col("np") * F.col("nv")).alias("est"),
+            F.max(F.col("np") * F.col("nv")).alias("hottest"),
+        )
+        .collect()[0]
+    )
+    est = int(est_row["est"] or 0)
+    if est > cap:
+        raise RuntimeError(
+            f"attribution: pre-flight estimate {est:,} purchase×view "
+            f"candidate pairs exceeds {cap:,} (hottest user contributes "
+            f"{int(est_row['hottest'] or 0):,}). Pre-bucket the join by "
+            f"day (add a date key to both sides so the 3-day lookback "
+            f"becomes an equi-key) or cap per-user event history before "
+            f"attributing."
+        )
+
+
 @query(
     "attribution_last_touch",
     oracle="""
@@ -247,6 +326,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
+    _attribution_pair_budget(e)
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
@@ -1085,6 +1165,7 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
+    _attribution_pair_budget(e)
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",

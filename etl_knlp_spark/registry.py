@@ -127,12 +127,22 @@ _STALE_SINCE: dict[str, int] = {
     # semantic-branch/fusion tail (_rrf_fuse) and the oracle constant
     # instead of a register-time dataclass-replace hack — outputs and
     # oracle strings identical, function sources changed.
-    "hybrid_retrieval_rrf": 7,
-    "hybrid_retrieval_rrf_pruned": 7,
+    # (bars later moved 7 → 11: r11 session-2 review — the depth-20
+    # cuts in _rrf_fuse and the scan-path lexical leg moved from
+    # empty-partition-spec row_number windows, which single-partition-
+    # sort their full input, to orderBy+limit TakeOrderedAndProject
+    # with the rank attached over the survivors; identical rows and
+    # ranks under the same total orders. The scan path also shares
+    # _bm25_postings now.)
+    "hybrid_retrieval_rrf": 11,
+    "hybrid_retrieval_rrf_pruned": 11,
     # round 7 review: the completion-marker check inside bm25_pruned
     # moved to the Hadoop FS API (non-local caller-owned paths);
     # output unchanged, function source changed.
-    "bm25_pruned": 7,
+    # (bar later moved 7 → 11: bm25_index_build builds its postings
+    # through the shared _bm25_postings constructor now — output
+    # identical, source changed.)
+    "bm25_pruned": 11,
     # round 8: incremental_minhash_screen's witness collapse rewritten
     # from a rank window to giant-routed collect_list slices (2× at
     # the 100×-density probe; giant buckets now keep 1 witness, not
@@ -258,6 +268,28 @@ _STALE_SINCE: dict[str, int] = {
     "q22_idle_balances": 11,
     "minmax_by": 11,
     "target_encode_loo": 11,
+    # round 11, session 2 (review batch): funnel_steps moved from the
+    # first-touch shortcut (first_click > first_view — drops a user
+    # whose first click predates their first view even when a later
+    # click converts) to true staged ordered-funnel anchors on BOTH
+    # engines — OUTPUTS CHANGED. oov_rate's vocab cut and
+    # inverted_index's posting head moved off unbounded formulations
+    # (empty-spec window / collect_set buffer) to TakeOrdered + the
+    # repartition-once WindowGroupLimit idiom — outputs identical.
+    # pii_scrub's email class widened to the legal %+- characters and
+    # the phone pattern extracted to a shared _PHONE_RE (oracle
+    # string changed; the old class left 'jane.doe+spam@x.com'
+    # half-scrubbed on both engines identically). bm25_topk now
+    # builds postings via the shared _bm25_postings. The attribution
+    # pair joins gained the pre-flight candidate budget (inert at
+    # graded SFs, guard-tested).
+    "funnel_steps": 11,
+    "oov_rate": 11,
+    "inverted_index": 11,
+    "pii_scrub": 11,
+    "bm25_topk": 11,
+    "attribution_last_touch": 11,
+    "attribution_time_decay": 11,
     # round 11, session 2: rhp_signatures rewritten from the
     # posexplode → plane-join → chained-aggregate formulation to an
     # Arrow matmul kernel (3.3× at sf0.1, no shuffle at all;

@@ -1446,3 +1446,30 @@ def test_ndcg_penalizes_normalization_reordering(spark, tmp_path):
     assert run != ideal  # the reordering actually happened
     assert r.ndcg_micro == math.floor(dcg / idcg * 1e6)
     assert r.ndcg_micro < 1_000_000
+
+
+def test_attribution_pair_budget_refuses_hot_user(spark):
+    """r11 review guard: the purchases×views candidate join is keyed
+    on user_id, so a bot user with huge event history emits a
+    quadratic candidate set on one partition key. The shared
+    pre-flight budget must refuse (with the mitigation named) before
+    the join runs — exercised directly with a tiny cap so the test
+    costs nothing."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.events import _attribution_pair_budget
+
+    t0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        Row(event_id=i, ts=t0, user_id=1,
+            event_type="purchase" if i % 2 else "view",
+            value=1.0, props="{}")
+        for i in range(40)
+    ]
+    e = spark.createDataFrame(rows)
+    with pytest.raises(RuntimeError, match="pre-flight estimate"):
+        _attribution_pair_budget(e, cap=100)  # 20*20 = 400 > 100
+    _attribution_pair_budget(e, cap=1000)  # inert under the cap
