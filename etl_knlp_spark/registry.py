@@ -285,6 +285,14 @@ _STALE_SINCE: dict[str, int] = {
     # graded SFs, guard-tested).
     "funnel_steps": 11,
     "oov_rate": 11,
+    # skyline_parts' running max moved from an empty-partition-spec
+    # window (single-partition sort of the distinct-price table —
+    # the docstring's "range-partitions like any global sort" claim
+    # was false) to the two-phase distributed prefix max
+    # (deterministic equal-width buckets, bounded driver carry sync,
+    # partitioned within-bucket window) — output identical at all
+    # SFs + hostile probes, source changed.
+    "skyline_parts": 11,
     "inverted_index": 11,
     "pii_scrub": 11,
     "bm25_topk": 11,

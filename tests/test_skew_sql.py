@@ -234,3 +234,19 @@ def test_skyline_handles_ties_and_duplicates(spark, tmp_path):
 
     got = sorted(r.p_partkey for r in skyline_parts(spark, str(tmp_path)).collect())
     assert got == [1, 2, 5, 6]
+
+
+def test_skyline_single_distinct_price(spark, tmp_path):
+    """r11 prefix-max rewrite edge: with ONE distinct price the
+    equal-width bucket expression would divide by (hi - lo) = 0 —
+    the lo==hi branch pins everything to bucket 0 and the sweep
+    reduces to the within-price group max."""
+    rows = [(1, 10.0, 5), (2, 10.0, 5), (3, 10.0, 3)]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    )
+    df.write.parquet(f"{tmp_path}/part.parquet")
+    from etl_knlp_spark.operators.stats import skyline_parts
+
+    got = sorted(r.p_partkey for r in skyline_parts(spark, str(tmp_path)).collect())
+    assert got == [1, 2]
