@@ -709,16 +709,47 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_jaccard_exact(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+def shingle_jaccard_exact(
+    docs: DataFrame, threshold: float = 0.7, pair_budget: int | None = None
+) -> DataFrame:
     """EXACT word-3-gram-shingle Jaccard pairs via inverted-index
     self-join — the ground truth the MinHash contract verifies
     against, deliberately formulated through a DIFFERENT plan than
     the LSH path (posting-list join vs banded signatures + array set
     math), so a bug in either shows up as disagreement. Quadratic in
     hot-shingle df (no cap): a verifier, not a production path — the
-    same role `similarity_topk` plays for the ANN contracts."""
+    same role `similarity_topk` plays for the ANN contracts.
+
+    ``pair_budget`` (r11 review): callers that feed this verifier
+    into a REGISTERED pipeline (the near-dup cluster family) pass a
+    cap; a pre-flight Σ df·(df−1)/2 over the shingle posting lists
+    then refuses a boilerplate-shingle blow-up (one license-header
+    3-gram in f docs emits f²/2 join rows) with the mitigation named,
+    instead of melting the exchange — the cooccurrence_edges
+    discipline. None (the contract-verifier call sites) keeps the
+    uncapped ground-truth role."""
     sh = _shingle_sets(docs, "text", "doc_id")
     inv = sh.select("doc_id", F.explode("shingle_hashes").alias("h"))
+    if pair_budget is not None:
+        est_row = (
+            inv.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("est"),
+                F.max("df").alias("hottest"),
+            )
+            .collect()[0]
+        )
+        est = int(est_row["est"] or 0)
+        if est > pair_budget:
+            raise RuntimeError(
+                f"shingle_jaccard_exact: pre-flight estimate {est:,} "
+                f"posting-join pairs exceeds {pair_budget:,} (hottest "
+                f"shingle appears in {int(est_row['hottest'] or 0):,} "
+                f"docs). Route this corpus through the banded LSH path "
+                f"(minhash_candidates) or strip boilerplate before "
+                f"exact clustering."
+            )
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = inv.select("h", F.col("doc_id").alias("doc_a"))
     b = inv.select("h", F.col("doc_id").alias("doc_b"))

@@ -151,24 +151,26 @@ _QUALITY_SWEEP_ORACLE = """
     ), bucketed AS (
       SELECT CAST(LEAST(FLOOR(quality * 20), 20) AS BIGINT) AS b,
              CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(quality) AS sum_q
+             SUM(CAST(FLOOR(quality * 1000000000 + 0.5) AS BIGINT)) AS q_u
       FROM scored GROUP BY 1
     ), grid AS (
       SELECT CAST(k AS BIGINT) AS k FROM generate_series(0, 20) AS gs(k)
     ), filled AS (
-      SELECT grid.k, COALESCE(b2.n, 0) AS n, COALESCE(b2.sum_q, 0.0) AS sum_q
+      SELECT grid.k, COALESCE(b2.n, 0) AS n, COALESCE(b2.q_u, 0) AS q_u
       FROM grid LEFT JOIN bucketed b2 ON grid.k = b2.b
     ), cum AS (
-      SELECT k, n, sum_q,
+      SELECT k, n,
              SUM(n) OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS n_kept,
-             SUM(sum_q) OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS q_kept,
+             SUM(q_u) OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING)
+               AS q_kept_u,
              SUM(n) OVER () AS n_total
       FROM filled
     )
     SELECT ROUND(k * 0.05, 2) AS thr,
            CAST(n_kept AS BIGINT) AS n_kept,
            ROUND(n_kept * 1.0 / n_total, 6) AS keep_rate,
-           ROUND(CASE WHEN n_kept > 0 THEN q_kept / n_kept END, 6)
+           ROUND(CASE WHEN n_kept > 0
+                 THEN CAST(q_kept_u AS DOUBLE) / 1000000000.0 / n_kept END, 6)
              AS avg_quality_kept
     FROM cum
     """
@@ -187,7 +189,15 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     One corpus pass buckets every score into floor(quality·20)
     (21 buckets); the whole sweep is then a reverse-cumulative window
     over the 21-row bucket table — threshold k keeps exactly buckets
-    ≥ k. Adding thresholds costs nothing corpus-side."""
+    ≥ k. Adding thresholds costs nothing corpus-side.
+
+    Determinism (r11 review): the per-bucket quality mass accumulates
+    as exact 1e-9-unit integers in DECIMAL(38,0) (buckets are
+    fixed-cardinality groups growing with the corpus — the money-sum
+    policy), not a shuffled double SUM whose combine-order ulp could
+    flip avg_quality_kept's 6th decimal between layouts/engines. The
+    1e-9 quantization is mirrored verbatim in the oracle, so both
+    engines divide the same exact integer."""
     docs = load_table(spark, sf_dir, "documents")
     scored = quality_scored(docs)
     bucketed = scored.groupBy(
@@ -196,13 +206,15 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("b")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("quality").alias("sum_q"),
+        F.sum(
+            F.floor(F.col("quality") * 1000000000 + 0.5).cast("decimal(38,0)")
+        ).alias("q_u"),
     )
     grid = spark.range(0, 21).select(F.col("id").alias("k"))
     filled = grid.join(bucketed, grid.k == bucketed.b, "left").select(
         "k",
         F.coalesce("n", F.lit(0)).alias("n"),
-        F.coalesce("sum_q", F.lit(0.0)).alias("sum_q"),
+        F.coalesce("q_u", F.lit(0).cast("decimal(38,0)")).alias("q_u"),
     )
     w_desc = Window.orderBy(F.col("k").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -213,7 +225,7 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = filled.select(
         "k",
         F.sum("n").over(w_desc).alias("n_kept"),
-        F.sum("sum_q").over(w_desc).alias("q_kept"),
+        F.sum("q_u").over(w_desc).alias("q_kept_u"),
         F.sum("n").over(w_all).alias("n_total"),
     )
     return cum.select(
@@ -221,7 +233,13 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("bigint").alias("n_kept"),
         F.round(F.col("n_kept") * 1.0 / F.col("n_total"), 6).alias("keep_rate"),
         F.round(
-            F.when(F.col("n_kept") > 0, F.col("q_kept") / F.col("n_kept")), 6
+            F.when(
+                F.col("n_kept") > 0,
+                F.col("q_kept_u").cast("double")
+                / F.lit(1000000000.0)
+                / F.col("n_kept"),
+            ),
+            6,
         ).alias("avg_quality_kept"),
     )
 

@@ -37,8 +37,16 @@ def connected_components(
     hand the caller wrong components with no signal. Convergence needs
     O(graph diameter) rounds; raise ``max_iter`` for deep graphs.
     """
-    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
-        edges.selectExpr(f"{dst} AS a", f"{src} AS b")
+    # Checkpoint the edge table too (r11 review): each propagation
+    # round's join re-derives its edge input otherwise — for
+    # near_dup_clusters that re-runs the full shingle-Jaccard corpus
+    # join once PER ROUND (the kcore_users lesson, graph.py k-core:
+    # measured ~3x the join cost when left uncached). Lazy: nothing
+    # materializes until round 1 consumes it.
+    sym = (
+        edges.selectExpr(f"{src} AS a", f"{dst} AS b")
+        .unionByName(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -148,7 +156,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import shingle_jaccard_exact
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = shingle_jaccard_exact(docs, 0.7).select(
+    edges = shingle_jaccard_exact(docs, 0.7, pair_budget=2**26).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(edges)
@@ -183,7 +191,12 @@ def pagerank(
     requirement. Fixed iteration count keeps the op deterministic;
     ranks sum to 1 every round (pytest-pinned vs a numpy reference).
     """
-    e = edges.selectExpr(f"{src} AS e_src", f"{dst} AS e_dst")
+    # lazy checkpoint: every power-iteration round joins e; without
+    # it each round re-derives the caller's edge construction (an
+    # orders⋈lineitem distinct for the trade graph) from scratch
+    e = edges.selectExpr(f"{src} AS e_src", f"{dst} AS e_dst").localCheckpoint(
+        eager=False
+    )
     nodes = (
         e.select(F.col("e_src").alias("node"))
         .unionByName(e.select(F.col("e_dst").alias("node")))
@@ -242,8 +255,15 @@ def pagerank_trade_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
-            # supplier ids offset out of the customer key space
-            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+            # supplier ids NEGATED out of the customer key space —
+            # disjoint at ANY scale (keys are ≥ 1 on both sides). The
+            # previous +10^7 offset silently ALIASED customer
+            # 10,000,001 with supplier 1 at TPC-H SF ≥ 67 (merged
+            # node, wrong is_supplier label), and the oracle encoded
+            # the identical offset, so the hash gate verified the
+            # collision as correct (r11 review — the minmax_by
+            # packed-key class).
+            (-F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
     )
@@ -252,7 +272,7 @@ def pagerank_trade_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         "rank",
         F.round("rank", 6).alias("rank_6dp"),
-        (F.col("node") >= 10_000_000).alias("is_supplier"),
+        (F.col("node") < 0).alias("is_supplier"),
     )
 
 
@@ -260,13 +280,13 @@ def pagerank_trade_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pagerank_links",
     oracle="""
     WITH edges AS (
-      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 10000000 AS dst
+      SELECT DISTINCT o.o_custkey AS src, -l.l_suppkey AS dst
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ), nodes AS (
       SELECT src AS node FROM edges UNION SELECT dst FROM edges
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-           CAST(SUM(CASE WHEN node >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN node < 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_suppliers,
            TRUE AS rank_sum_ok,
            TRUE AS ranks_positive
@@ -337,7 +357,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import shingle_jaccard_exact
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = shingle_jaccard_exact(docs, 0.7).select(
+    edges = shingle_jaccard_exact(docs, 0.7, pair_budget=2**26).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(edges)
@@ -839,7 +859,7 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import shingle_jaccard_exact
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = shingle_jaccard_exact(docs, 0.7).select(
+    edges = shingle_jaccard_exact(docs, 0.7, pair_budget=2**26).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components_star(edges)

@@ -112,9 +112,12 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 is computed alongside as ground truth — at 100 TB you'd
     keep ONLY the sketch and a candidate stream."""
     docs = load_table(spark, sf_dir, "documents")
+    # lazy checkpoint: three consumers (exact top-20, the N scalar,
+    # and the sketch build inside cms_estimate) would otherwise each
+    # replay the scan + tokenize — the eval_prf_summary r7 lesson
     toks = docs.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token")
-    )
+    ).localCheckpoint(eager=False)
     exact = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_ct"))
@@ -420,10 +423,22 @@ def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     N/(k+1) threshold) hash-verify against DuckDB, and four booleans
     — every true heavy hitter present, est ≤ exact everywhere,
     exact ≤ est + D everywhere, D ≤ N/(k+1) — are computed from the
-    ACTUAL summary against exact counts and pinned TRUE. Scale: one
-    applyInPandas pass per partition emitting ≤ k rows each, a ≤
-    (partitions·k)-row merge, and the verify joins run only for the
-    contract."""
+    ACTUAL summary against exact counts and pinned TRUE. Scale
+    (r11 review rework): the summary build is a mapInPandas
+    INCREMENTAL fold — each Arrow batch's value_counts merges into a
+    bounded ≤ k-counter running summary (classic MG reduce: add, find
+    the (k+1)-th largest as pivot d_p, decrement, drop non-positive,
+    accumulate D += d_p), so per-worker memory is k + one Arrow batch
+    — the previous groupBy(pid).applyInPandas shipped an ENTIRE
+    exploded partition to one Python worker as a single pandas frame
+    before reducing it (multi-GB on a 128 MB split), and keyed it on
+    spark_partition_id (a nondeterministic expression). No shuffle at
+    all before the ≤ (partitions·k)-row merge now. The Agarwal bound
+    survives finer batching: every reduction removes ≥ (k+1)·d_p
+    mass from counters fed by ≤ N total mass, so Σ d_p ≤ N/(k+1)
+    regardless of how the stream is batched. The summary (and its D)
+    remain layout-dependent — exactly why the driver contract is the
+    assertion form; the verify joins run only for the contract."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
@@ -432,32 +447,36 @@ def mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = _MG_K
 
-    def _mg_partition(pdf: pd.DataFrame) -> pd.DataFrame:
-        counts = pdf["tok"].value_counts()
-        if len(counts) > k:
-            d = int(counts.iloc[k])  # (k+1)-th largest
-        else:
-            d = 0
-        kept = counts[counts > d] - d
-        out = kept.reset_index()
-        out.columns = ["tok", "est"]
-        out["d"] = d
-        out["pid"] = int(pdf["pid"].iloc[0])
-        # Sentinel row (tok=NULL, est=0) so the pivot d reaches d_sum even
-        # when the top k+1 counts tie and kept is empty — dropping the pid
-        # would undercount D and falsify exact <= est + D on legal data.
-        sentinel = pd.DataFrame(
-            {"tok": [None], "est": [0], "d": [d], "pid": [int(pdf["pid"].iloc[0])]}
+    def _mg_fold(batches):
+        est: dict = {}
+        d_run = 0
+        saw = False
+        for pdf in batches:
+            saw = True
+            for tok, c in pdf["tok"].value_counts().items():
+                est[tok] = est.get(tok, 0) + int(c)
+            if len(est) > k:
+                pivot = sorted(est.values(), reverse=True)[k]
+                if pivot:
+                    d_run += pivot
+                    est = {t: v - pivot for t, v in est.items() if v > pivot}
+        if not saw:
+            return
+        out = pd.DataFrame(
+            {
+                "tok": list(est.keys()) + [None],
+                "est": list(est.values()) + [0],
+                # sentinel row carries the partition's cumulative D
+                # (non-sentinel rows carry 0 so a plain SUM(d) is D)
+                "d": [0] * len(est) + [d_run],
+            }
         )
-        return pd.concat([out, sentinel], ignore_index=True)
+        yield out
 
-    part = toks.withColumn("pid", F.spark_partition_id())
-    summaries = part.groupBy("pid").applyInPandas(
-        _mg_partition, "tok string, est long, d long, pid long"
+    summaries = toks.mapInPandas(
+        _mg_fold, "tok string, est long, d long"
     ).localCheckpoint(eager=False)
-    d_total = summaries.groupBy("pid").agg(F.max("d").alias("d")).agg(
-        F.sum("d").alias("d_sum")
-    )
+    d_total = summaries.agg(F.sum("d").alias("d_sum"))
     merged = (
         summaries.filter(F.col("tok").isNotNull())
         .groupBy("tok")

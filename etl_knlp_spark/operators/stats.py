@@ -142,13 +142,18 @@ def histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minmax_by",
     oracle="""
+    WITH mk AS (
+      SELECT CAST(MAX(c_custkey) AS HUGEINT) + 1 AS k FROM customer
+    )
     SELECT c_nationkey,
-           arg_max(c_custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * 10000000 + c_custkey)
-             AS richest_cust,
-           arg_min(c_custkey, CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * 10000000 + c_custkey)
-             AS poorest_cust,
+           arg_max(c_custkey,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS HUGEINT) * mk.k
+                     + c_custkey) AS richest_cust,
+           arg_min(c_custkey,
+                   CAST(FLOOR(c_acctbal * 100 + 0.5) AS HUGEINT) * mk.k
+                     + c_custkey) AS poorest_cust,
            ROUND(MAX(c_acctbal), 2) AS max_bal
-    FROM customer GROUP BY c_nationkey
+    FROM customer, mk GROUP BY c_nationkey
     """,
 )
 def minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,18 +161,36 @@ def minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     extreme row without a self-join or window.
 
     The ordering value is (balance in cents) ⊕ custkey packed into one
-    BIGINT: sf0.1 has within-nation balance TIES, and arg-max among
-    tied orderings is engine-arbitrary — a composite unique ordering
-    makes the answer well-defined everywhere."""
+    wide integer: sf0.1 has within-nation balance TIES, and arg-max
+    among tied orderings is engine-arbitrary — a composite unique
+    ordering makes the answer well-defined everywhere.
+
+    r11 review: the multiplier was a hard-coded 10^7 BIGINT, which is
+    only order-preserving while custkey < 10^7 — at TPC-H SF ≥ 67 a
+    huge-key low-balance customer out-packs a richer small-key one,
+    and the oracle encoded the identical wrong packing (mirrored,
+    hash-invisible). The multiplier is now DATA-DERIVED
+    (MAX(custkey)+1, a one-row broadcast both engines compute) and
+    the arithmetic runs in DECIMAL(38,0)/HUGEINT, so the packing is
+    collision-free and overflow-free at any scale, for negative
+    balances too ((c2−c1)·K > any key difference whenever c2 > c1)."""
     c = load_table(spark, sf_dir, "customer")
+    mk = F.broadcast(
+        c.agg((F.max("c_custkey").cast("decimal(38,0)") + 1).alias("k"))
+    )
     ord_key = (
-        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint") * 10000000
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("decimal(38,0)")
+        * F.col("k")
         + F.col("c_custkey")
     )
-    return c.groupBy("c_nationkey").agg(
-        F.max_by("c_custkey", ord_key).alias("richest_cust"),
-        F.min_by("c_custkey", ord_key).alias("poorest_cust"),
-        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    return (
+        c.crossJoin(mk)
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_custkey", ord_key).alias("richest_cust"),
+            F.min_by("c_custkey", ord_key).alias("poorest_cust"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
     )
 
 
@@ -567,6 +590,11 @@ def exact_discrete_quantile(
     """
     import math
 
+    # NULLs out up front (r11 review): n below counts non-null only,
+    # but Spark sorts NULLs FIRST — an endgame orderBy+limit(k) over
+    # a nullable column would count k NULLs toward the rank and
+    # return a too-small order statistic (or crash float(None)).
+    df = df.filter(F.col(col).isNotNull())
     stats = df.agg(
         F.count(col).alias("n"), F.min(col).alias("mn"), F.max(col).alias("mx")
     ).collect()[0]
@@ -663,6 +691,10 @@ def weighted_discrete_quantile(
     corpus to find one cut point is not an option."""
     import math  # noqa: F401
 
+    # NULL values out up front (r11 review, same hazard as
+    # exact_discrete_quantile): the endgame's python sorted() would
+    # raise comparing None, and NULL weights would poison the sums.
+    df = df.filter(F.col(val_col).isNotNull() & F.col(w_col).isNotNull())
     tot = df.agg(F.sum(w_col).alias("w")).collect()[0]["w"]
     if not tot:
         raise ValueError("weighted_discrete_quantile: zero total weight")
@@ -1092,8 +1124,13 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant keeps Theil–Sen's robustness headline while emitting
     O(n) slopes instead of the classic O(n²) all-pairs — the same
     bounded-sibling philosophy as the dedup family's capped
-    verifiers, here with NO budget needed because the pairing is
-    linear by construction.
+    verifiers. The pair COUNT is linear by construction, but the
+    rank assignment needs a per-type total order whose window
+    parallelism equals the type cardinality (5 here) — so a
+    pre-flight series-length budget refuses a series too long for a
+    single window task (r11 review; the spearman_corr discipline)
+    with the mitigation named, instead of funnelling a billion-row
+    type through one sort task.
 
     Exactness: each slope is one IEEE subtraction pair + one
     division of exact inputs (epoch seconds are floor-truncated
@@ -1105,6 +1142,20 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    longest = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    ) or 0
+    if longest > 2**24:
+        raise RuntimeError(
+            f"theilsen_trend: longest per-type series is {longest:,} "
+            f"rows (> 2^24); the rank pairing would sort it in one "
+            f"window task. Bucket the series (e.g. per day) and "
+            f"aggregate bucket medians, or sample the series before "
+            f"estimating."
+        )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     wn = Window.partitionBy("event_type")
     ord_df = (
@@ -1459,9 +1510,20 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.when(
                 F.col("n") > 1,
-                F.expr("((s - c) * 10000) div (n - 1)"),
+                # DECIMAL(38,0) widening BEFORE the *10^4 (r11 review):
+                # s/gs are corpus-proportional cent sums, and the
+                # multiply crosses 2^63 ~1e4x sooner than the sum
+                # itself — ANSI kills the job where DuckDB's HUGEINT
+                # oracle sails on. div on decimals stays exact; the
+                # QUOTIENT is a per-event mean in micro-units, always
+                # bigint-range.
+                F.expr(
+                    "(CAST(s AS DECIMAL(38,0)) - c) * 10000 div (n - 1)"
+                ),
             )
-            .otherwise(F.expr("(gs * 10000) div gn"))
+            .otherwise(
+                F.expr("CAST(gs AS DECIMAL(38,0)) * 10000 div gn")
+            )
             .cast("bigint")
             .alias("loo_mean_micro"),
             (F.col("n") > 1).alias("from_own_history"),

@@ -91,11 +91,21 @@ _STALE_SINCE: dict[str, int] = {
     # near_dup_clusters (exact edges + recursive-CTE components),
     # pack_sequences (recursive-CTE walk), udf_tokenize/udf_langid
     # (RE2/SQL kernel mirrors); assertion contract for pagerank_links.
-    "near_dup_clusters": 5,
+    # (bar later moved 5 → 11: r11 session-2 — shingle_jaccard_exact
+    # gained the pair_budget pre-flight the cluster family passes,
+    # and connected_components lazily checkpoints its edge table so
+    # propagation rounds stop re-running the corpus join; outputs
+    # identical, sources changed. Same bump for the other cc/exact-
+    # join consumers below.)
+    "near_dup_clusters": 11,
     "pack_sequences": 5,
     "udf_tokenize": 5,
     "udf_langid": 5,
-    "pagerank_links": 5,
+    # (bar later moved 5 → 11: supplier node ids are now NEGATED out
+    # of the customer key space instead of +10^7-offset — the offset
+    # silently aliased customer 10,000,001 with supplier 1 at SF ≥ 67
+    # on BOTH engines; oracle string changed with it.)
+    "pagerank_links": 11,
     # round 6 hardened kanon_release (sub-k '__other__' withheld,
     # sentinel-collision escape); round 7 made the escape injective
     # (values starting with '=' also escaped — ADVICE r6 #2), changing
@@ -186,9 +196,16 @@ _STALE_SINCE: dict[str, int] = {
     # tied-top-(k+1) partitions still contribute their pivot to D;
     # mmr_rerank multiplies by the literal 0.3 both engines see;
     # interval_overlap_join dedups on keys + interval endpoints.
-    "quantile_iterative": 9,
-    "token_weighted_quantile": 9,
-    "mg_heavy_hitters": 9,
+    # (bars later moved 9 → 11: the discrete-quantile helpers drop
+    # NULLs up front — Spark sorts NULLs first, so a nullable column
+    # corrupted the endgame rank; mg_heavy_hitters' summary build is
+    # now an incremental mapInPandas fold with bounded per-worker
+    # memory instead of a whole-partition applyInPandas keyed on
+    # spark_partition_id — contract columns verified at both SFs
+    # under default AND hostile layouts.)
+    "quantile_iterative": 11,
+    "token_weighted_quantile": 11,
+    "mg_heavy_hitters": 11,
     "mmr_rerank": 9,
     "join_interval_overlap": 9,
     # round 9 (same session as registration, no driver rows yet; the
@@ -293,6 +310,25 @@ _STALE_SINCE: dict[str, int] = {
     # partitioned within-bucket window) — output identical at all
     # SFs + hostile probes, source changed.
     "skyline_parts": 11,
+    # r11 session-2 review batch, continued (all verified at three
+    # SFs or per their contract): target_encode_loo widens its cent
+    # sums to DECIMAL before the *10^4 (ANSI overflow inside the
+    # 100 TB posture while the HUGEINT oracle sailed on); minmax_by's
+    # arg-max packing multiplier is now data-derived and HUGEINT/
+    # decimal-wide (the hard-coded 10^7 BIGINT collided at SF ≥ 67 on
+    # both engines identically); quality_threshold_sweep accumulates
+    # quality mass as exact 1e-9 units in DECIMAL (oracle mirrors the
+    # quantization); theilsen_trend gained the per-type series-length
+    # budget; cms_heavy_hitters checkpoints its token stream (three
+    # consumers re-ran the scan); the cluster family and
+    # entity_golden_record inherit the connected_components edge
+    # checkpoint and the exact-join pair budget.
+    "near_dup_clusters_star": 11,
+    "dedup_keep_best": 11,
+    "entity_golden_record": 11,
+    "cms_heavy_hitters": 11,
+    "theilsen_trend": 11,
+    "quality_threshold_sweep": 11,
     "inverted_index": 11,
     "pii_scrub": 11,
     "bm25_topk": 11,
@@ -426,6 +462,43 @@ _SWEEP_PRIORITY: dict[str, int] = {
     "groupby_agg": 11,
     "conditional_agg": 11,
     "sql_pipe_syntax": 11,
+    # round 11 session 2: the review batch invalidated more evidence
+    # than tier-2 ordering can fit ahead of this dict's r4-evidenced
+    # entries (44 unevidenced vs 50 slots — the audit's
+    # no-unevidenced-outside-the-window rule tripped). Pin the two
+    # that spilled; the displaced slots land on r4-EVIDENCED entries
+    # above, which legally front the r12 window instead (paired with
+    # their _STALE_SINCE 11 bumps per the steady-state policy).
+    "theilsen_trend": 11,
+    "target_encode_loo": 11,
+    "token_weighted_quantile": 11,
+    "skyline_parts": 11,
+    "quantile_iterative": 11,
+    "quality_threshold_sweep": 11,
+    "cms_heavy_hitters": 11,
+    "entity_golden_record": 11,
+    # ... and the rest of the session's invalidated set — with 44
+    # unevidenced queries vs 50 slots, the complete cohort pins ahead
+    # and the displaced entries are r4-EVIDENCED rows from the r10
+    # cohort above, which legally front the r12 window (their
+    # staleness stays bounded by the rotation policy; the
+    # no-unevidenced-outside-the-window audit is the binding rule).
+    "inverted_index": 11,
+    "bm25_topk": 11,
+    "bm25_pruned": 11,
+    "oov_rate": 11,
+    "hybrid_retrieval_rrf": 11,
+    "hybrid_retrieval_rrf_pruned": 11,
+    "dedup_simhash": 11,
+    "funnel_steps": 11,
+    "attribution_time_decay": 11,
+    "near_dup_clusters": 11,
+    "pagerank_links": 11,
+    "dedup_keep_best": 11,
+    "near_dup_clusters_star": 11,
+    "similarity_ann_lsh": 11,
+    "mg_heavy_hitters": 11,
+    "minmax_by": 11,
 }
 
 # Priority order within the tier = dict insertion order.
