@@ -224,11 +224,17 @@ def rhp_signatures(spark: SparkSession, vectors: DataFrame, planes: list[list[fl
 
     Input must have (vec_id, embedding array<double>); output is
     (vec_id, sig long). NULL embeddings produce no signature row
-    (matching the old inner-join-through-posexplode behavior).
+    (matching the old inner-join-through-posexplode behavior). The
+    kernel hard-requires fixed-length embeddings matching the plane
+    dimension (np.stack's contract); a ragged or wrong-dim embeddings
+    table raises a named ValueError carrying the offending vec_ids
+    instead of an opaque numpy stack traceback inside a Python worker
+    (r11 ADVICE).
     """
     import numpy as np
 
     n_planes = len(planes)
+    dim = len(planes[0]) if planes else 0
     plane_t = np.array(planes, dtype=np.float64).T  # dim × n_planes
 
     def _sig_batches(batches):
@@ -244,6 +250,17 @@ def rhp_signatures(spark: SparkSession, vectors: DataFrame, planes: list[list[fl
                     }
                 )
                 continue
+            lengths = pdf["embedding"].map(len).to_numpy()
+            if (lengths != dim).any():
+                bad = pdf["vec_id"].to_numpy()[lengths != dim]
+                bad_lens = sorted(set(int(x) for x in lengths[lengths != dim]))
+                raise ValueError(
+                    f"rhp_signatures: embedding length(s) {bad_lens} do not "
+                    f"match the hyperplane dimension {dim} for vec_id(s) "
+                    f"{bad[:8].tolist()}{'...' if len(bad) > 8 else ''} — "
+                    "the embeddings table is ragged or was built for a "
+                    "different dimension"
+                )
             m = np.stack(pdf["embedding"].to_numpy()).astype(
                 np.float64, copy=False
             )

@@ -48,6 +48,49 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def fn_semantic_md5(fn) -> str | None:
+    """md5 of a query function's EXECUTABLE source — the AST with
+    docstrings stripped (comments never survive parsing) — shared by
+    tools/snapshot_oracles.py and tests/test_registry_audit.py.
+
+    Why not raw source (the r6-r11 formulation): the stale-bump audit
+    exists to catch "what runs changed but the staleness bar didn't
+    move". Raw-source hashing conflated docstring/comment edits with
+    semantic edits, so a docstring-only change regenerated into
+    oracle_snapshot.json looked identical to a silent semantics change
+    (r11 ADVICE demonstrated the hole live with embedding_centroid /
+    lexical_diversity). Hashing the stripped AST makes the invariant
+    exact: fn_md5 moves IFF executable code moved, so any snapshot
+    fn_md5 diff now demands a `_STALE_SINCE` bump — no exemption
+    judgment calls. Decorator expressions, defaults, and nested
+    functions stay in the hash (they are executable; the r6
+    decorator-capture bug lived in one). None when source is
+    unavailable (shouldn't happen for module-level functions)."""
+    import ast
+    import hashlib
+    import inspect
+    import textwrap
+
+    try:
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+    except (OSError, TypeError, SyntaxError):
+        return None
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:] or [ast.Pass()]
+    return hashlib.md5(ast.dump(tree).encode()).hexdigest()
+
+
 # The driver's per-round correctness sweep has a finite budget (each round
 # records rows for exactly the flagship + the first 49 registry entries).
 # Order the registry so the queries most in need of driver-side evidence

@@ -14,21 +14,12 @@ from etl_knlp_spark import registry
 SNAPSHOT = os.path.join(os.path.dirname(__file__), "oracle_snapshot.json")
 
 
-def _fn_md5(fn) -> str | None:
-    import inspect
-
-    try:
-        return hashlib.md5(inspect.getsource(fn).encode()).hexdigest()
-    except (OSError, TypeError):
-        return None
-
-
 def _current() -> dict[str, tuple[str | None, str | None, int]]:
     registry._load_all()
     return {
         name: (
             hashlib.md5(rq.oracle.encode()).hexdigest() if rq.oracle else None,
-            _fn_md5(rq.fn),
+            registry.fn_semantic_md5(rq.fn),
             registry._STALE_SINCE.get(name, 0),
         )
         for name, rq in registry._REGISTRY.items()
@@ -44,7 +35,10 @@ def test_oracle_or_fn_change_requires_stale_since_bump():
     Spark-side function under an UNCHANGED oracle is the same hazard:
     the r6 `quality_scored` decorator-capture bug proved an edit near
     registration can change what runs while the oracle hash stays
-    put."""
+    put. r12 (r11 ADVICE): fn_md5 is the DOCSTRING-STRIPPED AST hash,
+    so docstring/comment edits are exempt by construction and any
+    snapshot fn_md5 diff is a semantic change demanding a bump — no
+    judgment calls about 'harmless' regens."""
     with open(SNAPSHOT) as f:
         snap = json.load(f)
     cur = _current()
@@ -665,3 +659,88 @@ def test_bench_floors_mode_separates_ambient_from_regression(tmp_path):
         f"non-JSON explicit bench path escaped the friendly error exit: "
         f"rc={garbled.returncode} stderr={garbled.stderr[-500:]}"
     )
+
+
+def test_fn_semantic_md5_exempts_docstrings_but_not_code():
+    """r11 ADVICE, done-criterion: the fn hash must be INSENSITIVE to
+    docstring and comment edits (so a docstring-only change regenerated
+    into the snapshot carries no false 'semantics moved' signal) and
+    SENSITIVE to every executable-code move — body statements,
+    decorator expressions, argument defaults, nested-function bodies
+    (the r6 decorator-capture class)."""
+    import types
+
+    def make(src: str):
+        """Compile `src` and return the first function it defines, with
+        fn_semantic_md5's inspect.getsource patched to see `src`."""
+        ns: dict = {}
+        exec(src, ns)
+        fn = next(v for v in ns.values() if isinstance(v, types.FunctionType))
+        fn.__source_for_test__ = src
+        return fn
+
+    import inspect
+
+    real_getsource = inspect.getsource
+
+    def fake_getsource(obj):
+        if hasattr(obj, "__source_for_test__"):
+            return obj.__source_for_test__
+        return real_getsource(obj)
+
+    base_src = (
+        "def q(spark, sf_dir=1):\n"
+        '    """original docstring."""\n'
+        "    # a comment\n"
+        "    return sf_dir + 1\n"
+    )
+    doc_edit = base_src.replace("original docstring", "edited docstring")
+    comment_edit = base_src.replace("# a comment", "# another comment")
+    code_edit = base_src.replace("sf_dir + 1", "sf_dir + 2")
+    default_edit = base_src.replace("sf_dir=1", "sf_dir=2")
+    nested_src = (
+        "def q(spark, sf_dir=1):\n"
+        '    """original docstring."""\n'
+        "    def inner():\n"
+        '        """inner doc."""\n'
+        "        return 1\n"
+        "    return inner()\n"
+    )
+    nested_doc_edit = nested_src.replace("inner doc", "inner doc v2")
+    nested_code_edit = nested_src.replace("return 1", "return 2")
+    docstring_only_body = 'def q(spark, sf_dir):\n    """only a docstring."""\n'
+
+    inspect.getsource = fake_getsource
+    try:
+        h = {
+            name: registry.fn_semantic_md5(make(src))
+            for name, src in {
+                "base": base_src,
+                "doc": doc_edit,
+                "comment": comment_edit,
+                "code": code_edit,
+                "default": default_edit,
+                "nested": nested_src,
+                "nested_doc": nested_doc_edit,
+                "nested_code": nested_code_edit,
+                "doc_only": docstring_only_body,
+            }.items()
+        }
+    finally:
+        inspect.getsource = real_getsource
+
+    assert h["base"] is not None
+    # exempt: docstring + comment edits, at any nesting level
+    assert h["doc"] == h["base"]
+    assert h["comment"] == h["base"]
+    assert h["nested_doc"] == h["nested"]
+    # sensitive: body, defaults, nested bodies
+    assert h["code"] != h["base"]
+    assert h["default"] != h["base"]
+    assert h["nested_code"] != h["nested"]
+    # a docstring-only body still hashes (stripped to `pass`), and
+    # differs from a function with real code
+    assert h["doc_only"] is not None
+    assert h["doc_only"] != h["base"]
+    # unavailable source degrades to None, never raises
+    assert registry.fn_semantic_md5(len) is None

@@ -354,3 +354,30 @@ def test_rhp_signatures_matmul_kernel_contract(spark):
         [(9, None)], "vec_id long, embedding array<double>"
     )
     assert rhp_signatures(spark, all_null, planes).count() == 0
+
+
+def test_rhp_signatures_names_ragged_embeddings(spark):
+    """r11 ADVICE: the matmul kernel hard-assumes fixed-length
+    embeddings — a ragged or wrong-dimension table must fail with a
+    NAMED ValueError carrying the offending vec_ids and lengths, not
+    an opaque np.stack shape traceback inside a Python worker."""
+    from etl_knlp_spark.operators.similarity import rhp_signatures
+
+    planes = [[1.0, -1.0], [1.0, 1.0]]
+    ragged = spark.createDataFrame(
+        [(1, [2.0, 1.0]), (2, [1.0, 2.0, 3.0]), (3, [0.5])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    with pytest.raises(Exception) as ei:
+        rhp_signatures(spark, ragged, planes).collect()
+    msg = str(ei.value)
+    assert "rhp_signatures" in msg
+    assert "2" in msg  # the plane dimension named
+    # wrong-dim-but-uniform is the same failure class (stack would
+    # SUCCEED with the wrong shape — silent garbage, worse than ragged)
+    uniform_wrong = spark.createDataFrame(
+        [(7, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception) as ei2:
+        rhp_signatures(spark, uniform_wrong, planes).collect()
+    assert "rhp_signatures" in str(ei2.value)

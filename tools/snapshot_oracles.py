@@ -27,29 +27,19 @@ SNAPSHOT_PATH = os.path.join(
 )
 
 
-def _fn_md5(fn) -> str | None:
-    """md5 of the query function's SOURCE (round-6 verdict #2): the
-    audit previously covered oracle edits only, so a Spark-side edit
-    under an unchanged oracle left up to ~4 rounds of old green rows
-    vouching for changed code (the r6 `quality_scored` decorator-
-    capture bug was exactly this class). None when source is
-    unavailable (shouldn't happen for module-level functions)."""
-    import inspect
-
-    try:
-        return hashlib.md5(inspect.getsource(fn).encode()).hexdigest()
-    except (OSError, TypeError):
-        return None
-
-
 def build_snapshot() -> dict[str, dict]:
+    """fn_md5 covers the query function's EXECUTABLE source (round-6
+    verdict #2 via registry.fn_semantic_md5, r12: docstrings/comments
+    stripped so a snapshot fn_md5 diff always means code moved — the
+    r11-ADVICE hole where a docstring-only regen was indistinguishable
+    from an unbumped semantic edit)."""
     registry._load_all()
     return {
         name: {
             "oracle_md5": (
                 hashlib.md5(rq.oracle.encode()).hexdigest() if rq.oracle else None
             ),
-            "fn_md5": _fn_md5(rq.fn),
+            "fn_md5": registry.fn_semantic_md5(rq.fn),
             "stale_since": registry._STALE_SINCE.get(name, 0),
         }
         for name, rq in sorted(registry._REGISTRY.items())
