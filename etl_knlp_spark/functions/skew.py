@@ -155,8 +155,10 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(c)::BIGINT AS n_rows,
            MAX(c)::BIGINT AS max_key_rows,
            CAST(MEDIAN(c) AS DOUBLE) AS median_key_rows,
-           ROUND(MAX(c) / CAST(MEDIAN(c) AS DOUBLE), 4) AS skew_ratio,
-           ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top1_share
+           FLOOR(MAX(c) / CAST(MEDIAN(c) AS DOUBLE) * 10000 + 0.5)
+             / 10000.0 AS skew_ratio,
+           FLOOR(MAX(c) * 1.0 / SUM(c) * 1000000 + 0.5)
+             / 1000000.0 AS top1_share
     FROM per_key
     """,
 )
@@ -180,11 +182,22 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("k"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # max/median and max/total are exact ratios of exactly-representable
+    # values (median of ints is an int or a .5 — both exact in double;
+    # bit-identical across engines), so they take the floor-form
+    # rounding (r12; see corpus_mixture_weights): ROUND(x, k) splits
+    # engines on (k+1)th-decimal-terminating halves, which exact
+    # rationals CAN land on (the percent_rank class).
     return per_key.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("c").cast("bigint").alias("n_rows"),
         F.max("c").cast("bigint").alias("max_key_rows"),
         F.median("c").cast("double").alias("median_key_rows"),
-        F.round(F.max("c") / F.median("c").cast("double"), 4).alias("skew_ratio"),
-        F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top1_share"),
+        (
+            F.floor(F.max("c") / F.median("c").cast("double") * 10000 + 0.5)
+            / 10000.0
+        ).alias("skew_ratio"),
+        (
+            F.floor(F.max("c") * 1.0 / F.sum("c") * 1000000 + 0.5) / 1000000.0
+        ).alias("top1_share"),
     )

@@ -725,11 +725,13 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_source
     )
     SELECT p.source, p.n_docs, p.total_tokens,
-           ROUND(p.total_tokens * 1.0 / t.corpus_tokens, 6) AS natural_share,
-           ROUND(1.0 / t.n_sources, 6)                      AS target_share,
-           ROUND(LEAST(1.0,
+           FLOOR(p.total_tokens * 1.0 / t.corpus_tokens * 1000000 + 0.5)
+             / 1000000.0 AS natural_share,
+           FLOOR(1.0 / t.n_sources * 1000000 + 0.5) / 1000000.0
+             AS target_share,
+           FLOOR(LEAST(1.0,
              (1.0 / t.n_sources) / (p.total_tokens * 1.0 / t.corpus_tokens)
-           ), 6) AS keep_prob
+           ) * 1000000 + 0.5) / 1000000.0 AS keep_prob
     FROM per_source p CROSS JOIN tot t
     """,
 )
@@ -744,7 +746,16 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     token mass, not doc counts, because the training budget is
     tokens. Two tiny aggregations — the corpus scans once for token
     counts and never shuffles; at 100 TB this is a metadata query
-    over per-source partial sums."""
+    over per-source partial sums.
+
+    Rounding (r12): the shares are exact integer ratios, so both
+    engines compute bit-identical doubles — but ROUND(x, 6) can
+    still disagree across engines when the exact rational terminates
+    at the 7th decimal digit 5 (measured: 5/439 such rationals split
+    DuckDB's multiply-based round from Spark's BigDecimal round —
+    the percent_rank class). FLOOR(x*1e6 + 0.5)/1e6 floors the
+    identical double identically on both engines: 0 disagreements on
+    the same probe set."""
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("bigint")
     per_source = (
@@ -767,9 +778,12 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "total_tokens",
-            F.round(natural, 6).alias("natural_share"),
-            F.round(target, 6).alias("target_share"),
-            F.round(F.least(F.lit(1.0), target / natural), 6).alias("keep_prob"),
+            (F.floor(natural * 1000000 + 0.5) / 1000000.0).alias("natural_share"),
+            (F.floor(target * 1000000 + 0.5) / 1000000.0).alias("target_share"),
+            (
+                F.floor(F.least(F.lit(1.0), target / natural) * 1000000 + 0.5)
+                / 1000000.0
+            ).alias("keep_prob"),
         )
     )
 
@@ -1054,8 +1068,9 @@ def bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT source_a, source_b, n_shared,
-           ROUND(n_shared * 1.0
-                 / (pa.n_shingles + pb.n_shingles - n_shared), 6) AS jaccard
+           FLOOR(n_shared * 1.0
+                 / (pa.n_shingles + pb.n_shingles - n_shared)
+                 * 1000000 + 0.5) / 1000000.0 AS jaccard
     FROM inter
     JOIN per_src pa ON inter.source_a = pa.source
     JOIN per_src pb ON inter.source_b = pb.source
@@ -1126,11 +1141,19 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a",
             "source_b",
             "n_shared",
-            F.round(
-                F.col("n_shared")
-                * 1.0
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
-                6,
+            (
+                # exact int ratio: FLOOR(x*1e6+0.5) rounds the identical
+                # double identically on both engines, where ROUND(x, 6)
+                # splits them on 7th-decimal-terminating halves (r12;
+                # see corpus_mixture_weights docstring)
+                F.floor(
+                    F.col("n_shared")
+                    * 1.0
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000.0
             ).alias("jaccard"),
         )
     )

@@ -2090,7 +2090,8 @@ def dedup_edit_star(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3, 4
     )
     SELECT doc_a, doc_b,
-           ROUND(ns * 1.0 / LEAST(n_a, n_b), 6) AS containment,
+           FLOOR(ns * 1.0 / LEAST(n_a, n_b) * 1000000 + 0.5) / 1000000.0
+             AS containment,
            CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS inner_doc
     FROM shared
     WHERE ns * 1.0 / LEAST(n_a, n_b) >= 0.9
@@ -2156,7 +2157,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(cont, 6).alias("containment"),
+            # exact int ratio: floor-form rounding (see
+            # corpus_mixture_weights) — ROUND(x, 6) splits engines on
+            # 7th-decimal-terminating halves of identical doubles
+            (F.floor(cont * 1000000 + 0.5) / 1000000.0).alias("containment"),
             F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
             .otherwise(F.col("doc_b"))
             .alias("inner_doc"),

@@ -265,7 +265,8 @@ _PPLX_SWEEP_ORACLE = f"""
     )
     SELECT ROUND(-15.0 + k * 0.75, 2) AS thr,
            CAST(n_kept AS BIGINT) AS n_kept,
-           ROUND(n_kept * 1.0 / n_total, 6) AS keep_rate,
+           FLOOR(n_kept * 1.0 / n_total * 1000000 + 0.5) / 1000000.0
+             AS keep_rate,
            CAST(bigrams_kept AS BIGINT) AS bigrams_kept
     FROM cum
     """
@@ -316,7 +317,13 @@ def perplexity_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.select(
         F.round(F.lit(-15.0) + F.col("k") * 0.75, 2).alias("thr"),
         F.col("n_kept").cast("bigint").alias("n_kept"),
-        F.round(F.col("n_kept") * 1.0 / F.col("n_total"), 6).alias("keep_rate"),
+        # exact int ratio: floor-form rounding (r12; see
+        # corpus_mixture_weights) — ROUND(x, 6) splits engines on
+        # 7th-decimal-terminating halves of identical doubles
+        (
+            F.floor(F.col("n_kept") * 1.0 / F.col("n_total") * 1000000 + 0.5)
+            / 1000000.0
+        ).alias("keep_rate"),
         F.col("bigrams_kept").cast("bigint").alias("bigrams_kept"),
     )
 

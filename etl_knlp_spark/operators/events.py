@@ -433,8 +433,9 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT prev_type, event_type, COUNT(*)::BIGINT AS n,
-           ROUND(COUNT(*) * 1.0
-                 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS p
+           FLOOR(COUNT(*) * 1.0
+                 / SUM(COUNT(*)) OVER (PARTITION BY prev_type)
+                 * 1000000 + 0.5) / 1000000.0 AS p
     FROM seq WHERE prev_type IS NOT NULL
     GROUP BY 1, 2
     """,
@@ -466,7 +467,13 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "event_type",
         "n",
-        F.round(F.col("n") * 1.0 / F.sum("n").over(wp), 6).alias("p"),
+        # exact int ratio: floor-form rounding (r12; see
+        # corpus_mixture_weights) — ROUND(x, 6) splits engines on
+        # 7th-decimal-terminating halves of identical doubles
+        (
+            F.floor(F.col("n") * 1.0 / F.sum("n").over(wp) * 1000000 + 0.5)
+            / 1000000.0
+        ).alias("p"),
     )
 
 

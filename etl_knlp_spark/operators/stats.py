@@ -483,9 +483,9 @@ def kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), stats AS (
       SELECT cohort,
              CAST(COUNT(*) AS BIGINT) AS n,
-             ROUND(AVG(n_chars), 6) AS mean_chars,
+             FLOOR(AVG(n_chars) * 1000000 + 0.5) / 1000000.0 AS mean_chars,
              ROUND(stddev_samp(n_chars), 6) AS sd_chars,
-             ROUND(AVG(n_tokens), 6) AS mean_tokens
+             FLOOR(AVG(n_tokens) * 1000000 + 0.5) / 1000000.0 AS mean_tokens
       FROM tagged GROUP BY cohort
     ), wide AS (
       SELECT b.n AS n_base, c.n AS n_cand,
@@ -529,11 +529,23 @@ def column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         n_tok.alias("n_tokens"),
     )
+    # integer AVGs are exact rationals (int sums are order-exact in
+    # double below 2^53, then one correctly-rounded division — verified
+    # bit-identical across engines incl. n=640/1280 groups), so they
+    # take the floor-form rounding (r12; see corpus_mixture_weights):
+    # ROUND(x, 6) splits engines on 7th-decimal-terminating halves,
+    # which exact rationals CAN land on (the percent_rank class).
+    # stddev stays ROUND: its engine-side accumulation differs in ulps
+    # anyway and the sqrt output is continuous — no half-landing mass.
     stats = tagged.groupBy("cohort").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        (F.floor(F.avg("n_chars") * 1000000 + 0.5) / 1000000.0).alias(
+            "mean_chars"
+        ),
         F.round(F.stddev_samp("n_chars"), 6).alias("sd_chars"),
-        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        (F.floor(F.avg("n_tokens") * 1000000 + 0.5) / 1000000.0).alias(
+            "mean_tokens"
+        ),
     )
     b = stats.filter(F.col("cohort") == "baseline").select(
         F.col("n").alias("n_base"),

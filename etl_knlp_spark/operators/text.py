@@ -618,8 +618,9 @@ def arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang AS gold, lang_pred AS pred,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(COUNT(*) * 1.0 /
-                 SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS gold_share
+           FLOOR(COUNT(*) * 1.0 /
+                 SUM(COUNT(*)) OVER (PARTITION BY lang) * 1000000 + 0.5)
+             / 1000000.0 AS gold_share
     FROM pred GROUP BY lang, lang_pred
     """,
 )
@@ -657,5 +658,11 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gold",
         "pred",
         "n_docs",
-        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("gold_share"),
+        # exact int ratio: floor-form rounding (r12; see
+        # corpus_mixture_weights) — ROUND(x, 6) splits engines on
+        # 7th-decimal-terminating halves of identical doubles
+        (
+            F.floor(F.col("n_docs") / F.sum("n_docs").over(w) * 1000000 + 0.5)
+            / 1000000.0
+        ).alias("gold_share"),
     )

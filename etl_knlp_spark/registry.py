@@ -386,6 +386,34 @@ _STALE_SINCE: dict[str, int] = {
     # identical at all three SFs plus the hostile-layout probe, but
     # the function source changed so the audit bar moved: the
     # similarity_ann_lsh entry ABOVE (r5 block) now reads 11.
+    #
+    # round 12: exact-integer-ratio outputs move from ROUND(x, k) to
+    # FLOOR(x*10^k + 0.5)/10^k on BOTH engines. The ratio doubles are
+    # bit-identical across engines (integer numerator/denominator,
+    # one correctly-rounded division), but ROUND itself can disagree
+    # when the exact rational terminates at the (k+1)th decimal with
+    # digit 5 — measured: 5 of 439 such rationals split DuckDB's
+    # multiply-based round from Spark's BigDecimal round (incl.
+    # 333/640 = 0.5203125, the documented percent_rank case), while
+    # the floor form agrees on all 2439 probe cases. Outputs can
+    # differ from the old form by 1e-6 exactly at those halves, so
+    # all prior evidence is invalidated. Only the queries inside the
+    # r12 sweep window convert this round (fresh driver rows land
+    # immediately, and the r5-staleness cohort keeps its 39 window
+    # slots — 2 unevidenced + 8 here + 39 = 49 ≤ 50); the remaining
+    # ten int-ratio ROUND sites (grouped_map_zscore, eval_prf_summary,
+    # scalar_subquery, lexical_diversity, ndcg_retrieval_eval,
+    # benford_digits, readability_flesch, doc_quality_filter,
+    # oov_rate, quality_threshold_sweep) are scheduled for r13 —
+    # tracked by tests/test_registry_audit.py's rounded-ratio audit.
+    "corpus_mixture_weights": 12,
+    "source_overlap": 12,
+    "dedup_containment": 12,
+    "langid_confusion": 12,
+    "markov_transitions": 12,
+    "column_drift": 12,
+    "skew_report": 12,
+    "perplexity_threshold_sweep": 12,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

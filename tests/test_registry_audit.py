@@ -744,3 +744,66 @@ def test_fn_semantic_md5_exempts_docstrings_but_not_code():
     assert h["doc_only"] != h["base"]
     # unavailable source degrades to None, never raises
     assert registry.fn_semantic_md5(len) is None
+
+
+def test_no_new_rounded_ratio_oracles():
+    """r12: ROUND(x, k) over a ratio is a cross-engine hazard when x is
+    an exact rational — the true value can terminate at the (k+1)th
+    decimal with digit 5, where DuckDB's multiply-based round and
+    Spark's BigDecimal round disagree (measured 5/439 such rationals,
+    incl. 333/640 = 0.5203125, the percent_rank case; the r12 probe in
+    BASELINE.md). The fix is FLOOR(x*10^k + 0.5)/10^k on BOTH sides
+    (floors the bit-identical double identically; 0/2439 probe
+    disagreements). Eight in-window queries converted in r12; this
+    audit freezes the REMAINING rounded-ratio sites so (a) the r13
+    conversion list is mechanical and (b) no new query reintroduces
+    the pattern — a new name here must convert to floor-form or argue
+    its way in (continuous-by-construction x: ln/stddev-based, or
+    layout-varying float sums where rounding is the tolerance, not
+    the hazard)."""
+    import re
+
+    registry._load_all()
+    # Remaining sites after the r12 conversion wave. exact-ratio: true
+    # value is a rational that can terminate at digit k+1 = scheduled
+    # for floor-form conversion in r13. continuous: x involves ln/
+    # stddev/layout-varying float sums — boundary landings have
+    # measure ~0 and rounding provides the cross-engine tolerance.
+    ALLOWED = {
+        # -- exact-ratio, scheduled r13 --
+        "oov_rate",
+        "lexical_diversity",
+        "eval_prf_summary",
+        "quality_threshold_sweep",
+        "benford_digits",
+        "readability_flesch",
+        # -- continuous-by-construction --
+        "grouped_map_zscore",      # (x - mean)/stddev: stddev irrational
+        "doc_quality_filter",      # AVG of continuous per-doc scores
+        "scalar_subquery",         # price/AVG(price): float-sum mean
+        "ndcg_retrieval_eval",     # bm25 formula: non-dyadic constants
+        "lm_perplexity_filter",    # AVG(ln(...)): irrational addends
+        "perplexity_threshold_sweep",  # avg_logp leg (keep_rate converted)
+        "hybrid_retrieval_rrf",        # 1/(60+rank): 61..80 denominators
+        "hybrid_retrieval_rrf_pruned",  # cannot terminate at digit 7
+        "column_drift",            # drift_z leg (means converted)
+        "embedding_centroid",      # AVG of continuous components
+        "embedding_health",        # AVG of norms (sqrt: irrational)
+    }
+    pat = re.compile(
+        r"ROUND\s*\(([^()]*(?:\([^()]*(?:\([^()]*\)[^()]*)*\)[^()]*)*?),\s*\d+\s*\)",
+        re.S,
+    )
+    offenders = set()
+    for name, rq in registry._REGISTRY.items():
+        if rq.oracle is None or name in ALLOWED:
+            continue
+        for m in pat.finditer(rq.oracle):
+            arg = m.group(1).upper()
+            if "/" in arg and ("COUNT" in arg or "1.0" in arg or "AVG" in arg):
+                offenders.add(name)
+    assert not offenders, (
+        f"new ROUND-over-ratio oracle sites: {sorted(offenders)} — use "
+        "FLOOR(x*10^k + 0.5)/10^k on both engines (see "
+        "corpus_mixture_weights) or justify an ALLOWED entry"
+    )
