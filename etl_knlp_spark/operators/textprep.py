@@ -314,24 +314,29 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN 0 THEN 'https://Example.COM:443/page/' || CAST(doc_id // 4 AS VARCHAR) || '/?utm_source=x&b=2&a=1'
                WHEN 1 THEN 'https://example.com/page/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
                WHEN 2 THEN 'HTTPS://EXAMPLE.com:443/page/' || CAST(doc_id // 4 AS VARCHAR) || '/?b=2&a=1&utm_campaign=y'
-               ELSE 'https://example.com:443/page/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&utm_medium=z&a=1'
+               ELSE 'https://example.com:8443/page/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&utm_medium=z&a=1'
              END AS url
       FROM documents
     ), parts AS (
       SELECT doc_id, url,
              lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
              lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?]+)', 1)) AS host,
+             regexp_extract(url, '^[a-zA-Z]+://[^/:?]+(?::([0-9]+))?', 1) AS port,
              regexp_extract(url, '^[a-zA-Z]+://[^/?]+([^?]*)', 1) AS path,
              regexp_extract(url, '\\?(.*)$', 1) AS query
       FROM tainted
     ), canon AS (
       SELECT doc_id,
              scheme || '://' || host
+               || CASE WHEN port = ''
+                         OR (scheme = 'https' AND port = '443')
+                         OR (scheme = 'http' AND port = '80')
+                       THEN '' ELSE ':' || port END
                || CASE WHEN path LIKE '%/' AND len(path) > 1
                        THEN substr(path, 1, len(path) - 1) ELSE path END
                || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
       FROM (
-        SELECT doc_id, scheme, host, path,
+        SELECT doc_id, scheme, host, port, path,
                array_to_string(list_sort(list_filter(string_split(query, '&'),
                                p -> p NOT LIKE 'utm_%' AND p <> '')), '&') AS q
         FROM parts
@@ -350,13 +355,20 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic taint (the `pii_scrub` pattern): each document gets
     one of four spec-noisy variants of its page URL — mixed-case
     scheme/host, an explicit :443, a trailing slash, shuffled query
-    params, utm_* trackers — and canonicalization must collapse every
-    group of 4 to ONE canonical form: lowercase scheme+host, default
-    port stripped, trailing slash stripped, utm_* dropped, remaining
-    params sorted. All string/array built-ins (regexp_extract, split,
-    filter, sort, join) — codegen'd end to end, one hash aggregate on
-    the canonical key; at crawl scale this is the cheap map-side
-    normalizer in front of `dedup_exact`'s shuffle."""
+    params, utm_* trackers, and one NON-default :8443 port — and
+    canonicalization must collapse the three default-port variants to
+    ONE canonical form (lowercase scheme+host, DEFAULT port stripped,
+    trailing slash stripped, utm_* dropped, remaining params sorted)
+    while the :8443 variant keeps its port and stays a distinct URL.
+    The r12 review caught the previous version deleting ALL port
+    syntax (a mirrored overclaim: example.com:8080 would merge with
+    example.com on both engines, hash-invisibly) — ports now strip
+    only when they are the scheme default (https:443 / http:80), and
+    the taint exercises the preservation path on graded data. All
+    string/array built-ins (regexp_extract, split, filter, sort,
+    join) — codegen'd end to end, one hash aggregate on the canonical
+    key; at crawl scale this is the cheap map-side normalizer in
+    front of `dedup_exact`'s shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     page = (F.col("doc_id") / 4).cast("bigint").cast("string")
     variant = (F.col("doc_id") % 4).cast("int")
@@ -364,12 +376,13 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(variant == 0, F.concat(F.lit("https://Example.COM:443/page/"), page, F.lit("/?utm_source=x&b=2&a=1")))
         .when(variant == 1, F.concat(F.lit("https://example.com/page/"), page, F.lit("?a=1&b=2")))
         .when(variant == 2, F.concat(F.lit("HTTPS://EXAMPLE.com:443/page/"), page, F.lit("/?b=2&a=1&utm_campaign=y")))
-        .otherwise(F.concat(F.lit("https://example.com:443/page/"), page, F.lit("?b=2&utm_medium=z&a=1")))
+        .otherwise(F.concat(F.lit("https://example.com:8443/page/"), page, F.lit("?b=2&utm_medium=z&a=1")))
     )
     parts = docs.select(
         "doc_id",
         F.lower(F.regexp_extract(url, r"^([a-zA-Z]+)://", 1)).alias("scheme"),
         F.lower(F.regexp_extract(url, r"^[a-zA-Z]+://([^/:?]+)", 1)).alias("host"),
+        F.regexp_extract(url, r"^[a-zA-Z]+://[^/:?]+(?::([0-9]+))?", 1).alias("port"),
         F.regexp_extract(url, r"^[a-zA-Z]+://[^/?]+([^?]*)", 1).alias("path"),
         F.regexp_extract(url, r"\?(.*)$", 1).alias("query"),
     )
@@ -386,10 +399,19 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("path").endswith("/") & (F.length("path") > 1),
         F.expr("substr(path, 1, length(path) - 1)"),
     ).otherwise(F.col("path"))
+    default_port = (
+        (F.col("port") == "")
+        | ((F.col("scheme") == "https") & (F.col("port") == "443"))
+        | ((F.col("scheme") == "http") & (F.col("port") == "80"))
+    )
+    port_c = F.when(default_port, F.lit("")).otherwise(
+        F.concat(F.lit(":"), F.col("port"))
+    )
     canonical = F.concat(
         F.col("scheme"),
         F.lit("://"),
         F.col("host"),
+        port_c,
         path_c,
         F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
     )

@@ -414,6 +414,14 @@ _STALE_SINCE: dict[str, int] = {
     "column_drift": 12,
     "skew_report": 12,
     "perplexity_threshold_sweep": 12,
+    # round 12 review: url_canonical_dedup deleted ALL port syntax
+    # while claiming default-port stripping (mirrored overclaim —
+    # example.com:8080 merged with example.com on both engines).
+    # Ports now strip only when scheme-default, and the taint's
+    # fourth variant moved :443 → :8443 to exercise preservation on
+    # graded data — outputs changed (the :8443 variants are their own
+    # canonical groups now).
+    "url_canonical_dedup": 12,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

@@ -154,10 +154,13 @@ def test_sentence_segmentation_crafted(spark, tmp_path):
 
 
 def test_url_canonical_collapses_each_variant_group(spark, tmp_path):
-    """Every group of 4 taint variants collapses to one canonical URL
-    with the expected normal form (lowercased, default port stripped,
-    trailing slash stripped, utm_* dropped, params sorted) and the
-    smallest doc_id as keeper."""
+    """The three default-port taint variants collapse to one canonical
+    URL with the expected normal form (lowercased, DEFAULT port
+    stripped, trailing slash stripped, utm_* dropped, params sorted,
+    smallest doc_id as keeper) — while the :8443 variant keeps its
+    non-default port and stays a distinct URL (r12 review: the
+    previous canonicalizer deleted ALL port syntax, silently merging
+    example.com:8080 with example.com on both engines)."""
     rows = [(i, f"text {i}", "en", "s", 6) for i in range(8)]
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -169,6 +172,8 @@ def test_url_canonical_collapses_each_variant_group(spark, tmp_path):
         for r in url_canonical_dedup(spark, str(tmp_path)).collect()
     }
     assert got == {
-        "https://example.com/page/0?a=1&b=2": (4, 0),
-        "https://example.com/page/1?a=1&b=2": (4, 4),
+        "https://example.com/page/0?a=1&b=2": (3, 0),
+        "https://example.com:8443/page/0?a=1&b=2": (1, 3),
+        "https://example.com/page/1?a=1&b=2": (3, 4),
+        "https://example.com:8443/page/1?a=1&b=2": (1, 7),
     }

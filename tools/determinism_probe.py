@@ -8,8 +8,12 @@ float reduction whose result depends on combine order all pass the
 sweep under ONE session config and flip under another (the driver's
 vanilla session is already a second config, but both are "reasonable"
 layouts). This probe runs the identical oracle comparison as
-tools/verify_oracles.py under a deliberately hostile session:
+tools/verify_oracles.py under a deliberately hostile session.
 
+Two hostile layouts (pick with --layout, default `hostile`):
+
+`hostile` — many small misaligned partitions (the r11 layout that
+caught the ROUND(SUM(double)) half-cent class on q9):
   - local[5] threads, spark.sql.shuffle.partitions=7 (primes, no
     alignment with the 16/32-partition runs or the data's layout),
   - maxPartitionBytes=256k + openCostInBytes=0 (parquet files split
@@ -20,12 +24,23 @@ tools/verify_oracles.py under a deliberately hostile session:
     session broadcasts runs as a shuffle join instead — results must
     not care which physical join executed).
 
-A query passing at BOTH the default session (the normal sweeps) and
-this one is evidenced layout-independent — the property that actually
-matters on a 1000-executor cluster where layout is never the same
-twice. Usage:
+`serial` — the opposite extreme (r12): ONE thread, ONE shuffle
+partition, files read as single whole splits. Every reduction runs
+fully serially in scan order — the combine tree degenerates to a
+left fold, partial aggregation becomes a single pass, every window
+partition lands in one task, and mapInPandas/applyInPandas kernels
+see maximal Arrow batches. A float sum, a merge-based sketch, or a
+batched incremental fold that agrees with the oracle under BOTH the
+many-small-partitions layout and the fully-serial one brackets the
+whole layout space a real cluster can produce (any production layout
+sits between the two extremes).
 
-    python tools/determinism_probe.py [sf_dir] [query ...]
+A query passing at the default session (the normal sweeps) plus both
+probe layouts is evidenced layout-independent — the property that
+actually matters on a 1000-executor cluster where layout is never the
+same twice. Usage:
+
+    python tools/determinism_probe.py [--layout hostile|serial] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -40,9 +55,20 @@ from pyspark.sql import SparkSession  # noqa: E402
 from verify_oracles import run_sweep  # noqa: E402
 
 
-def perturbed_session() -> SparkSession:
+def _base_builder(name: str):
     return (
-        SparkSession.builder.appName("determinism_probe")
+        SparkSession.builder.appName(name)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+
+
+def perturbed_session() -> SparkSession:
+    """Many small misaligned partitions, no AQE, no broadcasts."""
+    return (
+        _base_builder("determinism_probe")
         .master("local[5]")
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.shuffle.partitions", "7")
@@ -50,23 +76,46 @@ def perturbed_session() -> SparkSession:
         .config("spark.sql.files.maxPartitionBytes", str(256 * 1024))
         .config("spark.sql.files.openCostInBytes", "0")
         .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
 
 
+def serial_session() -> SparkSession:
+    """Fully-serial single-partition extreme: one thread, one shuffle
+    partition, whole-file splits — reductions left-fold in scan order
+    and Python kernels see maximal batches."""
+    return (
+        _base_builder("determinism_probe_serial")
+        .master("local[1]")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "1")
+        .config("spark.default.parallelism", "1")
+        .config("spark.sql.files.maxPartitionBytes", str(1 << 40))
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .getOrCreate()
+    )
+
+
+_LAYOUTS = {"hostile": perturbed_session, "serial": serial_session}
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    failures = run_sweep(perturbed_session(), sf_dir, only)
+    args = sys.argv[1:]
+    layout = "hostile"
+    if args and args[0] == "--layout":
+        if len(args) < 2 or args[1] not in _LAYOUTS:
+            print(f"--layout must be one of {sorted(_LAYOUTS)}", file=sys.stderr)
+            return 1
+        layout = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    failures = run_sweep(_LAYOUTS[layout](), sf_dir, only)
     if failures:
         print(
-            f"\nLAYOUT-DEPENDENT RESULTS: {failures} — these queries "
-            "return different values under a different physical layout "
-            "and WILL flake on a real cluster"
+            f"\nLAYOUT-DEPENDENT RESULTS ({layout}): {failures} — these "
+            "queries return different values under a different physical "
+            "layout and WILL flake on a real cluster"
         )
     return 1 if failures else 0
 
