@@ -1175,8 +1175,9 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)::BIGINT AS n_tokens,
            SUM(CASE WHEN term IN (SELECT term FROM vocab) THEN 0 ELSE 1 END)
              ::BIGINT AS n_oov,
-           ROUND(SUM(CASE WHEN term IN (SELECT term FROM vocab) THEN 0 ELSE 1
-                     END) * 1.0 / COUNT(*), 6) AS oov_rate
+           FLOOR(SUM(CASE WHEN term IN (SELECT term FROM vocab) THEN 0 ELSE 1
+                     END) * 1.0 / COUNT(*) * 1000000 + 0.5) / 1000000.0
+             AS oov_rate
     FROM toks GROUP BY lang
     """,
 )
@@ -1215,11 +1216,18 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_oov"),
-        F.round(
-            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
-            * 1.0
-            / F.count(F.lit(1)),
-            6,
+        # exact int ratio: floor-form rounding (r12; see
+        # corpus_mixture_weights) — ROUND(x, 6) splits engines on
+        # 7th-decimal-terminating halves of identical doubles
+        (
+            F.floor(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1))
+                * 1000000
+                + 0.5
+            )
+            / 1000000.0
         ).alias("oov_rate"),
     )
 
@@ -1866,7 +1874,7 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(SUM(c) AS BIGINT) AS n_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_types,
-           ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS ttr,
+           FLOOR(COUNT(*) * 1.0 / SUM(c) * 1000000 + 0.5) / 1000000.0 AS ttr,
            CAST(SUM(c * (c - 1)) AS BIGINT) AS simpson_num,
            CAST(SUM(c) * (SUM(c) - 1) AS BIGINT) AS simpson_den
     FROM counts GROUP BY source
@@ -1904,7 +1912,12 @@ def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
-        F.round(F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("ttr"),
+        # exact int ratio → floor-form rounding (r12; see
+        # corpus_mixture_weights)
+        (
+            F.floor(F.count(F.lit(1)) * 1.0 / F.sum("c") * 1000000 + 0.5)
+            / 1000000.0
+        ).alias("ttr"),
         F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("simpson_num"),
         (F.sum("c") * (F.sum("c") - 1)).cast("bigint").alias("simpson_den"),
     )

@@ -47,17 +47,17 @@ _PRF_ORACLE = f"""
       FROM j LEFT JOIN d ON j.cls = d.cls
     )
     SELECT cls, n_gold, n_pred, tp,
-           ROUND(CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0 END, 6)
-             AS prec,
-           ROUND(CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0 END, 6)
-             AS rec,
-           ROUND(CASE WHEN (CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0 END)
+           FLOOR(CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0 END
+                 * 1000000 + 0.5) / 1000000.0 AS prec,
+           FLOOR(CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0 END
+                 * 1000000 + 0.5) / 1000000.0 AS rec,
+           FLOOR(CASE WHEN (CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0 END)
                          + (CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0 END) > 0
                       THEN 2 * (CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0 END)
                              * (CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0 END)
                            / ((CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0 END)
                               + (CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0 END))
-                      ELSE 0 END, 6) AS f1
+                      ELSE 0 END * 1000000 + 0.5) / 1000000.0 AS f1
     FROM full_j
     """
 
@@ -120,14 +120,21 @@ def eval_prf_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     prec = F.when(F.col("n_pred") > 0, F.col("tp") * 1.0 / F.col("n_pred")).otherwise(0.0)
     rec = F.when(F.col("n_gold") > 0, F.col("tp") * 1.0 / F.col("n_gold")).otherwise(0.0)
     f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+
+    # exact int-ratio compositions: floor-form rounding (r12; see
+    # corpus_mixture_weights) — ROUND(x, 6) splits engines on
+    # 7th-decimal-terminating halves, which tp/n ratios CAN land on
+    def r6(c):
+        return F.floor(c * 1000000 + 0.5) / 1000000.0
+
     return j.select(
         "cls",
         "n_gold",
         "n_pred",
         "tp",
-        F.round(prec, 6).alias("prec"),
-        F.round(rec, 6).alias("rec"),
-        F.round(f1, 6).alias("f1"),
+        r6(prec).alias("prec"),
+        r6(rec).alias("rec"),
+        r6(f1).alias("f1"),
     )
 
 
@@ -168,9 +175,11 @@ _QUALITY_SWEEP_ORACLE = """
     )
     SELECT ROUND(k * 0.05, 2) AS thr,
            CAST(n_kept AS BIGINT) AS n_kept,
-           ROUND(n_kept * 1.0 / n_total, 6) AS keep_rate,
-           ROUND(CASE WHEN n_kept > 0
-                 THEN CAST(q_kept_u AS DOUBLE) / 1000000000.0 / n_kept END, 6)
+           FLOOR(n_kept * 1.0 / n_total * 1000000 + 0.5) / 1000000.0
+             AS keep_rate,
+           FLOOR(CASE WHEN n_kept > 0
+                 THEN CAST(q_kept_u AS DOUBLE) / 1000000000.0 / n_kept END
+                 * 1000000 + 0.5) / 1000000.0
              AS avg_quality_kept
     FROM cum
     """
@@ -228,18 +237,29 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q_u").over(w_desc).alias("q_kept_u"),
         F.sum("n").over(w_all).alias("n_total"),
     )
+    # exact ratios (int/int and exact-unit/1e9/int): floor-form
+    # rounding (r12; see corpus_mixture_weights) — ROUND(x, 6) splits
+    # engines on 7th-decimal-terminating halves of identical doubles.
+    # The NULL row (n_kept = 0) stays NULL through floor arithmetic.
     return cum.select(
         F.round(F.col("k") * 0.05, 2).alias("thr"),
         F.col("n_kept").cast("bigint").alias("n_kept"),
-        F.round(F.col("n_kept") * 1.0 / F.col("n_total"), 6).alias("keep_rate"),
-        F.round(
-            F.when(
-                F.col("n_kept") > 0,
-                F.col("q_kept_u").cast("double")
-                / F.lit(1000000000.0)
-                / F.col("n_kept"),
-            ),
-            6,
+        (
+            F.floor(F.col("n_kept") * 1.0 / F.col("n_total") * 1000000 + 0.5)
+            / 1000000.0
+        ).alias("keep_rate"),
+        (
+            F.floor(
+                F.when(
+                    F.col("n_kept") > 0,
+                    F.col("q_kept_u").cast("double")
+                    / F.lit(1000000000.0)
+                    / F.col("n_kept"),
+                )
+                * 1000000
+                + 0.5
+            )
+            / 1000000.0
         ).alias("avg_quality_kept"),
     )
 
@@ -360,10 +380,10 @@ _NDCG_TERMS = ("vector", "hash", "stream")
     ), scored AS (
       SELECT tf.term, tf.doc_id,
              LEAST(tf.tf, 3) AS rel,
-             ROUND(tf.tf * ({_NDCG_K1} + 1.0)
+             FLOOR(tf.tf * ({_NDCG_K1} + 1.0)
                    / (tf.tf + {_NDCG_K1}
-                      * (1.0 - {_NDCG_B} + {_NDCG_B} * dl.dl / stats.avgdl)),
-                   6) AS s
+                      * (1.0 - {_NDCG_B} + {_NDCG_B} * dl.dl / stats.avgdl))
+                   * 1000000 + 0.5) / 1000000.0 AS s
       FROM tf JOIN dl USING (doc_id) CROSS JOIN stats
     ), run AS (
       SELECT term, rel,
@@ -432,15 +452,24 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         "doc_id",
         F.least("tf", F.lit(3)).cast("int").alias("rel"),
-        F.round(
-            F.col("tf")
-            * (_NDCG_K1 + 1.0)
-            / (
+        # the 6dp score is an exact rational (int tf/dl, exact avgdl,
+        # decimal-literal constants) AND it decides the rank order —
+        # floor-form rounding (r12; see corpus_mixture_weights) so a
+        # terminating-half landing cannot rank the run differently
+        # across engines
+        (
+            F.floor(
                 F.col("tf")
-                + _NDCG_K1
-                * (1.0 - _NDCG_B + _NDCG_B * F.col("dl") / F.col("avgdl"))
-            ),
-            6,
+                * (_NDCG_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _NDCG_K1
+                    * (1.0 - _NDCG_B + _NDCG_B * F.col("dl") / F.col("avgdl"))
+                )
+                * 1000000
+                + 0.5
+            )
+            / 1000000.0
         ).alias("s"),
     )
     from pyspark.sql import Window

@@ -367,7 +367,8 @@ def id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), tot AS (SELECT COUNT(*) AS n FROM d)
     SELECT digit,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(COUNT(*) * 1.0 / MAX(tot.n), 6) AS observed_p,
+           FLOOR(COUNT(*) * 1.0 / MAX(tot.n) * 1000000 + 0.5) / 1000000.0
+             AS observed_p,
            ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p
     FROM d, tot GROUP BY digit
     """,
@@ -397,7 +398,14 @@ def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(tot)).select(
         "digit",
         "n",
-        F.round(F.col("n") * 1.0 / F.col("tot_n"), 6).alias("observed_p"),
+        # observed_p is an exact int ratio → floor-form rounding (r12;
+        # see corpus_mixture_weights); benford_p keeps ROUND — log10
+        # output is irrational, no terminating-half mass, and its 6dp
+        # values sit far from boundaries for all nine digits
+        (
+            F.floor(F.col("n") * 1.0 / F.col("tot_n") * 1000000 + 0.5)
+            / 1000000.0
+        ).alias("observed_p"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit").cast("double")), 6).alias(
             "benford_p"
         ),

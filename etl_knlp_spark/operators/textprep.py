@@ -253,8 +253,9 @@ def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM parts
     )
     SELECT doc_id, n_words, n_sentences, n_syllables,
-           ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
-                         - 84.6 * (n_syllables * 1.0 / n_words), 4)
+           FLOOR((206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                          - 84.6 * (n_syllables * 1.0 / n_words))
+                 * 10000 + 0.5) / 10000.0
              AS flesch
     FROM counted
     """,
@@ -294,11 +295,24 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.lit(1), ns).cast("bigint").alias("n_sentences"),
         nsyl.cast("bigint").alias("n_syllables"),
     )
-    flesch = F.round(
-        F.lit(206.835)
-        - F.lit(1.015) * (F.col("n_words") * 1.0 / F.col("n_sentences"))
-        - F.lit(84.6) * (F.col("n_syllables") * 1.0 / F.col("n_words")),
-        4,
+    # The formula composes exact int ratios with decimal-literal
+    # constants — every value is an exact rational, so 5th-decimal
+    # terminating halves are reachable and ROUND(x, 4) can split the
+    # engines (r12; see corpus_mixture_weights). FLOOR(x*1e4 + 0.5)
+    # floors the bit-identical double identically on both sides
+    # (round-half-up rather than half-away for negative scores — a
+    # convention choice both engines share by construction).
+    flesch = (
+        F.floor(
+            (
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("n_words") * 1.0 / F.col("n_sentences"))
+                - F.lit(84.6) * (F.col("n_syllables") * 1.0 / F.col("n_words"))
+            )
+            * 10000
+            + 0.5
+        )
+        / 10000.0
     )
     return counted.select(
         "doc_id", "n_words", "n_sentences", "n_syllables", flesch.alias("flesch")

@@ -157,7 +157,8 @@ _STALE_SINCE: dict[str, int] = {
     # round 7 localCheckpointed the confusion-cell table (the corpus
     # was being scanned 3× and the langid UDF run 4× — one scan per
     # aggregation branch); output identical, function source changed.
-    "eval_prf_summary": 7,
+    # (eval_prf_summary's bar from that change later moved 7 → 12 in
+    # the round-12 floor-form block at the bottom of this dict.)
     # round 7 split the prefix join into the jaccard_prefix_pairs
     # helper and added its pre-flight candidate-budget guard (refuses
     # Σ prefix-df² over 2^31); round 8 session 4 then added the PPJoin
@@ -344,7 +345,8 @@ _STALE_SINCE: dict[str, int] = {
     # pair joins gained the pre-flight candidate budget (inert at
     # graded SFs, guard-tested).
     "funnel_steps": 11,
-    "oov_rate": 11,
+    # (oov_rate's r11 bar moved 11 → 12 in the round-12 floor-form
+    # block at the bottom of this dict.)
     # skyline_parts' running max moved from an empty-partition-spec
     # window (single-partition sort of the distinct-price table —
     # the docstring's "range-partitions like any global sort" claim
@@ -371,7 +373,8 @@ _STALE_SINCE: dict[str, int] = {
     "entity_golden_record": 11,
     "cms_heavy_hitters": 11,
     "theilsen_trend": 11,
-    "quality_threshold_sweep": 11,
+    # (quality_threshold_sweep's r11 bar moved 11 → 12 in the
+    # round-12 floor-form block at the bottom of this dict.)
     "inverted_index": 11,
     "pii_scrub": 11,
     "bm25_topk": 11,
@@ -422,6 +425,24 @@ _STALE_SINCE: dict[str, int] = {
     # graded data — outputs changed (the :8443 variants are their own
     # canonical groups now).
     "url_canonical_dedup": 12,
+    # round 12, second wave: the REMAINING exact-ratio ROUND sites
+    # converted to the floor form (same rationale as the first wave
+    # above; the sweep math still holds — 17 unevidenced + the full
+    # 32-query r5 cohort = 49 ≤ 50 window slots, so the staleness
+    # debt clearance is untouched). benford_digits converts only its
+    # observed_p leg (the log10 leg is irrational-valued — ROUND is
+    # safe and stays); eval_prf/readability compose multiple exact
+    # ratios, all floor-form now.
+    "oov_rate": 12,
+    "lexical_diversity": 12,
+    "eval_prf_summary": 12,
+    "quality_threshold_sweep": 12,
+    "benford_digits": 12,
+    "readability_flesch": 12,
+    # ndcg's ROUND(s, 6) is internal but RANK-DECIDING (an exact-
+    # rational bm25-style score): a terminating-half landing could
+    # order the run differently per engine — converted with the wave.
+    "ndcg_retrieval_eval": 12,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

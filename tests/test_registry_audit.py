@@ -770,18 +770,12 @@ def test_no_new_rounded_ratio_oracles():
     # stddev/layout-varying float sums — boundary landings have
     # measure ~0 and rounding provides the cross-engine tolerance.
     ALLOWED = {
-        # -- exact-ratio, scheduled r13 --
-        "oov_rate",
-        "lexical_diversity",
-        "eval_prf_summary",
-        "quality_threshold_sweep",
-        "benford_digits",
-        "readability_flesch",
-        # -- continuous-by-construction --
+        # -- continuous-by-construction (the exact-ratio tier fully
+        #    converted in r12's two waves; every entry here must argue
+        #    its x cannot land on a terminating half) --
         "grouped_map_zscore",      # (x - mean)/stddev: stddev irrational
         "doc_quality_filter",      # AVG of continuous per-doc scores
         "scalar_subquery",         # price/AVG(price): float-sum mean
-        "ndcg_retrieval_eval",     # bm25 formula: non-dyadic constants
         "lm_perplexity_filter",    # AVG(ln(...)): irrational addends
         "perplexity_threshold_sweep",  # avg_logp leg (keep_rate converted)
         "hybrid_retrieval_rrf",        # 1/(60+rank): 61..80 denominators
@@ -789,6 +783,7 @@ def test_no_new_rounded_ratio_oracles():
         "column_drift",            # drift_z leg (means converted)
         "embedding_centroid",      # AVG of continuous components
         "embedding_health",        # AVG of norms (sqrt: irrational)
+        "benford_digits",          # log10 leg (observed_p converted)
     }
     pat = re.compile(
         r"ROUND\s*\(([^()]*(?:\([^()]*(?:\([^()]*\)[^()]*)*\)[^()]*)*?),\s*\d+\s*\)",
