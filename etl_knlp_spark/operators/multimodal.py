@@ -2076,10 +2076,10 @@ DECODE_STATS_SCHEMA = T.StructType(
     SELECT doc_id AS media_id,
            1 AS img_h,
            LEAST(64, length(text))::INT AS img_w,
-           ROUND(list_aggregate(
+           FLOOR(list_aggregate(
                    list_transform(generate_series(1, LEAST(64, length(text))),
                                   i -> ascii(substr(text, i, 1))),
-                   'avg'), 4) AS mean_px
+                   'avg') * 10000 + 0.5) / 10000 AS mean_px
     FROM documents
     WHERE length(text) >= 1
     """,
@@ -2113,7 +2113,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 arr = _decode_pnm(bytes(p))
                 # UNROUNDED here: Python round() is banker's; the
-                # engine-side F.round below is HALF_UP like DuckDB's
+                # engine-side floor-form below (FLOOR(x*1e4 + 0.5))
+                # rounds the bit-identical double identically on both
+                # engines (r12 ROUND-over-exact-ratio class; r13
+                # conversion of the codec family)
                 out.append(
                     (
                         mid,
@@ -2127,7 +2130,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(stats, DECODE_STATS_SCHEMA).withColumn(
-        "mean_px", F.round("mean_px", 4)
+        "mean_px", F.floor(F.col("mean_px") * 10000 + 0.5) / 10000.0
     )
 
 
@@ -2137,10 +2140,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            1 AS img_h,
            LEAST(64, length(text))::INT AS img_w,
-           ROUND(list_aggregate(
+           FLOOR(list_aggregate(
                    list_transform(generate_series(1, LEAST(64, length(text))),
                                   i -> ascii(substr(text, i, 1))),
-                   'avg'), 4) AS mean_px
+                   'avg') * 10000 + 0.5) / 10000 AS mean_px
     FROM documents
     WHERE length(text) >= 1
     """,
@@ -2186,7 +2189,7 @@ def multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(stats, DECODE_STATS_SCHEMA).withColumn(
-        "mean_px", F.round("mean_px", 4)
+        "mean_px", F.floor(F.col("mean_px") * 10000 + 0.5) / 10000.0
     )
 
 
@@ -2597,10 +2600,11 @@ AUDIO_STATS_SCHEMA = T.StructType(
     SELECT doc_id AS media_id,
            GREATEST(3, LEAST(64, length(text)))::INT AS n_samples,
            1 AS n_channels,
-           ROUND(list_sum(
+           FLOOR(list_sum(
                    list_transform(generate_series(1, LEAST(64, length(text))),
                                   i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE)))
-                 / GREATEST(3, LEAST(64, length(text))), 4) AS mean_sample
+                 / GREATEST(3, LEAST(64, length(text))) * 10000 + 0.5)
+             / 10000 AS mean_sample
     FROM documents
     WHERE length(text) >= 1
     """,
@@ -2649,7 +2653,7 @@ def multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(stats, AUDIO_STATS_SCHEMA).withColumn(
-        "mean_sample", F.round("mean_sample", 4)
+        "mean_sample", F.floor(F.col("mean_sample") * 10000 + 0.5) / 10000.0
     )
 
 
@@ -2990,10 +2994,10 @@ def _encode_gif_gray(data: bytes, interlaced: bool = False) -> bytes:
     SELECT doc_id AS media_id,
            1 AS img_h,
            LEAST(64, length(text))::INT AS img_w,
-           ROUND(list_aggregate(
+           FLOOR(list_aggregate(
                    list_transform(generate_series(1, LEAST(64, length(text))),
                                   i -> ascii(substr(text, i, 1))),
-                   'avg'), 4) AS mean_px
+                   'avg') * 10000 + 0.5) / 10000 AS mean_px
     FROM documents
     WHERE length(text) >= 1
     """,
@@ -3035,7 +3039,7 @@ def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(stats, DECODE_STATS_SCHEMA).withColumn(
-        "mean_px", F.round("mean_px", 4)
+        "mean_px", F.floor(F.col("mean_px") * 10000 + 0.5) / 10000.0
     )
 
 
@@ -3149,10 +3153,10 @@ def _encode_bmp_gray8(data: bytes, top_down: bool = False) -> bytes:
     SELECT doc_id AS media_id,
            1 AS img_h,
            LEAST(64, length(text))::INT AS img_w,
-           ROUND(list_aggregate(
+           FLOOR(list_aggregate(
                    list_transform(generate_series(1, LEAST(64, length(text))),
                                   i -> ascii(substr(text, i, 1))),
-                   'avg'), 4) AS mean_px
+                   'avg') * 10000 + 0.5) / 10000 AS mean_px
     FROM documents
     WHERE length(text) >= 1
     """,
@@ -3189,7 +3193,7 @@ def multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(stats, DECODE_STATS_SCHEMA).withColumn(
-        "mean_px", F.round("mean_px", 4)
+        "mean_px", F.floor(F.col("mean_px") * 10000 + 0.5) / 10000.0
     )
 
 
@@ -3423,10 +3427,10 @@ def _encode_tiff_gray8(
     SELECT doc_id AS media_id,
            1 AS img_h,
            LEAST(64, length(text))::INT AS img_w,
-           ROUND(list_aggregate(
+           FLOOR(list_aggregate(
                    list_transform(generate_series(1, LEAST(64, length(text))),
                                   i -> ascii(substr(text, i, 1))),
-                   'avg'), 4) AS mean_px
+                   'avg') * 10000 + 0.5) / 10000 AS mean_px
     FROM documents
     WHERE length(text) >= 1
     """,
@@ -3466,5 +3470,5 @@ def multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(stats, DECODE_STATS_SCHEMA).withColumn(
-        "mean_px", F.round("mean_px", 4)
+        "mean_px", F.floor(F.col("mean_px") * 10000 + 0.5) / 10000.0
     )

@@ -293,12 +293,16 @@ def _kmv_stats(sketch: DataFrame, n_exact: DataFrame) -> DataFrame:
     SELECT CAST(n_a AS BIGINT) AS n_a_exact,
            CAST(n_b AS BIGINT) AS n_b_exact,
            CAST(n_int AS BIGINT) AS n_intersect_exact,
-           round(CASE WHEN c_a < {_KMV_K} THEN c_a ELSE ({_KMV_K} - 1) / th_a END, 4) AS est_a,
-           round(CASE WHEN c_b < {_KMV_K} THEN c_b ELSE ({_KMV_K} - 1) / th_b END, 4) AS est_b,
-           round(CASE WHEN c_u < {_KMV_K} THEN c_u ELSE ({_KMV_K} - 1) / th_u END, 4) AS est_union,
-           round(CASE WHEN c_a < {_KMV_K} AND c_b < {_KMV_K}
-                      THEN (SELECT COUNT(*) FROM ka JOIN kb USING (h))
-                      ELSE matched / LEAST(th_a, th_b) END, 4) AS est_intersect
+           floor((CASE WHEN c_a < {_KMV_K} THEN c_a ELSE ({_KMV_K} - 1) / th_a END)
+                 * 10000 + 0.5) / 10000 AS est_a,
+           floor((CASE WHEN c_b < {_KMV_K} THEN c_b ELSE ({_KMV_K} - 1) / th_b END)
+                 * 10000 + 0.5) / 10000 AS est_b,
+           floor((CASE WHEN c_u < {_KMV_K} THEN c_u ELSE ({_KMV_K} - 1) / th_u END)
+                 * 10000 + 0.5) / 10000 AS est_union,
+           floor((CASE WHEN c_a < {_KMV_K} AND c_b < {_KMV_K}
+                       THEN (SELECT COUNT(*) FROM ka JOIN kb USING (h))
+                       ELSE matched / LEAST(th_a, th_b) END)
+                 * 10000 + 0.5) / 10000 AS est_intersect
     FROM stats
     """,
 )
@@ -361,12 +365,14 @@ def theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = row.crossJoin(m_below)
 
     def est(c, th):
-        return F.round(
-            F.when(F.col(c) < _KMV_K, F.col(c).cast("double")).otherwise(
-                F.lit(float(_KMV_K - 1)) / F.col(th)
-            ),
-            4,
+        # floor-form (FLOOR(x·1e4 + 0.5)/1e4), not F.round: the
+        # estimate is an exact rational ((k-1)·2^32 / hash-int) that
+        # can terminate on a decimal half where the engines' ROUNDs
+        # disagree — the r12 cross-engine class, converted r13
+        v = F.when(F.col(c) < _KMV_K, F.col(c).cast("double")).otherwise(
+            F.lit(float(_KMV_K - 1)) / F.col(th)
         )
+        return F.floor(v * 10000 + 0.5) / 10000.0
 
     return row.select(
         "n_a_exact",
@@ -375,12 +381,16 @@ def theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         est("c_a", "th_a").alias("est_a"),
         est("c_b", "th_b").alias("est_b"),
         est("c_u", "th_u").alias("est_union"),
-        F.round(
-            F.when(
-                (F.col("c_a") < _KMV_K) & (F.col("c_b") < _KMV_K),
-                F.col("m_all").cast("double"),
-            ).otherwise(F.col("matched") / theta),
-            4,
+        (
+            F.floor(
+                F.when(
+                    (F.col("c_a") < _KMV_K) & (F.col("c_b") < _KMV_K),
+                    F.col("m_all").cast("double"),
+                ).otherwise(F.col("matched") / theta)
+                * 10000
+                + 0.5
+            )
+            / 10000.0
         ).alias("est_intersect"),
     )
 

@@ -403,12 +403,17 @@ _STALE_SINCE: dict[str, int] = {
     # all prior evidence is invalidated. Only the queries inside the
     # r12 sweep window convert this round (fresh driver rows land
     # immediately, and the r5-staleness cohort keeps its 39 window
-    # slots — 2 unevidenced + 8 here + 39 = 49 ≤ 50); the remaining
-    # ten int-ratio ROUND sites (grouped_map_zscore, eval_prf_summary,
-    # scalar_subquery, lexical_diversity, ndcg_retrieval_eval,
-    # benford_digits, readability_flesch, doc_quality_filter,
-    # oov_rate, quality_threshold_sweep) are scheduled for r13 —
-    # tracked by tests/test_registry_audit.py's rounded-ratio audit.
+    # slots — 2 unevidenced + 8 here + 39 = 49 ≤ 50). Of the ten
+    # int-ratio ROUND sites that remained after this first wave,
+    # seven (eval_prf_summary, lexical_diversity, ndcg_retrieval_eval,
+    # benford_digits, readability_flesch, oov_rate,
+    # quality_threshold_sweep) were converted in the SECOND-wave block
+    # below in this same round, and the other three (grouped_map_zscore,
+    # scalar_subquery, doc_quality_filter) were reclassified as
+    # continuous-by-construction (stddev/float-mean denominators) in
+    # the rounded-ratio audit's ALLOWED tier — tracked by
+    # tests/test_registry_audit.py's rounded-ratio audit, which since
+    # r13 scans BOTH the oracle SQL and the Spark function source.
     "corpus_mixture_weights": 12,
     "source_overlap": 12,
     "dedup_containment": 12,
@@ -443,6 +448,24 @@ _STALE_SINCE: dict[str, int] = {
     # rational bm25-style score): a terminating-half landing could
     # order the run differently per engine — converted with the wave.
     "ndcg_retrieval_eval": 12,
+    # round 13: the codec/flac family — ROUND(mean of ≤64 integer
+    # codepoints, 4) on both engines — converted to the floor form
+    # (the exact-ratio tier's final members; every current graded
+    # half-landing is dyadic-width so outputs are unchanged TODAY,
+    # but a testdata regeneration could mint a non-dyadic half — the
+    # r12 verdict's "one regeneration away from a silent red").
+    # multimodal_flac (list_sum/GREATEST shape) and theta_sketch_ops
+    # ((k-1)/theta over a dyadic hash rational; its own docstring
+    # declares the exact-rational estimator) were caught by the r13
+    # audit widening — the r12 marker list (COUNT/1.0/AVG) missed
+    # their SUM- and hash-denominator shapes.
+    "multimodal_decode": 13,
+    "multimodal_webp": 13,
+    "multimodal_gif": 13,
+    "multimodal_bmp": 13,
+    "multimodal_tiff": 13,
+    "multimodal_flac": 13,
+    "theta_sketch_ops": 13,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

@@ -754,25 +754,31 @@ def test_no_new_rounded_ratio_oracles():
     incl. 333/640 = 0.5203125, the percent_rank case; the r12 probe in
     BASELINE.md). The fix is FLOOR(x*10^k + 0.5)/10^k on BOTH sides
     (floors the bit-identical double identically; 0/2439 probe
-    disagreements). Eight in-window queries converted in r12; this
-    audit freezes the REMAINING rounded-ratio sites so (a) the r13
-    conversion list is mechanical and (b) no new query reintroduces
-    the pattern — a new name here must convert to floor-form or argue
-    its way in (continuous-by-construction x: ln/stddev-based, or
-    layout-varying float sums where rounding is the tolerance, not
-    the hazard)."""
+    disagreements). Eighteen in-window queries converted in r12, the
+    six-query codec/flac family in r13 — the exact-ratio tier is now
+    EMPTY. This audit scans BOTH halves of every registered query
+    (the DuckDB oracle SQL and the Spark function source, r12 ADVICE:
+    an asymmetric regression on either side would otherwise surface
+    only as a rare half-landing hash mismatch) and freezes the
+    surviving continuous-tier ROUND sites — a new name must convert
+    to floor-form or argue its way into ALLOWED
+    (continuous-by-construction x: ln/stddev/sqrt-based, or
+    float-valued sums where rounding is the tolerance, not the
+    hazard). Known limitation, by design: the Spark scan sees
+    inspect.getsource of the registered function only — a ratio built
+    inside a helper (e.g. jl_project) or an F.expr string held in a
+    module constant is invisible to it; the three-layout full-sweep
+    hash campaign remains the backstop for those shapes."""
+    import inspect
     import re
 
     registry._load_all()
-    # Remaining sites after the r12 conversion wave. exact-ratio: true
-    # value is a rational that can terminate at digit k+1 = scheduled
-    # for floor-form conversion in r13. continuous: x involves ln/
-    # stddev/layout-varying float sums — boundary landings have
-    # measure ~0 and rounding provides the cross-engine tolerance.
+    # Every entry here must argue its x cannot land on a terminating
+    # half: x involves ln/stddev/sqrt/float-valued sums — boundary
+    # landings have measure ~0 and rounding provides the cross-engine
+    # tolerance. (The exact-ratio tier was fully converted: 18 sites
+    # across r12's two waves + the 6-query codec/flac family in r13.)
     ALLOWED = {
-        # -- continuous-by-construction (the exact-ratio tier fully
-        #    converted in r12's two waves; every entry here must argue
-        #    its x cannot land on a terminating half) --
         "grouped_map_zscore",      # (x - mean)/stddev: stddev irrational
         "doc_quality_filter",      # AVG of continuous per-doc scores
         "scalar_subquery",         # price/AVG(price): float-sum mean
@@ -784,42 +790,54 @@ def test_no_new_rounded_ratio_oracles():
         "embedding_centroid",      # AVG of continuous components
         "embedding_health",        # AVG of norms (sqrt: irrational)
         "benford_digits",          # log10 leg (observed_p converted)
-        # -- exact-ratio, DEFERRED to r13 (codec family; r12 second
-        #    session): ROUND(mean of ≤64 codepoints, 4) — the mean is
-        #    an exact rational whose half-landings are DYADIC-width on
-        #    the graded data (measured: ~24% of docs land exactly on a
-        #    4-decimal half, 0 of them at a non-dyadic width, all 3
-        #    SFs) — at dyadic widths the mean AND mean·10^4 are
-        #    exactly representable, so both engines see the true half
-        #    and round up identically; divergence needs a non-dyadic
-        #    width (48..63) half-landing, absent from every graded SF.
-        #    Convert with the r13 window (the r12 window is full:
-        #    18 unevidenced + the 32-query r5 cohort = 50). --
-        "multimodal_decode",
-        "multimodal_webp",
-        "multimodal_gif",
-        "multimodal_bmp",
-        "multimodal_tiff",
+        # float-valued per-row fold (±0.25·Σ float components, same
+        # order both engines): continuous — a terminating 7-digit
+        # half has measure ~0 over generator-drawn doubles
+        "embedding_jl_projection",
     }
+    # one first-arg capture with up to two nesting levels, shared by
+    # both scans; the SQL form is ROUND(x, k), the Spark form
+    # F.round(x, k) — the optional F\. prefix covers both
     pat = re.compile(
-        r"ROUND\s*\(([^()]*(?:\([^()]*(?:\([^()]*\)[^()]*)*\)[^()]*)*?),\s*\d+\s*\)",
-        re.S,
+        r"(?:F\s*\.\s*)?round\s*\(([^()]*(?:\([^()]*(?:\([^()]*\)[^()]*)*\)[^()]*)*?),\s*\d+\s*\)",
+        re.S | re.I,
     )
+
+    def ratio_shaped(arg: str) -> bool:
+        # mean-like: explicit AVG/MEAN aggregates (SQL or F.avg), HOF
+        # 'avg' reducers, or a mean-named rounded column; ratio-like:
+        # "/" next to an aggregate-ish factor (COUNT / 1.0 / AVG /
+        # LIST_SUM / SUM / GREATEST-denominator — the flac shape that
+        # escaped the r12 marker list)
+        a = arg.upper()
+        mean_like = "AVG" in a or "MEAN" in a
+        ratio_like = "/" in a and (
+            "COUNT" in a
+            or "1.0" in a
+            or "SUM" in a       # SUM, LIST_SUM, F.sum
+            or "GREATEST" in a
+            or "LEAST" in a
+        )
+        return mean_like or ratio_like
+
     offenders = set()
     for name, rq in registry._REGISTRY.items():
-        if rq.oracle is None or name in ALLOWED:
+        if name in ALLOWED:
             continue
-        for m in pat.finditer(rq.oracle):
-            arg = m.group(1).upper()
-            # ratio shapes ("/" + an aggregate/1.0 factor) OR mean-like
-            # HOF aggregates (list_aggregate(..., 'avg') has no "/" —
-            # the codec family escaped the first formulation)
-            if ("/" in arg and ("COUNT" in arg or "1.0" in arg or "AVG" in arg)) or (
-                "'AVG'" in arg or "'MEAN'" in arg
-            ):
-                offenders.add(name)
+        sides = []
+        if rq.oracle is not None:
+            sides.append(rq.oracle)
+        try:
+            sides.append(inspect.getsource(rq.fn))
+        except (OSError, TypeError):
+            pass
+        for src in sides:
+            for m in pat.finditer(src):
+                if ratio_shaped(m.group(1)):
+                    offenders.add(name)
     assert not offenders, (
-        f"new ROUND-over-ratio oracle sites: {sorted(offenders)} — use "
-        "FLOOR(x*10^k + 0.5)/10^k on both engines (see "
-        "corpus_mixture_weights) or justify an ALLOWED entry"
+        f"new ROUND-over-ratio sites (oracle or Spark side): "
+        f"{sorted(offenders)} — use FLOOR(x*10^k + 0.5)/10^k on both "
+        "engines (see corpus_mixture_weights) or justify an ALLOWED "
+        "entry"
     )
