@@ -40,6 +40,24 @@ _SHORTLIST = 40
 _N_QUERIES = 5
 
 
+def _ordered_sum(key_col: str, val_col: str):
+    """Aggregate expression: sum `val_col` over the group in ascending
+    `key_col` order — a LAYOUT-INDEPENDENT float sum (r13 review: a
+    plain F.sum(double) over the m per-subspace partials folds in
+    shuffle-arrival order, and the ADC total is rank-deciding at a
+    6-decimal rounding boundary — the q9 ROUND(SUM(double)) class, one
+    step before the round). Groups here are m rows, so the
+    collect_list buffer is bounded by construction."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(key_col, val_col))),
+            lambda s: s[val_col],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def _subvectors(vectors: DataFrame, m: int) -> DataFrame:
     """Long-form subvectors: (vec_id, sub, semb array<double>) — one
     row per (vector, subspace), via slice on the packed array."""
@@ -165,7 +183,7 @@ def pq_encode(vectors: DataFrame, codebook: DataFrame, m: int = _M) -> DataFrame
         ).alias("sub_sq"),
     )
     norms = with_cent.groupBy("vec_id").agg(
-        F.sqrt(F.sum("sub_sq")).alias("approx_nrm")
+        F.sqrt(_ordered_sum("sub", "sub_sq")).alias("approx_nrm")
     )
     return with_cent.select("vec_id", "sub", "code").join(norms, "vec_id")
 
@@ -200,7 +218,10 @@ def adc_search(
     scored = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .groupBy("query_id", "vec_id")
-        .agg(F.sum("partial").alias("approx_dot"), F.first("approx_nrm").alias("approx_nrm"))
+        .agg(
+            _ordered_sum("sub", "partial").alias("approx_dot"),
+            F.first("approx_nrm").alias("approx_nrm"),
+        )
         .join(F.broadcast(q_norms), "query_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
