@@ -202,3 +202,37 @@ def test_pq_pruned_entry_caches_across_runs(spark, sf_dir, tmp_path, monkeypatch
     assert os.stat(f"{path}/codes/_SUCCESS").st_mtime_ns == built_at
     row = first[0]
     assert row["recall_ok"] and row["scores_true"] and row["ret_le_k"]
+
+
+def test_ordered_sum_is_input_order_independent(spark):
+    """r13 review fix: the ADC group-sums (approx_dot, approx_nrm's
+    radicand) must not depend on row arrival order — a plain float SUM
+    folds in shuffle order and the total is rank-deciding at a
+    6-decimal rounding boundary. `_ordered_sum` sorts the (key, value)
+    pairs before a sequential fold, so any presentation order of the
+    same group yields the bit-identical double."""
+    import itertools
+
+    from etl_knlp_spark.operators.pq import _ordered_sum
+
+    # values chosen to be float-order-sensitive: a naive left fold
+    # over different permutations of these disagrees in the last ulp
+    vals = [1e16, 1.0, -1e16, 3.141592653589793, 1e-3, 7.0, -1.0, 2.5]
+    results = set()
+    # six spread-out permutations (incl. identity and near-reverse):
+    # enough to cover order sensitivity without 24 Spark jobs
+    perms = list(
+        itertools.islice(itertools.permutations(enumerate(vals)), 0, 40000, 7919)
+    )[:6]
+    for perm in perms:
+        df = spark.createDataFrame(
+            [(sub, v) for sub, v in perm], "sub int, partial double"
+        ).coalesce(1)
+        out = df.agg(_ordered_sum("sub", "partial").alias("s")).collect()[0]["s"]
+        results.add(out)
+    assert len(results) == 1, f"order-dependent sums: {results}"
+    # and the canonical value is the sub-ascending sequential fold
+    expect = 0.0
+    for v in vals:
+        expect += v
+    assert results.pop() == expect
