@@ -109,3 +109,68 @@ def test_floor_form_agrees_everywhere(engines):
         if duck_floor[kn] != spark_floor[kn]
     ]
     assert not bad, f"floor-form disagreement on {bad[:10]} — the core determinism recipe broke"
+
+
+def test_codec_mean_half_landings_are_dyadic_only_and_floor_agrees(spark):
+    """r13: the codec/flac family rounds mean-of-codepoints rationals
+    at 4dp (s/w, w in 1..64, s <= 255*w). Two pins:
+
+    (a) The r12 worry — "a testdata regeneration could mint a
+        non-dyadic-width half-landing where the engines' ROUNDs
+        split" — is PROVABLY vacuous for this shape: s/w lands
+        exactly on a 4-decimal half iff s*2*10^4/w is an odd
+        integer, which needs v2(w) = v2(s) + 5 >= 5, so w must be a
+        multiple of 32 — for w <= 64 only the dyadic 32 and 64 (where
+        mean and mean*10^4 are exactly representable and both
+        engines' ROUND already agreed). The exhaustive scan pins it.
+        (theta_sketch_ops' hash denominators range over 32-bit ints,
+        where composite odd parts DO admit half-landings — that
+        conversion addressed a live hazard; the codec one buys audit
+        uniformity.)
+
+    (b) The floor form agrees across engines on the dyadic
+        half-landings that DO occur, plus near-half controls."""
+    import duckdb
+
+    half_widths = set()
+    cases = []
+    for w in range(1, 65):
+        for s in range(1, 255 * w + 1):
+            num = s * 2 * 10**4
+            if num % w == 0 and (num // w) % 2 == 1:
+                half_widths.add(w)
+                cases.append((s, w))
+                break  # one witness per width
+    # (a) every width that can land on a 4dp half is a power of two
+    non_dyadic = {w for w in half_widths if w & (w - 1)}
+    assert not non_dyadic, (
+        f"non-dyadic 4dp half-landing widths exist: {sorted(non_dyadic)} "
+        "— the r13 dyadic-only proof in this docstring is wrong; "
+        "re-examine the codec family's rounding analysis"
+    )
+    assert half_widths, "no half-landings at all — scan bug"
+    # (b) floor-form agreement on the real half-landings + controls
+    cases += [(s, w) for w in (3, 48, 63) for s in (w * 7 + 1, w * 11 + 2)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({s},{w})" for s, w in cases)
+        + ") v(s, w)"
+    )
+    duck = dict(
+        (tuple(r[:2]), r[2])
+        for r in con.execute(
+            "SELECT s, w, FLOOR(s * 1.0 / w * 10000 + 0.5) / 10000 FROM t"
+        ).fetchall()
+    )
+    df = spark.createDataFrame(cases, "s long, w long")
+    ratio = F.col("s") * 1.0 / F.col("w")
+    rows = df.select(
+        "s", "w", (F.floor(ratio * 10000 + 0.5) / 10000.0).alias("f")
+    ).collect()
+    bad = [
+        (r["s"], r["w"])
+        for r in rows
+        if duck[(r["s"], r["w"])] != r["f"]
+    ]
+    assert not bad, f"4dp floor-form disagreement on {bad[:10]}"
