@@ -817,7 +817,8 @@ _BM25_ORACLE = f"""
              SUM(ln((stats.n_docs - dfq.df_ct + 0.5) / (dfq.df_ct + 0.5) + 1.0)
                  * tf.tf * ({_BM25_K1} + 1.0)
                  / (tf.tf + {_BM25_K1}
-                    * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)))
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+                 ORDER BY tf.term)
                AS s
       FROM tf
       JOIN dfq USING (term)
@@ -889,7 +890,21 @@ def _bm25_scored(tf: DataFrame, stats: DataFrame) -> DataFrame:
     one-row (n_docs, avgdl) stats → (doc_id, bm25) for every matching
     doc. Split from the top-k tail so the RRF hybrid can rank deeper
     than 10 over the identical score expression (same FP evaluation
-    order everywhere — all consumers must hash to the same oracle)."""
+    order everywhere — all consumers must hash to the same oracle).
+
+    r14 review finding (the ADC class, one more site): the per-doc
+    score was `F.sum(idf * tf_sat)` — a shuffle-arrival-order float
+    fold over the |Q| per-term contributions, feeding ROUND(s, 6) and
+    then the (bm25 desc, doc_id) top-k cut, so a ULP flip at a
+    6-decimal half boundary could move TOP-K MEMBERSHIP between
+    layouts. Latent on graded data for 9 rounds (margins absorb ULP
+    drift), but a 1000-executor layout redraws arrival orders every
+    run. Now `_ordered_sum` keyed by term (unique within the doc
+    group by construction; buffer bounded at |Q| ≤ 3 rows) — the
+    oracle mirrors with SUM(... ORDER BY term). Cross-engine ULP
+    drift from ln() remains and remains absorbed by the 1e-6 round —
+    the fix pins the SPARK fold against layout, which is the hazard
+    the rounding contract names."""
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df_ct"))
     idf = F.log(
         (F.col("n_docs") - F.col("df_ct") + 0.5) / (F.col("df_ct") + 0.5) + 1.0
@@ -902,11 +917,14 @@ def _bm25_scored(tf: DataFrame, stats: DataFrame) -> DataFrame:
             + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
+    from .ivf import _ordered_sum
+
     scored = (
         tf.join(F.broadcast(dfq), "term")
         .join(F.broadcast(stats))
+        .withColumn("contrib", idf * tf_sat)
         .groupBy("doc_id")
-        .agg(F.sum(idf * tf_sat).alias("s"))
+        .agg(_ordered_sum("term", "contrib").alias("s"))
     )
     return scored.select("doc_id", F.round("s", 6).alias("bm25"))
 
@@ -1324,7 +1342,8 @@ _HYBRID_RRF_ORACLE = f"""
              ROUND(SUM(ln((stats.n_docs - dfq.df_ct + 0.5) / (dfq.df_ct + 0.5) + 1.0)
                  * tf.tf * ({_BM25_K1} + 1.0)
                  / (tf.tf + {_BM25_K1}
-                    * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))), 6)
+                    * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+                 ORDER BY tf.term), 6)
                AS bm25
       FROM tf
       JOIN dfq USING (term)

@@ -54,6 +54,49 @@ def training_sample(vectors: DataFrame, cap: int = _TRAIN_CAP) -> DataFrame:
     return picked
 
 
+def _ordered_sum(key_col: str, val_col: str):
+    """Aggregate expression: sum ``val_col`` over the group in
+    ascending ``key_col`` order — a LAYOUT-INDEPENDENT float sum (the
+    r13 pq.py review class: a plain F.sum(double) folds in
+    shuffle-arrival order, so two layouts of the same rows can differ
+    in the last ulp; wherever that double feeds a rank, a rounding
+    boundary, or a codebook that downstream results reproduce, the
+    fold order must be pinned).
+
+    PRECONDITION (r13 ADVICE): ``key_col`` must be UNIQUE within the
+    group. array_sort over the (key, value) structs compares key first
+    and falls back to the value field on ties — still deterministic,
+    but the fold order silently becomes ascending (key, value) rather
+    than the documented ascending-key order. Every current caller
+    satisfies this by construction: ADC groups hold one row per
+    subspace (key = sub), Lloyd's mean groups hold one row per sampled
+    vector (key = vec_id).
+
+    The collect_list buffer is bounded by the group size — callers
+    only apply this to groups bounded by construction (m ≤ 8 subspace
+    partials; ≤ train_cap sampled training rows per centroid
+    dimension)."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(key_col, val_col))),
+            lambda s: s[val_col],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _ordered_mean(key_col: str, val_col: str):
+    """Layout-independent mean: `_ordered_sum / count`. F.avg(double)
+    is a shuffle-arrival-order float fold — harmless where the mean is
+    a tolerance-checked output, but Lloyd's TRAINING means decide
+    centroids that every downstream assignment, code, and ADC score
+    reproduces, so codebooks must be bit-identical across layouts
+    (r13 verdict latent item #2). Same unique-key precondition as
+    `_ordered_sum`."""
+    return _ordered_sum(key_col, val_col) / F.count(val_col)
+
+
 def _sq_dist(a, b):
     """Squared L2 distance via one zip_with fold."""
     return F.aggregate(
@@ -106,11 +149,16 @@ def kmeans_fit(
     )
     for _ in range(max_iter):
         assigned = _assign(train, centroids)
-        # per-dimension means, long-form, then re-pack ordered arrays
+        # per-dimension means, long-form, then re-pack ordered arrays.
+        # The mean is an _ordered_mean keyed by vec_id (unique within
+        # each (cluster, pos) group, ≤ train_cap rows by construction):
+        # F.avg would fold in shuffle-arrival order and the centroid
+        # table is reproduced by every downstream assignment, so the
+        # codebook must be bit-identical across layouts.
         new_rows = (
-            assigned.select("cluster_id", F.posexplode("emb").alias("pos", "v"))
+            assigned.select("cluster_id", "vec_id", F.posexplode("emb").alias("pos", "v"))
             .groupBy("cluster_id", "pos")
-            .agg(F.avg("v").alias("m"))
+            .agg(_ordered_mean("vec_id", "v").alias("m"))
             .groupBy("cluster_id")
             .agg(
                 F.transform(

@@ -31,7 +31,7 @@ from ..catalog import load_table
 from ..functions.vector import as_double, dot, l2_norm
 from ..registry import query
 from . import similarity as _sim
-from .ivf import _TRAIN_CAP, training_sample
+from .ivf import _TRAIN_CAP, _ordered_mean, _ordered_sum, training_sample
 
 _M = 8        # subspaces
 _KSUB = 16    # centroids per subspace
@@ -40,22 +40,11 @@ _SHORTLIST = 40
 _N_QUERIES = 5
 
 
-def _ordered_sum(key_col: str, val_col: str):
-    """Aggregate expression: sum `val_col` over the group in ascending
-    `key_col` order — a LAYOUT-INDEPENDENT float sum (r13 review: a
-    plain F.sum(double) over the m per-subspace partials folds in
-    shuffle-arrival order, and the ADC total is rank-deciding at a
-    6-decimal rounding boundary — the q9 ROUND(SUM(double)) class, one
-    step before the round). Groups here are m rows, so the
-    collect_list buffer is bounded by construction."""
-    return F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(key_col, val_col))),
-            lambda s: s[val_col],
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+# `_ordered_sum` (r13 review fix for the ADC group-sums) and
+# `_ordered_mean` (r14: Lloyd's training means, the same class one
+# step upstream) are shared with ivf.py — canonical definitions and
+# the unique-key precondition live there. Re-imported above so
+# existing callers/tests keep resolving pq._ordered_sum.
 
 
 def _subvectors(vectors: DataFrame, m: int) -> DataFrame:
@@ -144,10 +133,16 @@ def pq_train(
     )
     for _ in range(max_iter):
         assigned = _assign_codes(subs, codebook)
+        # _ordered_mean keyed by vec_id (unique within each
+        # (sub, code, pos) group; ≤ train_cap rows by construction) —
+        # F.avg folds in shuffle-arrival order, and the codebook these
+        # means become is reproduced by every downstream code
+        # assignment and ADC score, so it must be bit-identical across
+        # layouts (r13 verdict latent item #2).
         new_rows = (
-            assigned.select("sub", "code", F.posexplode("semb").alias("pos", "v"))
+            assigned.select("sub", "code", "vec_id", F.posexplode("semb").alias("pos", "v"))
             .groupBy("sub", "code", "pos")
-            .agg(F.avg("v").alias("mean_v"))
+            .agg(_ordered_mean("vec_id", "v").alias("mean_v"))
             .groupBy("sub", "code")
             .agg(
                 F.transform(

@@ -116,9 +116,9 @@ _STALE_SINCE: dict[str, int] = {
     "dedup_ngram_jaccard": 5,
     # round 5 upgraded the ANN + hashed-dedup families from rows-only
     # to assertion-contract oracles — outputs changed shape entirely.
-    "similarity_ivf": 5,
-    "similarity_ivf_pruned": 5,
-    "similarity_pq": 5,
+    # (similarity_ivf/_pruned and similarity_pq bars later moved
+    # 5 → 14: see the round-14 ordered-mean block at the bottom of
+    # this dict.)
     # (bar later moved 5 → 11: see the round-11 session-2 comment at
     # the bottom of this dict — rhp_signatures became an Arrow matmul)
     "similarity_ann_lsh": 11,
@@ -188,15 +188,14 @@ _STALE_SINCE: dict[str, int] = {
     # with the rank attached over the survivors; identical rows and
     # ranks under the same total orders. The scan path also shares
     # _bm25_postings now.)
-    "hybrid_retrieval_rrf": 11,
-    "hybrid_retrieval_rrf_pruned": 11,
+    # (hybrid_retrieval_rrf/_pruned bars later moved 11 → 14: see the
+    # round-14 bm25 ordered-fold block at the bottom of this dict.)
     # round 7 review: the completion-marker check inside bm25_pruned
     # moved to the Hadoop FS API (non-local caller-owned paths);
     # output unchanged, function source changed.
     # (bar later moved 7 → 11: bm25_index_build builds its postings
     # through the shared _bm25_postings constructor now — output
-    # identical, source changed.)
-    "bm25_pruned": 11,
+    # identical, source changed; then 11 → 14, bottom of this dict.)
     # round 8: incremental_minhash_screen's witness collapse rewritten
     # from a rank window to giant-routed collect_list slices (2× at
     # the 100×-density probe; giant buckets now keep 1 witness, not
@@ -377,7 +376,8 @@ _STALE_SINCE: dict[str, int] = {
     # round-12 floor-form block at the bottom of this dict.)
     "inverted_index": 11,
     "pii_scrub": 11,
-    "bm25_topk": 11,
+    # (bm25_topk's r11 bar moved 11 → 14 in the round-14 bm25
+    # ordered-fold block at the bottom of this dict.)
     "attribution_last_touch": 11,
     "attribution_time_decay": 11,
     # round 11, session 2: rhp_signatures rewritten from the
@@ -466,6 +466,35 @@ _STALE_SINCE: dict[str, int] = {
     "multimodal_tiff": 13,
     "multimodal_flac": 13,
     "theta_sketch_ops": 13,
+    # round 14 (r13 verdict latent item #2): Lloyd's TRAINING means in
+    # ivf.kmeans_fit / pq.pq_train moved from F.avg (a shuffle-arrival-
+    # order float fold) to `_ordered_mean` (sum in ascending vec_id
+    # order / count) — codebooks are now bit-identical across layouts
+    # (pinned by tests/test_pq.py::
+    # test_training_codebooks_are_layout_independent, which fails on
+    # the old trainers with AQE off). Registered outputs are recall-
+    # contract booleans and did not change on graded data, but the
+    # codebook doubles the helpers produce CAN differ in the last ulp
+    # from the old fold, so prior evidence is conservatively
+    # invalidated (helper-level change — fn_md5 of the registered
+    # functions is blind to it, which is exactly why the bump is by
+    # hand).
+    "similarity_ivf": 14,
+    "similarity_ivf_pruned": 14,
+    "similarity_pq": 14,
+    "similarity_pq_pruned": 14,
+    # round 14 review finding (the ADC class, one more site):
+    # _bm25_scored's per-doc score was F.sum(idf·tf_sat) — a layout-
+    # order float fold over the |Q| per-term contributions feeding
+    # ROUND(s, 6) and the (bm25 desc, doc_id) top-k cut. Converted to
+    # `_ordered_sum("term", contrib)` (buffer ≤ |Q| = 3 rows); the
+    # oracle mirrors with SUM(... ORDER BY tf.term), so the oracle
+    # strings changed too. ln()'s cross-engine ULP drift remains
+    # absorbed by the 1e-6 round, unchanged.
+    "bm25_topk": 14,
+    "bm25_pruned": 14,
+    "hybrid_retrieval_rrf": 14,
+    "hybrid_retrieval_rrf_pruned": 14,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
@@ -501,7 +530,10 @@ _STALE_SINCE: dict[str, int] = {
 # tools/evidence_report.py prints the simulated bound each run. This
 # dict should receive NO new entries in steady state — a priority pin
 # is only for evidence invalidated by a semantics fix (pair it with a
-# `_STALE_SINCE` bump) or an environment-epoch flip.
+# `_STALE_SINCE` bump), an environment-epoch flip, or the FLAGSHIP
+# (r13 verdict #4: `entry()` ≡ q1_dimension_build smoke-runs every
+# round but hash-checks only in rotation, so a periodic flagship pin
+# keeps its hash evidence from aging toward the rotation bound).
 _SWEEP_PRIORITY: dict[str, int] = {
     # -- invalidated this round (r9 ADVICE fixes; no valid rows left) --
     "kendall_tau": 10,
@@ -523,8 +555,19 @@ _SWEEP_PRIORITY: dict[str, int] = {
     "q19_disjunctive_filter": 10,
     "q21_waiting_suppliers": 10,
     # -- the flagship (r9 verdict #6: entry() smoke runs every round
-    #    but is not hash-checked; its freshest hash row is r4) --
-    "q1_dimension_build": 10,
+    #    but is not hash-checked; its freshest hash row was r4 then).
+    #    r14 (r13 verdict #4): the flagship re-pin is DEFERRED to the
+    #    round-15 session — the verdict offered "r14 or r15", and the
+    #    new window-math pre-check (tools/evidence_report.py, verdict
+    #    #5) shows r14's mandatory demand is already exactly 50
+    #    without it: 8 review-invalidated queries (4 ANN ordered-mean
+    #    + 4 bm25 ordered-fold) + the 42-query owed r6/r7 tier. A pin
+    #    activates the moment it exists (demand round only controls
+    #    self-pruning), so adding `"q1_dimension_build": 15` now would
+    #    displace `warc_roundtrip` past the staleness bound — the
+    #    exact r13 failure the pre-check was built to prevent. The
+    #    r15 session adds the entry first thing; r15's projected owed
+    #    tier is the 36-query r8 cohort, leaving 13 slots of slack. --
     # -- freshest evidence round 4: SURVEY-§2 table rows + streaming --
     "udaf_geomean": 10,
     "stream_dedup_watermark": 10,

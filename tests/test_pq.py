@@ -236,3 +236,76 @@ def test_ordered_sum_is_input_order_independent(spark):
     for v in vals:
         expect += v
     assert results.pop() == expect
+
+
+def test_training_codebooks_are_layout_independent(spark):
+    """r14 (r13 verdict latent item #2): Lloyd's TRAINING means were
+    plain F.avg(double) folds — shuffle-arrival order — so two layouts
+    of the same training rows could disagree in the last ulp, and a
+    codebook ulp propagates into every downstream code assignment and
+    ADC score. With `_ordered_mean` (sum in ascending vec_id order /
+    count) the codebook is bit-identical no matter how the input is
+    partitioned or ordered. Exercised for BOTH trainers (pq_train and
+    ivf.kmeans_fit) across three presentation layouts that bracket the
+    determinism matrix: natural-order many-partition, reversed
+    single-partition, and interleaved odd-partition with a different
+    shuffle-partition count."""
+    from etl_knlp_spark.operators.ivf import kmeans_fit
+
+    # Data shaped so the OLD F.avg fold demonstrably splits: four
+    # well-separated anchors (100·(i%4), so assignment itself is
+    # layout-stable — init is vec_ids 0..3, one per anchor) plus
+    # 0.1-grain fractions, which are non-representable in binary and
+    # make a ~12-addend sum depend on the partial-merge grouping.
+    # AQE must be OFF here (as in the matrix's hostile cell): with
+    # AQE on, the tiny test groups coalesce to one reduce partition
+    # after the assignment shuffle and every layout converges to the
+    # same fold order, masking the defect. With AQE off, the pre-r14
+    # F.avg trainers returned FOUR distinct codebooks across these
+    # four layouts (probe in /tmp retired; the split reproduces on
+    # demand), and this test fails on them.
+    rows = [
+        (
+            i,
+            [
+                100.0 * (i % 4) + 0.1 * ((i * 7 + j * 5) % 9 + 1)
+                for j in range(8)
+            ],
+        )
+        for i in range(48)
+    ]
+
+    def layouts():
+        base = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+        yield base.repartition(8), "32"
+        yield base.orderBy(F.desc("vec_id")).coalesce(1), "32"
+        yield base.orderBy((F.col("vec_id") * 7919) % 48).repartition(5), "7"
+        yield base.repartition(3), "11"
+
+    def canon(collected):
+        return sorted(
+            (tuple(r.asDict()[k] for k in ("sub", "code") if k in r.asDict()),
+             tuple(r["centroid"]))
+            for r in collected
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        pq_books, ivf_books = set(), set()
+        for df, parts in layouts():
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            pq_books.add(
+                str(canon(pq_train(spark, df, m=4, ksub=4, max_iter=3,
+                                   train_cap=64).collect()))
+            )
+            ivf_books.add(
+                str(canon(kmeans_fit(spark, df, k=4, max_iter=3,
+                                     train_cap=64).collect()))
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert len(pq_books) == 1, "pq_train codebook depends on input layout"
+    assert len(ivf_books) == 1, "kmeans_fit centroids depend on input layout"

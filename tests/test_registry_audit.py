@@ -5,9 +5,13 @@ as correctness evidence. These tests make that failure mode loud
 
 from __future__ import annotations
 
+import ast
 import hashlib
+import inspect
 import json
 import os
+import re
+import textwrap
 
 from etl_knlp_spark import registry
 
@@ -746,98 +750,363 @@ def test_fn_semantic_md5_exempts_docstrings_but_not_code():
     assert registry.fn_semantic_md5(len) is None
 
 
+# --- rounded-ratio audit machinery (r12 origin; r13 widened to the
+# Spark side; r14 made it docstring-stripped, helper-aware, and
+# module-constant-aware — r13 verdict #2 + r13 ADVICE #1/#2) ---
+
+_ROUND_PAT = re.compile(
+    r"(?:F\s*\.\s*)?round\s*\(([^()]*(?:\([^()]*(?:\([^()]*\)[^()]*)*\)[^()]*)*?),\s*\d+\s*\)",
+    re.S | re.I,
+)
+
+# Tokens that make the rounded value continuous BY CONSTRUCTION: once
+# an irrational-producing function feeds the argument, the exact value
+# cannot be a terminating decimal rational, so a half-landing has
+# measure ~0 and ROUND is the tolerance, not the hazard (r13 ADVICE
+# #2: sqrt-normalized sums and stddev z-scores were tripping the
+# ratio markers and forcing spurious ALLOWED entries). "EXP(" / "LN("
+# keep their paren so F.EXPR( and COLUMN( never match.
+_CONTINUOUS_TOKENS = (
+    "SQRT", "STDDEV", "STD(", "LN(", "LOG(", "LOG10(", "LOG2(",
+    "EXP(", "CBRT", "PI()", "SIN(", "COS(", "TAN(", "ATAN",
+)
+
+
+def _ratio_shaped(arg: str) -> bool:
+    """Heuristic: could this ROUND argument be an EXACT RATIONAL ratio
+    (the cross-engine half-landing hazard)? mean-like: AVG/MEAN
+    aggregates anywhere. ratio-like: a '/' with an aggregate-ish
+    marker (COUNT / SUM incl. LIST_SUM / GREATEST / LEAST / a 1.0
+    int-division-escape cast) within a 40-char window of the slash —
+    r13 ADVICE #2 tightening: a marker in a distant, unrelated factor
+    no longer fires. Both arms are pre-empted by a continuity token:
+    sqrt/ln/stddev/… in the argument makes the value irrational, so a
+    terminating half cannot land (this is what retires the advisor's
+    "sqrt-normalized sums force spurious ALLOWED entries" case).
+    POLICY: any NEW ALLOWED entry below must cite in its inline
+    comment (a) which marker fired and (b) why the value is
+    continuous anyway — an uncited entry dilutes the exact-ratio
+    guarantee the empty tier earns."""
+    a = arg.upper()
+    if any(t in a for t in _CONTINUOUS_TOKENS):
+        return False
+    if "AVG" in a or "MEAN" in a:
+        return True
+    markers = ("COUNT", "SUM", "GREATEST", "LEAST", "1.0")
+    for m in re.finditer("/", a):
+        window = a[max(0, m.start() - 40) : m.start() + 41]
+        if any(t in window for t in markers):
+            return True
+    return False
+
+
+def _strip_docstrings(tree):
+    """Drop every docstring from a parsed AST in place (comments never
+    survive ast.parse) — the same exemption fn_semantic_md5 applies,
+    for the same reason (r13 ADVICE #1: a docstring that merely
+    MENTIONS \'ROUND(AVG(x), 4)\' must not trip the audit)."""
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:] or [ast.Pass()]
+    return tree
+
+
+_MODULE_INDEX_CACHE: dict = {}
+
+
+def _module_index(fn):
+    """(function defs, module-level string constants) of the module
+    that DEFINES `fn`, parsed once: name -> ast.FunctionDef and
+    name -> str value. Resolved via the function's source FILE, not
+    inspect.getmodule — fixture modules imported from tmp files are
+    not in sys.modules (getmodule returns None), and the file path is
+    also the natural cache key (same-named fixture modules from
+    different tmp files must not share an index)."""
+    try:
+        key = inspect.getsourcefile(fn)
+    except TypeError:
+        key = None
+    if key in _MODULE_INDEX_CACHE:
+        return _MODULE_INDEX_CACHE[key]
+    defs: dict = {}
+    consts: dict = {}
+    tree = None
+    if key is not None:
+        try:
+            with open(key, encoding="utf-8") as f:
+                tree = ast.parse(f.read())
+        except (OSError, SyntaxError, ValueError):
+            tree = None
+    if tree is not None:
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                defs[node.name] = node
+            elif isinstance(node, ast.Assign) and isinstance(node.value, ast.Constant):
+                if isinstance(node.value.value, str):
+                    for t in node.targets:
+                        if isinstance(t, ast.Name):
+                            consts[t.id] = node.value.value
+            elif (
+                isinstance(node, ast.AnnAssign)
+                and isinstance(node.target, ast.Name)
+                and isinstance(node.value, ast.Constant)
+                and isinstance(node.value.value, str)
+            ):
+                consts[node.target.id] = node.value.value
+    _MODULE_INDEX_CACHE[key] = (defs, consts)
+    return defs, consts
+
+
+def _names_referenced(tree):
+    """Every Name loaded anywhere in the tree (covers both helper
+    calls and helpers/constants passed or formatted without a call)."""
+    return {
+        n.id
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Name) and isinstance(n.ctx, ast.Load)
+    }
+
+
+def _spark_scan_sides(fn) -> list:
+    """The Spark-side texts the rounded-ratio audit scans for a
+    registered function: its own docstring-stripped executable source,
+    the docstring-stripped source of every SAME-MODULE function it
+    references (one hop — the r13 blind spot: a ratio built inside a
+    helper like jl_project was invisible), and every module-level
+    string constant referenced by the function or those helpers (the
+    other blind spot: an F.expr string held in a module constant).
+    Cross-module helpers are still out of scope — the three-layout
+    full-sweep campaign remains the backstop there."""
+    try:
+        own = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, TypeError, SyntaxError):
+        return []
+    sides = [ast.unparse(_strip_docstrings(own))]
+    defs, consts = _module_index(fn)
+    referenced = _names_referenced(own)
+    hop_names = sorted(n for n in referenced if n in defs and n != fn.__name__)
+    for h in hop_names:
+        # copy so the cached module tree keeps its docstrings
+        node = ast.parse(ast.unparse(defs[h]))
+        sides.append(ast.unparse(_strip_docstrings(node)))
+        referenced |= _names_referenced(node)
+    sides.extend(consts[n] for n in sorted(referenced) if n in consts)
+    return sides
+
+
+def _rounded_ratio_offending_sides(fn, oracle) -> list:
+    """All (side_text, round_arg) pairs that look like ROUND over an
+    exact-rational ratio, across the oracle SQL and the helper-aware
+    docstring-stripped Spark sides."""
+    sides = ([] if oracle is None else [oracle]) + _spark_scan_sides(fn)
+    out = []
+    for src in sides:
+        for m in _ROUND_PAT.finditer(src):
+            if _ratio_shaped(m.group(1)):
+                out.append((src, m.group(1)))
+    return out
+
+
+# (The r12-r13 list also carried grouped_map_zscore,
+# perplexity_threshold_sweep, benford_digits, and
+# embedding_jl_projection; the r14 continuity exemption and the
+# slash-window tightening retired them — their own argument text
+# now proves continuity (STDDEV / LN( / LOG( tokens) or the
+# marker that fired sits in an unrelated factor. An ALLOWED entry
+# that no longer trips must be REMOVED, not kept: a dead entry
+# would silently whitelist a future genuinely-hazardous ROUND in
+# the same query. test_rounded_ratio_allowed_entries_all_active
+# enforces this.)
+_ROUNDED_RATIO_ALLOWED = {
+    "doc_quality_filter",      # AVG arm: mean of continuous per-doc scores
+    "scalar_subquery",         # AVG arm: price/AVG(price) — float-sum mean
+    "lm_perplexity_filter",    # AVG arm: AVG(logp), logp = ln-based
+                               # irrational addends (ln in the upstream
+                               # column, outside the argument text)
+    "hybrid_retrieval_rrf",        # 1.0-near-slash arm: 1/(60+rank), 61..80
+    "hybrid_retrieval_rrf_pruned",  # denominators cannot terminate at digit 7
+    "column_drift",            # near-slash arm: drift_z = |Δmean|/sd —
+                               # sd is a stddev held in a column, so the
+                               # continuity token is upstream of the text
+    "embedding_centroid",      # AVG arm: mean of continuous components
+    "embedding_health",        # AVG arm: mean of l2 norms (sqrt upstream,
+                               # hidden behind the vector helper)
+}
+
+
 def test_no_new_rounded_ratio_oracles():
     """r12: ROUND(x, k) over a ratio is a cross-engine hazard when x is
     an exact rational — the true value can terminate at the (k+1)th
-    decimal with digit 5, where DuckDB's multiply-based round and
-    Spark's BigDecimal round disagree (measured 5/439 such rationals,
+    decimal with digit 5, where DuckDB\'s multiply-based round and
+    Spark\'s BigDecimal round disagree (measured 5/439 such rationals,
     incl. 333/640 = 0.5203125, the percent_rank case; the r12 probe in
     BASELINE.md). The fix is FLOOR(x*10^k + 0.5)/10^k on BOTH sides
     (floors the bit-identical double identically; 0/2439 probe
     disagreements). Eighteen in-window queries converted in r12, the
     six-query codec/flac family in r13 — the exact-ratio tier is now
-    EMPTY. This audit scans BOTH halves of every registered query
-    (the DuckDB oracle SQL and the Spark function source, r12 ADVICE:
-    an asymmetric regression on either side would otherwise surface
-    only as a rare half-landing hash mismatch) and freezes the
-    surviving continuous-tier ROUND sites — a new name must convert
-    to floor-form or argue its way into ALLOWED
-    (continuous-by-construction x: ln/stddev/sqrt-based, or
-    float-valued sums where rounding is the tolerance, not the
-    hazard). Known limitation, by design: the Spark scan sees
-    inspect.getsource of the registered function only — a ratio built
-    inside a helper (e.g. jl_project) or an F.expr string held in a
-    module constant is invisible to it; the three-layout full-sweep
-    hash campaign remains the backstop for those shapes."""
-    import inspect
-    import re
-
+    EMPTY. The audit scans BOTH halves of every registered query (the
+    DuckDB oracle SQL and the Spark side), and since r14 the Spark
+    scan is DOCSTRING-STRIPPED (a docstring mentioning a rounded
+    ratio is not code), HELPER-AWARE (one hop into same-module
+    functions the query references — the r13 widening caught two
+    12-round-latent sites the moment it looked at the Spark side at
+    all, evidence the blind spots are where bugs live), and
+    MODULE-CONSTANT-AWARE (F.expr/SQL strings held in module
+    constants). A new name must convert to floor-form or argue its
+    way into ALLOWED — and per the r13 ADVICE policy, a new ALLOWED
+    entry must cite which marker fired and why the value is
+    continuous. Remaining out of scope: cross-module helpers and
+    strings built at runtime; the three-layout full-sweep hash
+    campaign stays the backstop for those."""
     registry._load_all()
     # Every entry here must argue its x cannot land on a terminating
     # half: x involves ln/stddev/sqrt/float-valued sums — boundary
     # landings have measure ~0 and rounding provides the cross-engine
     # tolerance. (The exact-ratio tier was fully converted: 18 sites
-    # across r12's two waves + the 6-query codec/flac family in r13.)
-    ALLOWED = {
-        "grouped_map_zscore",      # (x - mean)/stddev: stddev irrational
-        "doc_quality_filter",      # AVG of continuous per-doc scores
-        "scalar_subquery",         # price/AVG(price): float-sum mean
-        "lm_perplexity_filter",    # AVG(ln(...)): irrational addends
-        "perplexity_threshold_sweep",  # avg_logp leg (keep_rate converted)
-        "hybrid_retrieval_rrf",        # 1/(60+rank): 61..80 denominators
-        "hybrid_retrieval_rrf_pruned",  # cannot terminate at digit 7
-        "column_drift",            # drift_z leg (means converted)
-        "embedding_centroid",      # AVG of continuous components
-        "embedding_health",        # AVG of norms (sqrt: irrational)
-        "benford_digits",          # log10 leg (observed_p converted)
-        # float-valued per-row fold (±0.25·Σ float components, same
-        # order both engines): continuous — a terminating 7-digit
-        # half has measure ~0 over generator-drawn doubles
-        "embedding_jl_projection",
-    }
-    # one first-arg capture with up to two nesting levels, shared by
-    # both scans; the SQL form is ROUND(x, k), the Spark form
-    # F.round(x, k) — the optional F\. prefix covers both
-    pat = re.compile(
-        r"(?:F\s*\.\s*)?round\s*\(([^()]*(?:\([^()]*(?:\([^()]*\)[^()]*)*\)[^()]*)*?),\s*\d+\s*\)",
-        re.S | re.I,
-    )
-
-    def ratio_shaped(arg: str) -> bool:
-        # mean-like: explicit AVG/MEAN aggregates (SQL or F.avg), HOF
-        # 'avg' reducers, or a mean-named rounded column; ratio-like:
-        # "/" next to an aggregate-ish factor (COUNT / 1.0 / AVG /
-        # LIST_SUM / SUM / GREATEST-denominator — the flac shape that
-        # escaped the r12 marker list)
-        a = arg.upper()
-        mean_like = "AVG" in a or "MEAN" in a
-        ratio_like = "/" in a and (
-            "COUNT" in a
-            or "1.0" in a
-            or "SUM" in a       # SUM, LIST_SUM, F.sum
-            or "GREATEST" in a
-            or "LEAST" in a
-        )
-        return mean_like or ratio_like
-
-    offenders = set()
+    # across r12\'s two waves + the 6-query codec/flac family in r13.)
+    # Cited per the r14 policy: marker that fires -> continuity reason.
+    ALLOWED = _ROUNDED_RATIO_ALLOWED
+    offenders = {}
     for name, rq in registry._REGISTRY.items():
         if name in ALLOWED:
             continue
-        sides = []
-        if rq.oracle is not None:
-            sides.append(rq.oracle)
-        try:
-            sides.append(inspect.getsource(rq.fn))
-        except (OSError, TypeError):
-            pass
-        for src in sides:
-            for m in pat.finditer(src):
-                if ratio_shaped(m.group(1)):
-                    offenders.add(name)
+        hits = _rounded_ratio_offending_sides(rq.fn, rq.oracle)
+        if hits:
+            offenders[name] = sorted({arg.strip()[:80] for _, arg in hits})
     assert not offenders, (
-        f"new ROUND-over-ratio sites (oracle or Spark side): "
-        f"{sorted(offenders)} — use FLOOR(x*10^k + 0.5)/10^k on both "
-        "engines (see corpus_mixture_weights) or justify an ALLOWED "
-        "entry"
+        f"new ROUND-over-ratio sites (oracle or Spark side, helpers and "
+        f"module constants included): {offenders} — use "
+        "FLOOR(x*10^k + 0.5)/10^k on both engines (see "
+        "corpus_mixture_weights) or justify an ALLOWED entry citing the "
+        "fired marker and the continuity argument"
+    )
+
+
+def test_rounded_ratio_allowed_entries_all_active():
+    """Every ALLOWED entry must still TRIP the scan: a retired entry
+    (its ROUND site converted or its argument text now proving
+    continuity) must be deleted, or it silently pre-whitelists a
+    future genuinely-hazardous ROUND in the same query (r13 ADVICE #2:
+    a diluted ALLOWED list erodes the empty-exact-tier guarantee)."""
+    registry._load_all()
+    dead = [
+        name
+        for name in sorted(_ROUNDED_RATIO_ALLOWED)
+        if not _rounded_ratio_offending_sides(
+            registry._REGISTRY[name].fn, registry._REGISTRY[name].oracle
+        )
+    ]
+    assert not dead, (
+        f"ALLOWED entries that no longer trip the audit: {dead} — "
+        "remove them (they whitelist nothing today and too much tomorrow)"
+    )
+
+
+def test_ratio_shaped_markers():
+    """Pin the predicate's sensitivity on the HISTORICAL offender
+    shapes (verbatim from the pre-conversion git tree) and its new
+    exemptions (r13 ADVICE #2): continuity tokens in the argument
+    pre-empt both arms, and a marker in a distant unrelated factor no
+    longer fires."""
+    # -- positives: the shapes that were really converted in r12/r13 --
+    flac = (
+        "list_sum(list_transform(generate_series(1, LEAST(64, length(text))),"
+        " i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE)))"
+        " / GREATEST(3, LEAST(64, length(text)))"
+    )
+    theta = "CASE WHEN matched = 0 THEN 0 ELSE matched / LEAST(th_a, th_b) END"
+    assert _ratio_shaped(flac)                       # SUM+GREATEST by the slash
+    assert _ratio_shaped(theta)                      # LEAST denominator
+    assert _ratio_shaped("SUM(l_quantity) / COUNT(*)")
+    assert _ratio_shaped("AVG(x)")                   # mean arm, no slash needed
+    assert _ratio_shaped("cnt * 1.0 / total")        # int-division escape
+    # -- negatives --
+    assert not _ratio_shaped("x / 2 * scale")        # no marker near the slash
+    assert not _ratio_shaped("SUM(x) / SQRT(cnt)")   # sqrt: irrational value
+    assert not _ratio_shaped("(x - AVG(x) OVER ()) / STDDEV(x) OVER ()")
+    assert not _ratio_shaped("AVG(LN(p))")           # ln: irrational addends
+    # a marker 100+ chars away from the slash in an unrelated factor
+    assert not _ratio_shaped(
+        "price / weight + " + "pad_column_name_" * 8 + " + COUNT_TAG"
+    )
+
+
+def _import_fixture_module(tmp_path, source: str):
+    """Write `source` to a real file and import it, so inspect.
+    getsource sees exactly what a registered operator module looks
+    like to the audit."""
+    import importlib.util
+
+    path = tmp_path / "audit_fixture_mod.py"
+    path.write_text(source)
+    spec = importlib.util.spec_from_file_location("audit_fixture_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_rounded_ratio_audit_ignores_docstrings(tmp_path):
+    """r13 ADVICE #1: a registered function whose DOCSTRING merely
+    mentions a ratio-shaped ROUND (e.g. quoting an oracle) must not be
+    flagged — only executable code counts (the fn_md5 lesson, applied
+    to the scan). The same text in executable code IS flagged."""
+    mod = _import_fixture_module(
+        tmp_path,
+        "from pyspark.sql import functions as F\n"
+        "def doc_only(spark, sf_dir):\n"
+        "    '''The oracle used to spell ROUND(AVG(x), 4) here,\n"
+        "    and ROUND(SUM(a)/COUNT(b), 4) before that.'''\n"
+        "    return spark.range(1)\n"
+        "def in_code(spark, sf_dir):\n"
+        "    '''clean docstring.'''\n"
+        "    return spark.range(1).select(F.round(F.avg('id'), 4))\n",
+    )
+    assert not _rounded_ratio_offending_sides(mod.doc_only, None), (
+        "a docstring mention of ROUND(AVG(x), 4) was flagged as code"
+    )
+    assert _rounded_ratio_offending_sides(mod.in_code, None), (
+        "a real F.round(F.avg(...), 4) in the body escaped the scan"
+    )
+
+
+def test_rounded_ratio_audit_sees_through_helpers_and_constants(tmp_path):
+    """r13 verdict #2 done-criterion: a ROUND-over-ratio hidden one
+    helper hop away from the registered function, or held in a
+    module-level F.expr/SQL string constant, FAILS the audit. These
+    were the documented blind spots — the r13 widening caught two
+    12-round-latent sites the moment the Spark side was scanned at
+    all, so the remaining blind spots are where the next bug lives."""
+    mod = _import_fixture_module(
+        tmp_path,
+        "from pyspark.sql import functions as F\n"
+        "_MEAN_EXPR = \"ROUND(SUM(chars) / COUNT(*), 4)\"\n"
+        "def _hidden_ratio(df):\n"
+        "    '''helper: the ratio the old scan could not see.'''\n"
+        "    return df.agg(F.round(F.sum('x') / F.count('x'), 4))\n"
+        "def _clean_helper(df):\n"
+        "    return df.select('x')\n"
+        "def via_helper(spark, sf_dir):\n"
+        "    return _hidden_ratio(spark.range(3).withColumnRenamed('id', 'x'))\n"
+        "def via_constant(spark, sf_dir):\n"
+        "    return spark.range(3).selectExpr(_MEAN_EXPR)\n"
+        "def clean(spark, sf_dir):\n"
+        "    return _clean_helper(spark.range(3).withColumnRenamed('id', 'x'))\n",
+    )
+    assert _rounded_ratio_offending_sides(mod.via_helper, None), (
+        "a helper-hidden F.round(F.sum/F.count, 4) escaped the one-hop scan"
+    )
+    assert _rounded_ratio_offending_sides(mod.via_constant, None), (
+        "a module-constant ROUND-over-ratio SQL string escaped the scan"
+    )
+    assert not _rounded_ratio_offending_sides(mod.clean, None), (
+        "a clean function through a clean helper was falsely flagged"
     )

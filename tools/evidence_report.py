@@ -46,6 +46,55 @@ def freshest_valid(name: str, evidence, env_epochs) -> int | None:
     return max(valid) if valid else None
 
 
+def project_window(order, fresh, active_pins, budget=50):
+    """Window-math pre-check (r13 verdict #5): compute this round's
+    MANDATORY demand — active priority pins, queries with no valid
+    evidence (both front the window by construction), and the stalest
+    evidence tier (every query as old as the oldest evidenced one,
+    which the rotation owes a re-sweep this round) — against the
+    driver's 50-slot budget, BEFORE the round commits to conversions.
+    r13 learned this by hand arithmetic after the fact: 7 audit-
+    invalidated codec pins + the 44-query r6/r7 tier = 51 > 50, and
+    `stream_session_window`'s evidence age silently crossed the
+    6-round rotation bound. Returns the named list of demand queries
+    that would wait, so the tradeoff is explicit up front.
+
+    `order` must be the registry's `_sweep_order()` (pins and
+    unevidenced queries already ranked ahead); `fresh` maps every
+    query to its freshest valid evidence round or None.
+
+    The owed tier is computed against the POST-SWEEP ledger bound:
+    after the next round R lands its window, an unswept query with
+    evidence e has age R - e, and the rotation bound says that age
+    must stay ≤ cycle (= ceil(N/budget), 6 here). So everything with
+    e ≤ R - cycle - 1 MUST be in this window — exactly the arithmetic
+    that made r13's 7 pins + 44-query r6-tier = 51 demand overrun the
+    50 budget and leave stream_session_window at age 7."""
+    pos = {n: i for i, n in enumerate(order)}
+    cycle = -(-len(order) // budget)
+    next_round = max((r for r in fresh.values() if r is not None), default=0) + 1
+    cutoff = next_round - cycle - 1
+    unevidenced = [n for n in order if fresh[n] is None]
+    overdue = [n for n in order if fresh[n] is not None and fresh[n] <= cutoff]
+    demand = sorted(
+        set(active_pins) | set(unevidenced) | set(overdue),
+        key=lambda n: pos[n],
+    )
+    waiters = [n for n in demand if pos[n] >= budget]
+    return {
+        "budget": budget,
+        "cycle": cycle,
+        "next_round": next_round,
+        "cutoff": cutoff,
+        "pins": sorted(active_pins, key=lambda n: pos[n]),
+        "unevidenced": unevidenced,
+        "overdue": overdue,
+        "demand": demand,
+        "overrun": max(0, len(demand) - budget),
+        "waiters": waiters,
+    }
+
+
 def main() -> int:
     registry._load_all()
     evidence = registry._evidence_rounds()
@@ -80,6 +129,27 @@ def main() -> int:
     for i, n in enumerate(order[:50]):
         print(f"  {i:2d} {n} "
               f"[{'none' if fresh[n] is None else 'r%d' % fresh[n]}]")
+
+    # Window-math pre-check (r13 verdict #5): mandatory demand vs the
+    # 50-slot budget, with the queries that would wait named BEFORE
+    # the round commits to evidence-invalidating conversions.
+    active_pins = [
+        n
+        for n in registry._SWEEP_PRIORITY
+        if fresh.get(n) is None or fresh[n] < registry._SWEEP_PRIORITY[n]
+    ]
+    pw = project_window(order, fresh, active_pins)
+    print(
+        f"\nwindow-math pre-check (next round r{pw['next_round']}): "
+        f"{len(pw['pins'])} active pins + "
+        f"{len(pw['unevidenced'])} unevidenced + {len(pw['overdue'])} "
+        f"overdue (evidence <= r{pw['cutoff']}) = {len(pw['demand'])} "
+        f"mandatory vs budget {pw['budget']} -> overrun {pw['overrun']}"
+    )
+    if pw["waiters"]:
+        print("  WOULD WAIT (evidence ages one more round):")
+        for n in pw["waiters"]:
+            print(f"    {n} [{'none' if fresh[n] is None else 'r%d' % fresh[n]}]")
 
     # Steady-state staleness bound (r10 verdict #3): simulate the pure
     # stalest-first rotation forward (each round lands all 50 window
