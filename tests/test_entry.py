@@ -36,10 +36,24 @@ def test_no_naked_complex_columns(spark, sf_dir):
     assert not bad, f"driver canonicalizer cannot sort these columns: {bad}"
 
 
-@pytest.mark.parametrize("name", _rows_only_names())
+@pytest.mark.parametrize("name", _rows_only_names() or ["__all_oracled__"])
 def test_rows_only_canonicalizes_like_driver(spark, sf_dir, name):
     """Each rows-only query's output must survive the driver's pandas
-    sort_values canonicalization (the step that ERR'd in round 2)."""
+    sort_values canonicalization (the step that ERR'd in round 2).
+
+    Since the round-5 oracle upgrades the rows-only set has been
+    EMPTY — every registered query carries a DuckDB oracle, so the
+    driver never records the weaker rows-only check for anything.
+    r14: the empty parameter set used to surface as a permanent skip
+    in every full-suite run; the sentinel branch pins the emptiness
+    as the positive fact it is instead (and this test resumes its
+    real job automatically if a rows-only query ever registers)."""
+    if name == "__all_oracled__":
+        assert not _rows_only_names(), (
+            "rows-only queries exist again — this parametrize should "
+            "have generated real cases"
+        )
+        return
     fn = registry._REGISTRY[name].fn
     pdf = fn(spark, sf_dir).toPandas()
     # The driver sorts by every column; unhashable cells raise TypeError.

@@ -232,7 +232,13 @@ SHOWCASE = {
         "inside the Generate's parent Filter), df and corpus stats "
         "enter as broadcasts, and the final top-k is "
         "TakeOrderedAndProject — the corpus token stream never "
-        "shuffles wholesale."
+        "shuffles wholesale. Since r14 the per-doc score aggregate "
+        "is the ordered fold (sort_array over a ≤|Q|-row "
+        "collect_list, then a sequential aggregate) instead of a "
+        "plain sum — rank-deciding float totals must not depend on "
+        "shuffle-arrival order; the buffer is bounded at the query "
+        "length by construction, so partial aggregation loses "
+        "nothing that matters."
     ),
     "bm25_pruned": (
         "BM25 against a term-bucketed postings index, now via the "
