@@ -52,3 +52,34 @@ if __name__ == "__main__":
         json.dump(snap, f, indent=1, sort_keys=True)
         f.write("\n")
     print(f"wrote {SNAPSHOT_PATH} ({len(snap)} queries)")
+
+    # A snapshot regen almost always accompanies a `_STALE_SINCE` bump,
+    # and every bump changes the next driver window — print the
+    # window-math pre-check inline (r14, after r13 shipped a bump whose
+    # one-query window overrun was found by hand arithmetic a round
+    # late) so the budget consequence is visible in the same terminal.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "evidence_report",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "evidence_report.py"),
+    )
+    er = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(er)
+    evidence = registry._evidence_rounds()
+    env = registry._environment_epochs()
+    order = registry._sweep_order()
+    fresh = {n: er.freshest_valid(n, evidence, env) for n in order}
+    active = [
+        n
+        for n in registry._SWEEP_PRIORITY
+        if fresh.get(n) is None or fresh[n] < registry._SWEEP_PRIORITY[n]
+    ]
+    pw = er.project_window(order, fresh, active)
+    print(
+        f"window-math pre-check (next round r{pw['next_round']}): "
+        f"{len(pw['pins'])} pins + {len(pw['unevidenced'])} unevidenced + "
+        f"{len(pw['overdue'])} overdue = {len(pw['demand'])} mandatory vs "
+        f"budget {pw['budget']} -> overrun {pw['overrun']}"
+        + (f"; WOULD WAIT: {pw['waiters']}" if pw["waiters"] else "")
+    )
