@@ -568,6 +568,11 @@ _SWEEP_PRIORITY: dict[str, int] = {
     #    exact r13 failure the pre-check was built to prevent. The
     #    r15 session adds the entry first thing; r15's projected owed
     #    tier is the 36-query r8 cohort, leaving 13 slots of slack. --
+    # -- r15 (r14 verdict #1): the deferred flagship hash re-pin,
+    #    added FIRST THING this round as committed. Pre-check after
+    #    adding: 1 pin + 36 overdue = 37 mandatory vs 50 -> overrun 0.
+    #    Deactivates itself once a >=r15 hash row lands. --
+    "q1_dimension_build": 15,
     # -- freshest evidence round 4: SURVEY-§2 table rows + streaming --
     "udaf_geomean": 10,
     "stream_dedup_watermark": 10,
