@@ -72,6 +72,17 @@ def _ordered_sum(key_col: str, val_col: str):
     subspace (key = sub), Lloyd's mean groups hold one row per sampled
     vector (key = vec_id).
 
+    PRECONDITION (r14 ADVICE): ``val_col`` must be NON-NULL. This fold
+    does NOT share F.sum/F.avg's null-skipping semantics: a null value
+    survives collect_list (the enclosing struct is non-null) and
+    ``acc + null`` poisons the whole group's sum — and `_ordered_mean`
+    divides by F.count(val_col), which DOES skip nulls, so the two
+    would disagree even if the sum were patched to skip. Every current
+    caller is non-null by construction (ADC partials and Lloyd's
+    coordinates are arithmetic over required columns); a caller with
+    nullable values must filter them out first and decide explicitly
+    what the mean's denominator should be.
+
     The collect_list buffer is bounded by the group size — callers
     only apply this to groups bounded by construction (m ≤ 8 subspace
     partials; ≤ train_cap sampled training rows per centroid

@@ -20,7 +20,7 @@ def _tool():
     return mod
 
 
-def _scenario(n_queries, pins, unevidenced, tier_rounds, fresh_round, budget=50):
+def _scenario(n_queries, pins, unevidenced, tier_rounds, fresh_round):
     """Build (order, fresh, active_pins): `pins` invalidated queries
     first (fresh=None), then `unevidenced`, then the stale tiers, then
     everything else at `fresh_round` — the same shape _sweep_order
@@ -98,6 +98,37 @@ def test_pins_inside_demand_are_not_double_counted():
     assert len(pw["demand"]) == 60
     assert pw["overrun"] == 10
     assert len(pw["waiters"]) == 10
+
+
+def test_waiters_cohere_with_overrun_under_non_prefix_demand():
+    """r14 ADVICE: waiters must be derived from demand, not from raw
+    sweep-order position, so the two readings agree even when
+    mandatory demand is NOT a strict prefix of the sweep order. Model
+    a tier-scheme change: a single pinned query that sits at sweep
+    position 80 (past the budget) while total demand is far under it.
+    The old `pos >= budget` rule would have named that pin a waiter
+    alongside overrun == 0; the derived form keeps the invariant
+    len(waiters) == overrun in every scheme."""
+    tool = _tool()
+    order, fresh, active = _scenario(
+        100, pins=0, unevidenced=0, tier_rounds=[(6, 10)], fresh_round=12,
+    )
+    # pin a FRESH query deep in the order — demand = 10 overdue + 1 pin
+    active = [order[80]]
+    pw = tool.project_window(order, fresh, active, budget=50)
+    assert len(pw["demand"]) == 11
+    assert pw["overrun"] == 0
+    assert pw["waiters"] == []          # old rule: would name order[80]
+    assert len(pw["waiters"]) == pw["overrun"]
+    # and when demand genuinely overruns, the named waiters are the
+    # LAST demand entries in sweep order — exactly the overrun count
+    order2, fresh2, active2 = _scenario(
+        100, pins=0, unevidenced=0, tier_rounds=[(6, 60)], fresh_round=12,
+    )
+    pw2 = tool.project_window(order2, fresh2, active2, budget=50)
+    assert pw2["overrun"] == 10
+    assert pw2["waiters"] == pw2["demand"][50:]
+    assert len(pw2["waiters"]) == pw2["overrun"]
 
 
 def test_live_registry_precheck_runs_clean():

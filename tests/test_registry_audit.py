@@ -754,10 +754,49 @@ def test_fn_semantic_md5_exempts_docstrings_but_not_code():
 # Spark side; r14 made it docstring-stripped, helper-aware, and
 # module-constant-aware — r13 verdict #2 + r13 ADVICE #1/#2) ---
 
-_ROUND_PAT = re.compile(
-    r"(?:F\s*\.\s*)?round\s*\(([^()]*(?:\([^()]*(?:\([^()]*\)[^()]*)*\)[^()]*)*?),\s*\d+\s*\)",
-    re.S | re.I,
-)
+_ROUND_TOKEN = re.compile(r"round\s*\(", re.I)
+
+
+def _round_first_args(src: str) -> list[str]:
+    """First argument of every ``ROUND(expr, k)`` / ``F.round(expr, k)``
+    call in ``src``, extracted with a paren-balancing scanner (r14
+    ADVICE #3: the old fixed-depth regex silently missed ROUND
+    arguments nested deeper than two paren levels — e.g.
+    ``ROUND(SUM(f(g(a)/h(b))), 4)`` — a false NEGATIVE in an audit
+    whose whole guarantee is an empty exact-ratio tier). Call shape is
+    the same one the regex pinned: exactly two top-level arguments
+    with an integer-literal scale. A word boundary before ``round``
+    rejects ``WORKAROUND(`` / ``my_round(`` lookalikes (a custom
+    wrapper's own body is scanned via the helper hops, where the real
+    F.round call lives)."""
+    out = []
+    for m in _ROUND_TOKEN.finditer(src):
+        j = m.start() - 1
+        if j >= 0 and (src[j].isalnum() or src[j] == "_"):
+            continue
+        depth, i = 1, m.end()
+        args, buf = [], []
+        while i < len(src) and depth:
+            c = src[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append("".join(buf))
+                    break
+            elif c == "," and depth == 1:
+                args.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+            buf.append(c)
+            i += 1
+        if depth:  # unbalanced to EOF: not a call we can parse
+            continue
+        if len(args) == 2 and re.fullmatch(r"\s*\d+\s*", args[1]):
+            out.append(args[0])
+    return out
 
 # Tokens that make the rounded value continuous BY CONSTRUCTION: once
 # an irrational-producing function feeds the argument, the exact value
@@ -823,26 +862,22 @@ def _strip_docstrings(tree):
 _MODULE_INDEX_CACHE: dict = {}
 
 
-def _module_index(fn):
-    """(function defs, module-level string constants) of the module
-    that DEFINES `fn`, parsed once: name -> ast.FunctionDef and
-    name -> str value. Resolved via the function's source FILE, not
-    inspect.getmodule — fixture modules imported from tmp files are
-    not in sys.modules (getmodule returns None), and the file path is
-    also the natural cache key (same-named fixture modules from
-    different tmp files must not share an index)."""
-    try:
-        key = inspect.getsourcefile(fn)
-    except TypeError:
-        key = None
-    if key in _MODULE_INDEX_CACHE:
-        return _MODULE_INDEX_CACHE[key]
+def _module_index_path(path):
+    """(function defs, module-level string constants, top-level
+    ImportFrom nodes) of the module FILE at `path`, parsed once:
+    name -> ast.FunctionDef, name -> str value, list[ast.ImportFrom].
+    Path-keyed, not module-keyed — fixture modules imported from tmp
+    files are not in sys.modules, and same-named fixture modules from
+    different tmp files must not share an index."""
+    if path in _MODULE_INDEX_CACHE:
+        return _MODULE_INDEX_CACHE[path]
     defs: dict = {}
     consts: dict = {}
+    imports: list = []
     tree = None
-    if key is not None:
+    if path is not None:
         try:
-            with open(key, encoding="utf-8") as f:
+            with open(path, encoding="utf-8") as f:
                 tree = ast.parse(f.read())
         except (OSError, SyntaxError, ValueError):
             tree = None
@@ -850,6 +885,8 @@ def _module_index(fn):
         for node in tree.body:
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
                 defs[node.name] = node
+            elif isinstance(node, ast.ImportFrom):
+                imports.append(node)
             elif isinstance(node, ast.Assign) and isinstance(node.value, ast.Constant):
                 if isinstance(node.value.value, str):
                     for t in node.targets:
@@ -862,8 +899,74 @@ def _module_index(fn):
                 and isinstance(node.value.value, str)
             ):
                 consts[node.target.id] = node.value.value
-    _MODULE_INDEX_CACHE[key] = (defs, consts)
-    return defs, consts
+    _MODULE_INDEX_CACHE[path] = (defs, consts, imports)
+    return defs, consts, imports
+
+
+def _module_index(fn):
+    """`_module_index_path` resolved via the function's source FILE,
+    not inspect.getmodule (tmp-file fixture modules have no entry in
+    sys.modules)."""
+    try:
+        key = inspect.getsourcefile(fn)
+    except TypeError:
+        key = None
+    return _module_index_path(key)
+
+
+def _resolve_import_file(importing_file, modname, level):
+    """Best-effort file path of the module a `from X import y` names,
+    WITHOUT importing it (imports execute code; fixture modules from
+    tmp files are not on sys.path anyway). Relative imports resolve
+    against the importing file's directory; absolute imports try the
+    repo root's dotted path, then a same-directory sibling (the
+    fixture-module case). None when no candidate file exists — the
+    cross-module hop simply doesn't extend there, same as the old
+    audit."""
+    if importing_file is None:
+        return None
+    base = os.path.dirname(os.path.abspath(importing_file))
+    parts = modname.split(".") if modname else []
+    candidates = []
+    if level and level > 0:
+        for _ in range(level - 1):
+            base = os.path.dirname(base)
+        if parts:
+            candidates.append(os.path.join(base, *parts) + ".py")
+            candidates.append(os.path.join(base, *parts, "__init__.py"))
+        else:
+            candidates.append(os.path.join(base, "__init__.py"))
+    elif parts:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        candidates.append(os.path.join(repo_root, *parts) + ".py")
+        candidates.append(os.path.join(repo_root, *parts, "__init__.py"))
+        candidates.append(os.path.join(base, parts[-1] + ".py"))
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    return None
+
+
+def _import_map(importing_file, trees, module_imports):
+    """local name -> (target module file, original name) for every
+    `from X import y [as z]` visible to the scan: the module's
+    top-level ImportFrom nodes plus any ImportFrom INSIDE the scanned
+    function trees (the engine uses both styles — pq.py imports
+    _ordered_mean at module level, analysis.py imports _ordered_sum
+    inside the function body)."""
+    nodes = list(module_imports)
+    for t in trees:
+        nodes.extend(n for n in ast.walk(t) if isinstance(n, ast.ImportFrom))
+    mapping: dict = {}
+    for node in nodes:
+        target = _resolve_import_file(importing_file, node.module, node.level)
+        if target is None:
+            continue
+        for alias in node.names:
+            if alias.name == "*":
+                continue
+            mapping[alias.asname or alias.name] = (target, alias.name)
+    return mapping
 
 
 def _names_referenced(tree):
@@ -879,27 +982,70 @@ def _names_referenced(tree):
 def _spark_scan_sides(fn) -> list:
     """The Spark-side texts the rounded-ratio audit scans for a
     registered function: its own docstring-stripped executable source,
-    the docstring-stripped source of every SAME-MODULE function it
-    references (one hop — the r13 blind spot: a ratio built inside a
-    helper like jl_project was invisible), and every module-level
-    string constant referenced by the function or those helpers (the
-    other blind spot: an F.expr string held in a module constant).
-    Cross-module helpers are still out of scope — the three-layout
-    full-sweep campaign remains the backstop there."""
+    the docstring-stripped source of every SAME-MODULE function in its
+    reference CLOSURE (r13 added one hop — a ratio built inside a
+    helper like jl_project was invisible; r15 made it transitive — the
+    live bm25 chain needs two hops to reach the score fold), every
+    module-level string
+    constant referenced by the function or those helpers (the other
+    blind spot: an F.expr string held in a module constant), and —
+    r14 verdict #4 — the docstring-stripped source of every
+    CROSS-MODULE helper imported via `from X import y` (module-level
+    or function-local) that the scanned code references, one level
+    deep, plus the target module's string constants that helper uses.
+    Precedent: analysis.py's hot-path score fold imports _ordered_sum
+    from ivf.py, so cross-module math is a live pattern, not a
+    hypothetical. Still out of scope (documented, three-layout sweep
+    is the backstop): module-object attribute calls (`from . import
+    ivf; ivf.f(...)`) and hops PAST the first imported helper."""
     try:
         own = ast.parse(textwrap.dedent(inspect.getsource(fn)))
     except (OSError, TypeError, SyntaxError):
         return []
     sides = [ast.unparse(_strip_docstrings(own))]
-    defs, consts = _module_index(fn)
+    defs, consts, module_imports = _module_index(fn)
+    scanned_trees = [own]
     referenced = _names_referenced(own)
-    hop_names = sorted(n for n in referenced if n in defs and n != fn.__name__)
-    for h in hop_names:
+    # r15: the same-module walk is a transitive CLOSURE, not one hop —
+    # the live bm25 chain is bm25_topk -> _bm25_score -> _bm25_scored
+    # (where the actual score fold and its cross-module import live),
+    # so a strictly-one-hop walk never reaches the hazard site. The
+    # closure is bounded by the module's def count; a worklist with a
+    # seen-set handles mutual recursion.
+    seen = {fn.__name__}
+    work = sorted(n for n in referenced if n in defs and n not in seen)
+    while work:
+        h = work.pop(0)
+        if h in seen:
+            continue
+        seen.add(h)
         # copy so the cached module tree keeps its docstrings
         node = ast.parse(ast.unparse(defs[h]))
         sides.append(ast.unparse(_strip_docstrings(node)))
-        referenced |= _names_referenced(node)
+        scanned_trees.append(node)
+        new = _names_referenced(node)
+        referenced |= new
+        work.extend(sorted(n for n in new if n in defs and n not in seen))
     sides.extend(consts[n] for n in sorted(referenced) if n in consts)
+    # --- cross-module hop (one level) ---
+    try:
+        importing_file = inspect.getsourcefile(fn)
+    except TypeError:
+        importing_file = None
+    imports = _import_map(importing_file, scanned_trees, module_imports)
+    for n in sorted(referenced):
+        if n in defs or n == fn.__name__ or n not in imports:
+            continue
+        target_file, orig = imports[n]
+        tdefs, tconsts, _ = _module_index_path(target_file)
+        if orig in tdefs:
+            node = ast.parse(ast.unparse(tdefs[orig]))
+            sides.append(ast.unparse(_strip_docstrings(node)))
+            tref = _names_referenced(node)
+            sides.extend(tconsts[c] for c in sorted(tref) if c in tconsts)
+        elif orig in tconsts:
+            # an imported SQL-string constant is itself a scan side
+            sides.append(tconsts[orig])
     return sides
 
 
@@ -910,9 +1056,9 @@ def _rounded_ratio_offending_sides(fn, oracle) -> list:
     sides = ([] if oracle is None else [oracle]) + _spark_scan_sides(fn)
     out = []
     for src in sides:
-        for m in _ROUND_PAT.finditer(src):
-            if _ratio_shaped(m.group(1)):
-                out.append((src, m.group(1)))
+        for arg in _round_first_args(src):
+            if _ratio_shaped(arg):
+                out.append((src, arg))
     return out
 
 
@@ -932,6 +1078,11 @@ _ROUNDED_RATIO_ALLOWED = {
     "lm_perplexity_filter",    # AVG arm: AVG(logp), logp = ln-based
                                # irrational addends (ln in the upstream
                                # column, outside the argument text)
+    "perplexity_threshold_sweep",  # AVG arm: the SAME F.avg(logp) site,
+                               # reached through lm_perplexity_filter via
+                               # the r15 closure walk (was ALLOWED r12-r13,
+                               # retired r14 when the one-hop scan lost
+                               # sight of it; the closure re-surfaces it)
     "hybrid_retrieval_rrf",        # 1.0-near-slash arm: 1/(60+rank), 61..80
     "hybrid_retrieval_rrf_pruned",  # denominators cannot terminate at digit 7
     "column_drift",            # near-slash arm: drift_z = |Δmean|/sd —
@@ -964,9 +1115,15 @@ def test_no_new_rounded_ratio_oracles():
     constants). A new name must convert to floor-form or argue its
     way into ALLOWED — and per the r13 ADVICE policy, a new ALLOWED
     entry must cite which marker fired and why the value is
-    continuous. Remaining out of scope: cross-module helpers and
-    strings built at runtime; the three-layout full-sweep hash
-    campaign stays the backstop for those."""
+    continuous. Since r15 the scan also follows CROSS-MODULE helpers
+    one level (`from X import y`, module-level or function-local —
+    the analysis.py -> ivf.py `_ordered_sum` precedent), with a
+    paren-balancing ROUND-argument extractor replacing the old
+    fixed-nesting-depth regex (r14 ADVICE: deeply nested arguments
+    escaped as false negatives). Remaining out of scope:
+    module-object attribute calls, hops past the first imported
+    helper, and strings built at runtime; the three-layout full-sweep
+    hash campaign stays the backstop for those."""
     registry._load_all()
     # Every entry here must argue its x cannot land on a terminating
     # half: x involves ln/stddev/sqrt/float-valued sums — boundary
@@ -1109,4 +1266,146 @@ def test_rounded_ratio_audit_sees_through_helpers_and_constants(tmp_path):
     )
     assert not _rounded_ratio_offending_sides(mod.clean, None), (
         "a clean function through a clean helper was falsely flagged"
+    )
+
+
+def test_round_arg_extractor_handles_deep_nesting():
+    """r14 ADVICE #3 pin: the old fixed-depth regex matched ROUND
+    first-arguments with ≤2 nested paren levels, so the advisor's
+    example ROUND(SUM(f(g(a)/h(b))), 4) escaped the audit as a false
+    negative. The paren-balancing extractor must pull the full
+    argument at ANY depth — and the historical regex, kept verbatim
+    here as the counter-exhibit, must demonstrably fail on it."""
+    deep = "SELECT ROUND(SUM(f(g(a) / h(COUNT(b)))), 4) AS r FROM t"
+    args = _round_first_args(deep)
+    assert args == ["SUM(f(g(a) / h(COUNT(b))))"]
+    assert _ratio_shaped(args[0])  # SUM and COUNT near the slash
+    old_pat = re.compile(
+        r"(?:F\s*\.\s*)?round\s*\(([^()]*(?:\([^()]*(?:\([^()]*\)"
+        r"[^()]*)*\)[^()]*)*?),\s*\d+\s*\)",
+        re.S | re.I,
+    )
+    old = [m.group(1) for m in old_pat.finditer(deep)]
+    assert args[0] not in old, (
+        "the historical regex now extracts depth-4 arguments — update "
+        "this pin (the counter-exhibit no longer demonstrates the bug)"
+    )
+    # five levels deep, Spark spelling
+    deeper = "F.round(F.sum(a(b(c(d(F.col('x')))) / F.count('*'))), 6)"
+    assert _round_first_args(deeper) == [
+        "F.sum(a(b(c(d(F.col('x')))) / F.count('*')))"
+    ]
+
+
+def test_round_arg_extractor_call_shape_guards():
+    """The extractor keeps the regex's call-shape pins: exactly two
+    top-level arguments with an integer-literal scale, and a word
+    boundary so lookalike identifiers don't fire."""
+    assert _round_first_args("WORKAROUND(SUM(a)/COUNT(b), 4)") == []
+    assert _round_first_args("my_round(SUM(a)/COUNT(b), 4)") == []
+    assert _round_first_args("ROUND(SUM(a)/COUNT(b))") == []      # no scale
+    assert _round_first_args("ROUND(a, b, 4)") == []              # 3 args
+    assert _round_first_args("ROUND(SUM(a)/COUNT(b), x)") == []   # non-int
+    assert _round_first_args("ROUND(SUM(a(b(c), 4)") == []        # unbalanced
+    # nested commas inside the first argument stay inside it
+    assert _round_first_args("ROUND(coalesce(a, b) / COUNT(*), 2)") == [
+        "coalesce(a, b) / COUNT(*)"
+    ]
+    # F.-prefixed and bare forms both extract
+    assert _round_first_args("F . round ( F.avg('x') , 4 )") == [" F.avg('x') "]
+
+
+def _import_fixture_pair(tmp_path, helper_name, helper_src, main_src):
+    """Write a HELPER module and a MAIN module that imports from it,
+    register the helper in sys.modules so the main module's top-level
+    `from helper import ...` executes, and return the main module —
+    the exact two-file shape a cross-module engine helper has."""
+    import importlib.util
+    import sys
+
+    hpath = tmp_path / f"{helper_name}.py"
+    hpath.write_text(helper_src)
+    hspec = importlib.util.spec_from_file_location(helper_name, hpath)
+    hmod = importlib.util.module_from_spec(hspec)
+    hspec.loader.exec_module(hmod)
+    sys.modules[helper_name] = hmod
+    try:
+        mpath = tmp_path / "audit_fixture_xmod_main.py"
+        mpath.write_text(main_src)
+        mspec = importlib.util.spec_from_file_location(
+            "audit_fixture_xmod_main", mpath
+        )
+        mmod = importlib.util.module_from_spec(mspec)
+        mspec.loader.exec_module(mmod)
+        return mmod
+    finally:
+        del sys.modules[helper_name]
+
+
+def test_rounded_ratio_audit_follows_cross_module_helpers(tmp_path):
+    """r14 verdict #4 done-criterion, the evades-old / caught-new
+    pair: a ROUND-over-ratio hidden inside a helper IMPORTED FROM
+    ANOTHER MODULE (a) was invisible to the r14 audit — the helper is
+    not in the importing module's def index, which was the only place
+    the old scan looked — and (b) FAILS the r15 audit, for both the
+    module-level and the function-local import style the engine
+    actually uses (pq.py vs analysis.py). A clean cross-module helper
+    must not be falsely flagged, and an imported SQL-string CONSTANT
+    is a scan side too."""
+    helper_src = (
+        "from pyspark.sql import functions as F\n"
+        "_XMOD_SQL = \"ROUND(SUM(chars) / COUNT(*), 4)\"\n"
+        "def _xmod_ratio(df):\n"
+        "    '''the ratio the one-module scan could not see.'''\n"
+        "    return df.agg(F.round(F.sum('x') / F.count('x'), 4))\n"
+        "def _xmod_clean(df):\n"
+        "    return df.select('x')\n"
+    )
+    mod = _import_fixture_pair(
+        tmp_path,
+        "audit_fixture_xmod_helpers",
+        helper_src,
+        "from audit_fixture_xmod_helpers import _XMOD_SQL, _xmod_clean, _xmod_ratio\n"
+        "def via_module_import(spark, sf_dir):\n"
+        "    return _xmod_ratio(spark.range(3).withColumnRenamed('id', 'x'))\n"
+        "def via_local_import(spark, sf_dir):\n"
+        "    from audit_fixture_xmod_helpers import _xmod_ratio as r\n"
+        "    return r(spark.range(3).withColumnRenamed('id', 'x'))\n"
+        "def via_imported_constant(spark, sf_dir):\n"
+        "    return spark.range(3).selectExpr(_XMOD_SQL)\n"
+        "def clean(spark, sf_dir):\n"
+        "    return _xmod_clean(spark.range(3).withColumnRenamed('id', 'x'))\n",
+    )
+    # -- evades-old: the helper is absent from the same-module def
+    #    index, the ONLY source set the r14 scan walked --
+    defs, consts, _ = _module_index(mod.via_module_import)
+    assert "_xmod_ratio" not in defs and "_XMOD_SQL" not in consts
+    # -- caught-new --
+    assert _rounded_ratio_offending_sides(mod.via_module_import, None), (
+        "a cross-module ROUND-over-ratio helper (module-level import) "
+        "escaped the r15 one-hop-across-modules scan"
+    )
+    assert _rounded_ratio_offending_sides(mod.via_local_import, None), (
+        "a cross-module ROUND-over-ratio helper (function-local import, "
+        "the analysis.py style) escaped the scan"
+    )
+    assert _rounded_ratio_offending_sides(mod.via_imported_constant, None), (
+        "an imported ROUND-over-ratio SQL-string constant escaped the scan"
+    )
+    assert not _rounded_ratio_offending_sides(mod.clean, None), (
+        "a clean function through a clean cross-module helper was flagged"
+    )
+
+
+def test_cross_module_hop_covers_the_live_ordered_sum_precedent():
+    """The motivating live site: analysis.py's `_bm25_scored` imports
+    `_ordered_sum` from ivf.py inside the function body. The scan
+    sides for bm25_topk must now include ivf's `_ordered_sum` source
+    (its array_sort fold) — the audit watches the actual cross-module
+    hot-path math, not just fixtures."""
+    registry._load_all()
+    sides = _spark_scan_sides(registry._REGISTRY["bm25_topk"].fn)
+    assert any("array_sort" in s and "def _ordered_sum" in s for s in sides), (
+        "ivf._ordered_sum's source is not among bm25_topk's scan sides — "
+        "the cross-module hop lost the live precedent it was built for"
     )

@@ -80,7 +80,14 @@ def project_window(order, fresh, active_pins, budget=50):
         set(active_pins) | set(unevidenced) | set(overdue),
         key=lambda n: pos[n],
     )
-    waiters = [n for n in demand if pos[n] >= budget]
+    # r14 ADVICE: derive waiters FROM demand so the two readings can
+    # never disagree — `demand[budget:]` is the queries that miss the
+    # window by the same arithmetic that computes `overrun`. (The old
+    # `pos[n] >= budget` sweep-order test agreed only while mandatory
+    # demand was a strict prefix of _sweep_order; a tier-scheme change
+    # could have let the overrun==0 assert pass while named waiters
+    # existed, or vice versa.)
+    waiters = demand[budget:]
     return {
         "budget": budget,
         "cycle": cycle,
