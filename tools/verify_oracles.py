@@ -10,6 +10,7 @@ floats canonicalized). Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import traceback
 
@@ -49,6 +50,13 @@ def run_sweep(spark, sf_dir: str, only: set[str] | None = None) -> list[str]:
     comparison under a deliberately perturbed session."""
     only = only or set()
     con = duckdb.connect()
+    # ORACLE_THREADS: environment-epoch drill knob (r14 verdict #6) —
+    # run the whole oracle side single-threaded (or any thread count)
+    # to measure sensitivity to DuckDB's parallel morsel folds. The
+    # driver's own gate runs at the library default.
+    threads = os.environ.get("ORACLE_THREADS")
+    if threads:
+        con.sql(f"SET threads={int(threads)}")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
 
