@@ -38,8 +38,17 @@ from etl_knlp_spark.catalog import TABLES, table_path  # noqa: E402
 from verify_oracles import value_hash  # noqa: E402  (same canon as the gate)
 
 
-def probe(sf_dir: str, runs: int, only: set[str]) -> dict[str, dict]:
-    oracles = registry.all_oracles()
+def probe(
+    sf_dir: str,
+    runs: int,
+    only: set[str],
+    oracles: dict[str, str] | None = None,
+) -> dict[str, dict]:
+    """`oracles` defaults to the live registry; tests inject a tiny
+    dict to prove the probe BITES on a genuinely nondeterministic
+    oracle (see tests/test_oracle_probe.py)."""
+    if oracles is None:
+        oracles = registry.all_oracles()
     results: dict[str, dict] = {}
     for name in sorted(oracles):
         if only and name not in only:
