@@ -62,3 +62,28 @@ def test_tws_available_tracks_protobuf_exactly():
         assert tws_available()
     except ImportError:
         assert not tws_available()
+
+
+def test_duckdb_oracle_determinism_epoch_is_verified():
+    """r15 (r14 verdict #3/#6): the oracle-side determinism evidence —
+    all 300 oracles stable over 5 runs at sf0.01 plus a threads=1
+    cross-check, the 28-query float-fold shortlist likewise at sf0.1
+    (BASELINE.md r15) — was measured ON duckdb 1.0.0. DuckDB's
+    parallel float folds are measurably run-order-dependent above
+    morsel scale (26 distinct SUM bit patterns in 40 runs at 10M
+    rows), and list_*/sort semantics can move between releases, so a
+    version flip INVALIDATES that evidence rather than inheriting it.
+    The version-flip drill itself is impossible in this container (no
+    network: `pip download duckdb==1.1.3` fails at DNS — receipt in
+    BASELINE.md r15), which is exactly why the flip must be loud: if
+    this assert fires, re-run tools/oracle_determinism_probe.py (full
+    registry at sf0.01, shortlist at sf0.1) and move this pin in the
+    same commit."""
+    import duckdb
+
+    assert duckdb.__version__ == "1.0.0", (
+        f"duckdb moved to {duckdb.__version__}: the r15 oracle-side "
+        "determinism sweep no longer describes this environment — "
+        "re-run tools/oracle_determinism_probe.py and update this pin "
+        "with the new measurement"
+    )
