@@ -120,18 +120,106 @@ def test_decode_media_routes_gif():
     assert (arr2 == arr).all()
 
 
-def test_pillow_conformance_if_available():
-    """External-implementation check (the BPE both-wrong lesson):
-    where pillow exists, its independent LZW decoder must read our
-    encoder's output identically. Skips cleanly in containers
-    without PIL."""
-    PIL = pytest.importorskip("PIL.Image")
-    import io
+def _ref_lzw_gif(data: bytes, mcs: int) -> bytes:
+    """Reference GIF-LZW decoder written independently from the spec
+    (GIF89a appendix F): dict-based table (the production decoder is
+    list-based), explicit LSB-first bit cursor, late width change
+    (width grows when the table reaches 2^width, capped at 12). Kept
+    deliberately different in structure from multimodal._lzw_decode so
+    a shared misconception cannot hide (r14 verdict #8: promote the
+    PIL-gated cross-check to an always-running reference decode)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    total = len(data) * 8
+    bitpos = 0
 
+    def read(width):
+        nonlocal bitpos
+        if bitpos + width > total:
+            return None
+        v = 0
+        for k in range(width):
+            if data[(bitpos + k) >> 3] & (1 << ((bitpos + k) & 7)):
+                v |= 1 << k
+        bitpos += width
+        return v
+
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code, width = eoi + 1, mcs + 1
+    out, prev = bytearray(), None
+    while True:
+        code = read(width)
+        if code is None or code == eoi:
+            return bytes(out)
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code, width, prev = eoi + 1, mcs + 1, None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("reference decoder: bad LZW code")
+        out += entry
+        prev = entry
+        if next_code == (1 << width) and width < 12:
+            width += 1
+
+
+def _ref_decode_gif_row(body: bytes) -> bytes:
+    """Independent minimal GIF89a container walk for the 1-row test
+    shape: header + LSD (+GCT) + extensions skipped + image
+    descriptor + sub-block reassembly, then the reference LZW."""
+    assert body[:6] in (b"GIF89a", b"GIF87a")
+    w = int.from_bytes(body[6:8], "little")
+    flags = body[10]
+    pos = 13
+    if flags & 0x80:  # global color table present
+        pos += 3 * (2 << (flags & 0x07))
+    while body[pos] == 0x21:  # extensions: label + sub-blocks
+        pos += 2
+        while body[pos]:
+            pos += body[pos] + 1
+        pos += 1
+    assert body[pos] == 0x2C
+    pos += 10  # image descriptor (no local color table in this shape)
+    mcs = body[pos]
+    pos += 1
+    lzw = bytearray()
+    while body[pos]:
+        n = body[pos]
+        lzw += body[pos + 1 : pos + 1 + n]
+        pos += n + 1
+    return _ref_lzw_gif(bytes(lzw), mcs)[:w]
+
+
+def test_independent_reference_decode_conformance():
+    """External-implementation check (the BPE both-wrong lesson),
+    ALWAYS running: a spec-derived reference decoder — different data
+    structures, different bit cursor, written against GIF89a appendix
+    F rather than the production code — must read the production
+    encoder's output identically, and must agree with the production
+    decoder. Where pillow exists its LZW decoder is cross-checked too
+    (strictly more coverage, never fewer tests — the r14 gate
+    direction)."""
     rng = random.Random(3)
     data = bytes(rng.randrange(256) for _ in range(4096))
-    img = PIL.open(io.BytesIO(_encode_gif_gray(data)))
-    got = np.asarray(img.convert("RGB"))
+    body = _encode_gif_gray(data)
+    assert _ref_decode_gif_row(body) == data
+    assert bytes(_decode_gif(body)[0, :, 0]) == data
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return  # reference decode above already ran — no skip
+    got = np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
     assert bytes(got[0, :, 0]) == data
 
 

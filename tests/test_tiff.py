@@ -83,18 +83,110 @@ def test_decode_media_routes_tiff():
     assert (arr2 == arr).all()
 
 
-def test_pillow_conformance_if_available():
-    import pytest
+def _ref_lzw_tiff(data: bytes) -> bytes:
+    """Reference TIFF-LZW decoder written independently from the spec
+    (TIFF 6.0 §13): dict-based table, explicit MSB-first bit cursor,
+    EARLY code-width change (width grows when the NEXT entry would be
+    2^width - 1). Structurally different from the production
+    multimodal._lzw_decode_tiff so a shared misconception cannot hide
+    (r14 verdict #8)."""
+    clear, eoi = 256, 257
+    total = len(data) * 8
+    bitpos = 0
 
-    PIL = pytest.importorskip("PIL.Image")
-    import io
+    def read(width):
+        nonlocal bitpos
+        if bitpos + width > total:
+            return None
+        v = 0
+        for k in range(width):
+            v = (v << 1) | (
+                (data[(bitpos + k) >> 3] >> (7 - ((bitpos + k) & 7))) & 1
+            )
+        bitpos += width
+        return v
 
-    import numpy as np
+    table = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    out, prev = bytearray(), None
+    while True:
+        code = read(width)
+        if code is None or code == eoi:
+            return bytes(out)
+        if code == clear:
+            table = {i: bytes([i]) for i in range(256)}
+            next_code, width, prev = 258, 9, None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("reference decoder: bad TIFF LZW code")
+        out += entry
+        prev = entry
+        if next_code == (1 << width) - 1 and width < 12:  # early change
+            width += 1
 
+
+def _ref_decode_tiff_row(body: bytes) -> bytes:
+    """Independent minimal little-endian IFD walk for the
+    single-strip gray8 test shape: read width/compression/predictor/
+    strip location straight from the tag table, reference-LZW if
+    compression=5, undo horizontal differencing if predictor=2."""
+    import struct
+
+    assert body[:4] == b"II*\x00"
+    (ifd,) = struct.unpack_from("<I", body, 4)
+    (n,) = struct.unpack_from("<H", body, ifd)
+    tags = {}
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from("<HHI", body, ifd + 2 + 12 * i)
+        off = ifd + 2 + 12 * i + 8
+        val = (
+            struct.unpack_from("<I", body, off)[0]
+            if typ == 4
+            else struct.unpack_from("<H", body, off)[0]
+        )
+        tags[tag] = val
+    w, comp = tags[256], tags.get(259, 1)
+    strip = body[tags[273] : tags[273] + tags[279]]
+    px = _ref_lzw_tiff(strip)[:w] if comp == 5 else strip[:w]
+    if tags.get(317, 1) == 2:  # undo horizontal differencing mod 256
+        acc, out = 0, bytearray()
+        for b in px:
+            acc = (acc + b) % 256
+            out.append(acc)
+        px = bytes(out)
+    return px
+
+
+def test_independent_reference_decode_conformance():
+    """External-implementation check, ALWAYS running (no PIL skip): a
+    spec-derived reference decoder must read the production encoder's
+    LZW+predictor output identically, and agree with the production
+    decoder. Pillow is cross-checked additionally when importable —
+    more tests, never fewer (the r14 gate direction)."""
     rng = random.Random(3)
     data = bytes(rng.randrange(256) for _ in range(4096))
-    img = PIL.open(io.BytesIO(_encode_tiff_gray8(data, lzw=True, predictor=True)))
-    got = np.asarray(img)
+    body = _encode_tiff_gray8(data, lzw=True, predictor=True)
+    assert _ref_decode_tiff_row(body) == data
+    arr = _decode_tiff(body)
+    assert bytes(arr.reshape(-1)[: len(data)]) == data
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+    except ImportError:
+        return  # reference decode above already ran — no skip
+    got = np.asarray(Image.open(io.BytesIO(body)))
     assert bytes(got.reshape(-1)) == data
 
 
