@@ -627,7 +627,44 @@ def exact_discrete_quantile(
         if c <= exact_threshold:
             rows = cur.orderBy("x").limit(k).agg(F.max("x")).collect()
             return float(rows[0][0])
+        if mx - mn == float("inf"):
+            # the slice spans more than ~1.8e308, so BOTH the width
+            # and the bucket numerator (x - mn) overflow under ANSI
+            # (r15: castingCauseOverflowError on floor(inf).cast int).
+            # One exact midpoint-split round instead: mid = mn/2+mx/2
+            # is finite and representable, the rank bookkeeping is
+            # integer-exact, and the next round's span is finite.
+            mid = mn / 2 + mx / 2
+            lessc = cur.filter(F.col("x") < mid).count()
+            if k <= lessc:
+                cur = cur.filter(F.col("x") < mid).localCheckpoint(eager=False)
+            else:
+                k -= lessc
+                cur = cur.filter(F.col("x") >= mid).localCheckpoint(eager=False)
+            continue
         width = (mx - mn) / buckets
+        if width == 0.0:
+            # (mx - mn) / buckets underflowed: the slice spans fewer
+            # than ~buckets representable doubles (r15 hypothesis
+            # find: a subnormal-width slice turned the bucket
+            # expression into an ANSI divide-by-zero; with ANSI off it
+            # would have been a silent NULL bucket — worse). Bucket by
+            # EXACT VALUE instead: ≤ ~buckets distinct doubles can
+            # exist in the slice, so this is the same ≤B-row driver
+            # sync as a histogram round, and it resolves the rank
+            # directly.
+            vrows = (
+                cur.groupBy("x")
+                .agg(F.count(F.lit(1)).alias("ct"))
+                .orderBy("x")
+                .collect()
+            )
+            cum = 0
+            for r in vrows:
+                cum += r["ct"]
+                if cum >= k:
+                    return float(r["x"])
+            return float(vrows[-1]["x"])
         b = F.least(
             F.floor((F.col("x") - F.lit(mn)) / F.lit(width)).cast("int"),
             F.lit(buckets - 1),
@@ -727,7 +764,40 @@ def weighted_discrete_quantile(
                 if cum >= target:
                     return float(r["x"])
             return float(rows[-1]["x"])
+        if mx - mn == float("inf"):
+            # overflowing span — same exact midpoint-split round as
+            # exact_discrete_quantile, with weight bookkeeping
+            mid = mn / 2 + mx / 2
+            less_w = (
+                cur.filter(F.col("x") < mid)
+                .agg(F.sum("w").alias("ws"))
+                .collect()[0]["ws"]
+            )
+            less_w = float(less_w or 0.0)
+            if target <= less_w:
+                cur = cur.filter(F.col("x") < mid).localCheckpoint(eager=False)
+            else:
+                target -= less_w
+                cur = cur.filter(F.col("x") >= mid).localCheckpoint(eager=False)
+            continue
         width = (mx - mn) / buckets
+        if width == 0.0:
+            # subnormal-width slice (r15 hypothesis find, see
+            # exact_discrete_quantile): bucket by exact value — the
+            # slice holds ≤ ~buckets representable doubles, so the
+            # weight walk resolves directly in one ≤B-row sync
+            vrows = (
+                cur.groupBy("x")
+                .agg(F.sum("w").alias("ws"))
+                .orderBy("x")
+                .collect()
+            )
+            cum = 0.0
+            for r in vrows:
+                cum += float(r["ws"])
+                if cum >= target:
+                    return float(r["x"])
+            return float(vrows[-1]["x"])
         b = F.least(
             F.floor((F.col("x") - F.lit(mn)) / F.lit(width)).cast("int"),
             F.lit(buckets - 1),

@@ -246,8 +246,15 @@ _STALE_SINCE: dict[str, int] = {
     # memory instead of a whole-partition applyInPandas keyed on
     # spark_partition_id — contract columns verified at both SFs
     # under default AND hostile layouts.)
-    "quantile_iterative": 11,
-    "token_weighted_quantile": 11,
+    # bars moved 11 → 15: the r15 hypothesis find — a refinement
+    # slice spanning one subnormal ulp underflowed width to 0.0
+    # (ANSI divide-by-zero; silent NULL bucket pre-ANSI), and a
+    # ±huge slice overflowed both width and the bucket numerator.
+    # Fixed with a value-grouped endgame + an exact midpoint-split
+    # round; graded-data results unchanged, but the helpers' code
+    # moved so the evidence bar moves with it.
+    "quantile_iterative": 15,
+    "token_weighted_quantile": 15,
     "mg_heavy_hitters": 11,
     "mmr_rerank": 9,
     "join_interval_overlap": 9,

@@ -256,6 +256,89 @@ def test_weighted_quantile_matches_sorted_cumsum(spark):
             assert got == want, (p, got, want)
 
 
+def test_quantile_subnormal_width_slice_resolves_exactly(spark):
+    """r15 hypothesis find, pinned to BITE: a refinement slice whose
+    span is a single ulp at the bottom of the subnormal range makes
+    `width = (mx - mn) / buckets` underflow to 0.0 — under Spark 4's
+    default ANSI mode the bucket expression then raises
+    DIVIDE_BY_ZERO (with ANSI off it would be a silent NULL bucket
+    and a WRONG quantile, which is worse). The pre-fix code fails
+    this test on the very first round: mn=0.0, mx=5e-324,
+    width = 5e-324/4 → 0.0. The fix buckets the ≤~buckets
+    representable doubles of such a slice by exact value — same
+    ≤B-row driver sync, exact rank resolution."""
+    import math
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.stats import (
+        exact_discrete_quantile,
+        weighted_discrete_quantile,
+    )
+
+    tiny = 5e-324  # min positive subnormal double (one ulp above 0.0)
+    vals = [0.0] * 4 + [tiny] * 4
+    df = spark.createDataFrame([Row(x=v) for v in vals])
+    s = sorted(vals)
+    for q in (0.25, 0.5, 0.75, 1.0):
+        want = s[max(1, math.ceil(q * len(s))) - 1]
+        got = exact_discrete_quantile(df, "x", q, buckets=4, exact_threshold=2)
+        assert got == want, (q, got, want)
+
+    wdf = spark.createDataFrame([Row(x=v, w=3) for v in vals])
+    for p in (0.25, 0.75):
+        cum, want = 0, s[-1]
+        for v in s:
+            cum += 3
+            if cum >= p * 3 * len(s):
+                want = v
+                break
+        got = weighted_discrete_quantile(
+            wdf, "x", "w", p, buckets=4, exact_threshold=2
+        )
+        assert got == want, (p, got, want)
+
+
+def test_quantile_overflowing_range_resolves_exactly(spark):
+    """The sibling guard: a slice spanning ±huge makes mx - mn
+    overflow to inf — the width becomes inf AND the bucket numerator
+    x - mn overflows (ANSI: floor(inf) cast to int raises
+    CAST_OVERFLOW; pre-ANSI it silently stalled in bucket 0). The fix
+    spends one exact midpoint-split round (mn/2 + mx/2 is finite and
+    the rank/weight bookkeeping is exact), after which the span is
+    finite and the histogram resumes."""
+    import math
+
+    from pyspark.sql import Row
+
+    from etl_knlp_spark.operators.stats import (
+        exact_discrete_quantile,
+        weighted_discrete_quantile,
+    )
+
+    big = 1.6e308
+    vals = [-big, -big / 2, -1.0, 0.0, 1.0, big / 2, big, big] * 2
+    df = spark.createDataFrame([Row(x=v) for v in vals])
+    s = sorted(vals)
+    for q in (0.25, 0.5, 0.875):
+        want = s[max(1, math.ceil(q * len(s))) - 1]
+        got = exact_discrete_quantile(df, "x", q, buckets=4, exact_threshold=2)
+        assert got == want, (q, got, want)
+
+    wdf = spark.createDataFrame([Row(x=v, w=2) for v in vals])
+    for p in (0.25, 0.625):
+        cum, want = 0, s[-1]
+        for v in s:
+            cum += 2
+            if cum >= p * 2 * len(s):
+                want = v
+                break
+        got = weighted_discrete_quantile(
+            wdf, "x", "w", p, buckets=4, exact_threshold=2
+        )
+        assert got == want, (p, got, want)
+
+
 def test_fk_orphans_fires_on_planted_orphan(spark, tmp_path):
     """The audit must actually count orphans, not just emit zeros:
     plant a child row whose parent is missing."""
