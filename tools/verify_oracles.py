@@ -24,6 +24,28 @@ from etl_knlp_spark.catalog import TABLES, table_path  # noqa: E402
 from etl_knlp_spark.session import get_spark  # noqa: E402
 
 
+def _canon_obj(v):
+    """Order-PRESERVING canonical string for object-column values
+    (r15 comparator review): the old `str(sorted(v))` for lists would
+    have greened a wrong-ORDER array result (tokenize-style outputs
+    are order-semantic) — an unsoundness in the gate itself. Sets
+    stay sorted (unordered by definition); lists/tuples/ndarrays keep
+    their order and normalize to one spelling (Spark's toPandas
+    yields python lists, DuckDB's .df() yields ndarrays — equal
+    contents must hash equal); floats inside containers round to the
+    same 9dp as scalar float columns. No registered query returns a
+    container column today (verified over all 300 oracles at
+    sf0.001), so this changes no current hash — it closes the design
+    space for future ones."""
+    if isinstance(v, set) or type(v).__name__ == "frozenset":
+        return str(sorted(_canon_obj(x) for x in v))
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return str([_canon_obj(x) for x in v])
+    if isinstance(v, float):
+        return repr(round(v, 9))
+    return str(v)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -31,7 +53,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype(str)
         elif s.dtype == object:
-            df[c] = s.map(lambda v: str(sorted(v)) if isinstance(v, (list, set)) else str(v))
+            df[c] = s.map(_canon_obj)
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.round(9)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
