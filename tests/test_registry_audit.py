@@ -969,6 +969,43 @@ def _import_map(importing_file, trees, module_imports):
     return mapping
 
 
+def _module_alias_map(importing_file, trees, module_imports):
+    """local alias -> module FILE for `from <pkg> import <module> as
+    <alias>` imports (r15 second pass: the engine's live style is
+    `from . import similarity as _sim` in pq.py/ivf.py, whose
+    `_sim.ann_recall_contract(...)` calls are ast.Attribute accesses —
+    invisible to the Name-based scan). The imported name resolves as a
+    MODULE file rather than a function of the parent package."""
+    nodes = list(module_imports)
+    for t in trees:
+        nodes.extend(n for n in ast.walk(t) if isinstance(n, ast.ImportFrom))
+    mapping: dict = {}
+    for node in nodes:
+        for alias in node.names:
+            if alias.name == "*":
+                continue
+            sub = (f"{node.module}.{alias.name}" if node.module else alias.name)
+            target = _resolve_import_file(importing_file, sub, node.level)
+            if target is not None:
+                mapping[alias.asname or alias.name] = target
+    return mapping
+
+
+def _attrs_called_on(trees, aliases):
+    """alias -> set of attribute names accessed on it anywhere in the
+    scanned trees (covers calls and bare references)."""
+    out: dict = {a: set() for a in aliases}
+    for t in trees:
+        for n in ast.walk(t):
+            if (
+                isinstance(n, ast.Attribute)
+                and isinstance(n.value, ast.Name)
+                and n.value.id in out
+            ):
+                out[n.value.id].add(n.attr)
+    return out
+
+
 def _names_referenced(tree):
     """Every Name loaded anywhere in the tree (covers both helper
     calls and helpers/constants passed or formatted without a call)."""
@@ -995,9 +1032,13 @@ def _spark_scan_sides(fn) -> list:
     deep, plus the target module's string constants that helper uses.
     Precedent: analysis.py's hot-path score fold imports _ordered_sum
     from ivf.py, so cross-module math is a live pattern, not a
-    hypothetical. Still out of scope (documented, three-layout sweep
-    is the backstop): module-object attribute calls (`from . import
-    ivf; ivf.f(...)`) and hops PAST the first imported helper."""
+    hypothetical. An r15 second pass also follows MODULE-ALIAS
+    attribute calls one level (`from . import similarity as _sim;
+    _sim.f(...)` — the live ANN-contract style in pq.py/ivf.py).
+    Still out of scope (documented, three-layout sweep is the
+    backstop): plain `import pkg.mod` statements (unused in the
+    engine), hops PAST the first imported function, and strings built
+    at runtime."""
     try:
         own = ast.parse(textwrap.dedent(inspect.getsource(fn)))
     except (OSError, TypeError, SyntaxError):
@@ -1046,6 +1087,19 @@ def _spark_scan_sides(fn) -> list:
         elif orig in tconsts:
             # an imported SQL-string constant is itself a scan side
             sides.append(tconsts[orig])
+    # --- module-object attribute calls, one level (r15 second pass:
+    #     `from . import similarity as _sim; _sim.f(...)`) ---
+    mod_aliases = _module_alias_map(importing_file, scanned_trees, module_imports)
+    for alias, attrs in sorted(_attrs_called_on(scanned_trees, mod_aliases).items()):
+        tdefs, tconsts, _ = _module_index_path(mod_aliases[alias])
+        for attr in sorted(attrs):
+            if attr in tdefs:
+                node = ast.parse(ast.unparse(tdefs[attr]))
+                sides.append(ast.unparse(_strip_docstrings(node)))
+                tref = _names_referenced(node)
+                sides.extend(tconsts[c] for c in sorted(tref) if c in tconsts)
+            elif attr in tconsts:
+                sides.append(tconsts[attr])
     return sides
 
 
@@ -1395,6 +1449,71 @@ def test_rounded_ratio_audit_follows_cross_module_helpers(tmp_path):
     assert not _rounded_ratio_offending_sides(mod.clean, None), (
         "a clean function through a clean cross-module helper was flagged"
     )
+
+
+def test_rounded_ratio_audit_follows_module_alias_attribute_calls(tmp_path):
+    """r15 second pass: a ROUND-over-ratio reached through a MODULE
+    ALIAS (`from . import helpers as H; H._ratio(df)` — the engine's
+    live `_sim` style) (a) evades the named-import hop: the attribute
+    access is not a Name load, so `_ratio` never enters the reference
+    set; (b) FAILS the extended audit. Clean attribute calls stay
+    clean."""
+    import importlib
+
+    pkg = tmp_path / "auditpkg_alias"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "helpers.py").write_text(
+        "from pyspark.sql import functions as F\n"
+        "def _alias_ratio(df):\n"
+        "    return df.agg(F.round(F.sum('x') / F.count('x'), 4))\n"
+        "def _alias_clean(df):\n"
+        "    return df.select('x')\n"
+    )
+    (pkg / "main.py").write_text(
+        "from . import helpers as H\n"
+        "def via_alias(spark, sf_dir):\n"
+        "    return H._alias_ratio(spark.range(3).withColumnRenamed('id', 'x'))\n"
+        "def clean(spark, sf_dir):\n"
+        "    return H._alias_clean(spark.range(3).withColumnRenamed('id', 'x'))\n"
+    )
+    sys_path_added = str(tmp_path)
+    import sys as _sys
+
+    _sys.path.insert(0, sys_path_added)
+    try:
+        mod = importlib.import_module("auditpkg_alias.main")
+    finally:
+        _sys.path.remove(sys_path_added)
+    # evades the Name-based hops: the helper name is not referenced
+    defs, consts, _ = _module_index(mod.via_alias)
+    assert "_alias_ratio" not in defs
+    assert "_alias_ratio" not in _names_referenced(
+        ast.parse(textwrap.dedent(inspect.getsource(mod.via_alias)))
+    )
+    # caught by the module-alias extension
+    assert _rounded_ratio_offending_sides(mod.via_alias, None), (
+        "a module-alias attribute call hiding F.round(F.sum/F.count, 4) "
+        "escaped the r15 audit extension"
+    )
+    assert not _rounded_ratio_offending_sides(mod.clean, None), (
+        "a clean module-alias attribute call was falsely flagged"
+    )
+
+
+def test_module_alias_hop_covers_the_live_sim_precedent():
+    """The motivating live sites: pq.py/ivf.py import `from . import
+    similarity as _sim` and the four ANN contract queries call
+    `_sim.ann_recall_contract(...)`. Their scan sides must now include
+    that function's source — the audit watches the actual
+    module-alias hot path, not just fixtures."""
+    registry._load_all()
+    for q in ("similarity_pq", "similarity_ivf"):
+        sides = _spark_scan_sides(registry._REGISTRY[q].fn)
+        assert any("def ann_recall_contract" in s for s in sides), (
+            f"{q}: similarity.ann_recall_contract is not among the scan "
+            "sides — the module-alias hop lost the live precedent"
+        )
 
 
 def test_cross_module_hop_covers_the_live_ordered_sum_precedent():
