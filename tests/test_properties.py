@@ -61,6 +61,12 @@ quantile_vals = st.lists(
     st.one_of(
         st.integers(-50, 50).map(lambda i: i / 10.0),  # decimal grid: many
         st.floats(-5, 5, allow_nan=False, allow_infinity=False),
+        # r15: the full finite double line, subnormals included — the
+        # width-underflow (subnormal one-ulp slice) and span-overflow
+        # (±huge) classes found this round stay under permanent fuzz
+        st.floats(
+            allow_nan=False, allow_infinity=False, allow_subnormal=True
+        ),
     ),
     min_size=20,
     max_size=60,
