@@ -94,6 +94,47 @@ def test_histogram_quantile_equals_sorted_order_statistic(spark, vals, q):
     assert got == want, (got, want, sorted(vals))
 
 
+weighted_quantile_rows = st.lists(
+    st.tuples(
+        st.one_of(
+            st.integers(-50, 50).map(lambda i: i / 10.0),
+            st.floats(
+                allow_nan=False, allow_infinity=False, allow_subnormal=True
+            ),
+        ),
+        st.integers(1, 40),
+    ),
+    min_size=15,
+    max_size=50,
+)
+
+
+@given(rows=weighted_quantile_rows, p=st.sampled_from([0.25, 0.5, 0.875]))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_weighted_quantile_equals_sorted_cumsum_property(spark, rows, p):
+    """The weighted sibling of the histogram property, over the full
+    finite double line (r15: the width-underflow and span-overflow
+    guards live in BOTH refinements — both stay under fuzz). Oracle:
+    smallest value whose cumulative weight reaches p·total in sorted
+    order; integer weights keep the python-side cumsum exact."""
+    from etl_knlp_spark.operators.stats import weighted_discrete_quantile
+
+    df = spark.createDataFrame(rows, "x double, w long")
+    total = sum(w for _, w in rows)
+    s = sorted(rows)
+    target = p * total
+    cum, want = 0, s[-1][0]
+    for v, w in s:
+        cum += w
+        if cum >= target:
+            want = v
+            break
+    got = weighted_discrete_quantile(
+        df, "x", "w", p, buckets=4, exact_threshold=4, max_rounds=64
+    )
+    assert got == want, (p, got, want)
+
+
 # ------------------------------------------------------------- salted agg
 
 rows = st.lists(
