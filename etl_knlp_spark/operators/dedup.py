@@ -120,7 +120,25 @@ def ngram_jaccard_pairs(
     # join and the groupBy key; joining sizes onto the AGGREGATED pair
     # set touches far fewer rows (measured ~15% faster at sf0.1, and
     # the gap widens with postings-per-doc at scale).
-    a = kept.select("lang", "gh", F.col("doc_id").alias("doc_a"))
+    # FAN-OUT PARALLELISM (r15 optimization, guide §2.5): the pair
+    # join expands ~36× (measured sf0.1: 256k postings → 9.4M join
+    # rows), but AQE sizes the streamed side's partitions by INPUT
+    # bytes (parallelismFirst floors at minPartitionSize=1MB), so the
+    # ~5MB checkpointed posting stream coalesced to 3 partitions and
+    # the pair-generation stage ran 9.9s of task time on 3 tasks while
+    # 29 cores idled (event-log profile, r15). Re-keying the streamed
+    # side on the join key at the session's shuffle parallelism fixes
+    # the expansion stage's task count. Cost: one exchange of thin
+    # 24-byte rows. At corpus scale it is FREE — hashpartitioning on
+    # (lang, gh) at shuffle.partitions is exactly the distribution a
+    # non-broadcast self-join requires of this side, so the exchange
+    # that today buys local parallelism becomes the join's own shuffle
+    # (no added exchange in the SMJ/SHJ regime). Parallelism comes
+    # from the session (shuffle.partitions), never a constant.
+    n_part = int(kept.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = kept.repartition(n_part, "lang", "gh").select(
+        "lang", "gh", F.col("doc_id").alias("doc_a")
+    )
     b = kept.select("lang", "gh", F.col("doc_id").alias("doc_b"))
     shared = (
         a.join(b, ["lang", "gh"])
