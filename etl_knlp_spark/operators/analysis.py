@@ -863,6 +863,94 @@ def _bm25_postings(docs: DataFrame, terms=None):
     return tf, stats
 
 
+def _bm25_contrib(tf_col, dl_col, df_col):
+    """The BM25 per-term contribution idf(df) · sat(tf, dl) as a column
+    expression referencing broadcast `n_docs`/`avgdl` columns — ONE
+    source of truth for the FP evaluation order (r15 optimization): the
+    probe path (`_bm25_scored`, postings-table fold) and the scan path
+    (`_bm25_scored_scan`, per-doc term-count fold) must produce
+    bit-identical doubles before ROUND(s, 6), or the shared-oracle
+    contract between `bm25_topk` and `bm25_pruned` breaks at a
+    6-decimal half boundary."""
+    idf = F.log(
+        (F.col("n_docs") - df_col + 0.5) / (df_col + 0.5) + 1.0
+    )
+    tf_sat = (
+        tf_col
+        * (_BM25_K1 + 1.0)
+        / (tf_col + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl_col / F.col("avgdl")))
+    )
+    return idf * tf_sat
+
+
+def _bm25_scored_scan(docs: DataFrame, terms) -> DataFrame:
+    """Scan-path BM25 scoring with NO postings shuffle (r15
+    optimization, guide §2.3/§2.4 — aggregate before you shuffle,
+    then remove the shuffle outright).
+
+    The previous scan path exploded the token stream, shuffled the
+    filtered postings into a (doc_id, term) tf aggregate, broadcast a
+    per-term df aggregate OVER that tf table, and then shuffled again
+    for the per-doc score fold (`_ordered_sum`) — two exchanges plus
+    three broadcast-build jobs, and the corpus was tokenized twice
+    (once for the (n_docs, avgdl) stats, once for the postings).
+
+    For a FIXED query term set the per-doc term counts are a map-side
+    projection: `size(filter(tokens, x -> x = term))` per term. That
+    makes everything downstream shuffle-free:
+
+    - ONE aggregate row carries n_docs, avgdl AND the per-term dfs
+      (df_t = Σ (c_t > 0)) — a single broadcast-build job where the
+      old plan ran stats + dfq as separate jobs;
+    - the score is a per-row expression over the broadcast row — the
+      (doc_id, term)-shuffle and the per-doc score shuffle are gone;
+    - the `_ordered_sum` layout pin becomes STRUCTURAL: contributions
+      add in sorted-term order inside one projection, so no shuffle
+      arrival order exists to pin. Absent terms contribute an exact
+      +0.0 (IEEE x + 0.0 == x for the strictly positive contribs),
+      so the fold is bit-identical to the probe path's ordered fold
+      over present terms only — pinned by
+      test_bm25_pruned_probes_only_query_term_buckets's equality.
+
+    At 100 TB: two corpus scans (stats pass + score pass, both
+    column-pruned to doc_id/text), zero corpus-sized exchanges. The
+    old plan shuffled every matching posting twice."""
+    terms_sorted = sorted(terms)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id", "t", F.size("t").cast("bigint").alias("dl")
+    )
+    def _eq(term):
+        # NOT a default-arg binding on the HOF lambda itself: a
+        # two-parameter lambda is PySpark's (element, index) form
+        return lambda x: x == F.lit(term)
+
+    counts = [
+        F.size(F.filter("t", _eq(term))).cast("bigint").alias(f"c_{i}")
+        for i, term in enumerate(terms_sorted)
+    ]
+    per_doc = base.select("doc_id", "dl", *counts)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"c_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(terms_sorted))
+        ],
+    )
+    matched = F.lit(False)
+    for i in range(len(terms_sorted)):
+        matched = matched | (F.col(f"c_{i}") > 0)
+    scored = per_doc.filter(matched).join(F.broadcast(stats))
+    s = F.lit(0.0)
+    for i in range(len(terms_sorted)):
+        s = s + F.when(
+            F.col(f"c_{i}") > 0,
+            _bm25_contrib(F.col(f"c_{i}"), F.col("dl"), F.col(f"df_{i}")),
+        ).otherwise(F.lit(0.0))
+    return scored.select("doc_id", F.round(s, 6).alias("bm25"))
+
+
 @query("bm25_topk", oracle=_BM25_ORACLE)
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval over the corpus for a fixed query term
@@ -871,18 +959,25 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25 variant: idf = ln((N-df+0.5)/(df+0.5)+1) with the k1/b
     saturation on tf and document-length normalization.
 
-    100 TB design: the explode is filtered to the query terms BEFORE
-    any shuffle, so only matching postings (|Q| terms' worth, not the
-    whole token stream) reach the (doc_id, term) aggregation; df and
-    the (N, avgdl) corpus stats are one-row/|Q|-row broadcasts; the
-    final top-k is TakeOrderedAndProject, never a global sort. Doc
-    length rides along the postings (functionally dependent on
-    doc_id) instead of a second corpus-wide join. Score rounded to
-    1e-6 on both engines: ln() is the one libm call whose last ULP
-    may differ between the JVM and DuckDB."""
+    100 TB design (r15 optimization): per-term counts are a map-side
+    projection (`_bm25_scored_scan` — no explode, no postings
+    shuffle), corpus stats + per-term dfs fuse into ONE broadcast
+    row, the score is a per-row expression, and the final top-k is
+    TakeOrderedAndProject, never a global sort. Zero corpus-sized
+    exchanges anywhere (the pre-r15 plan shuffled the matching
+    postings twice: the (doc_id, term) tf aggregate and the per-doc
+    score fold). Score rounded to 1e-6 on both engines: ln() is the
+    one libm call whose last ULP may differ between the JVM and
+    DuckDB. The index-probe twin (`bm25_pruned`) keeps the
+    postings-table fold; bit-identity of the two is pinned through
+    the shared `_bm25_contrib` expression and the probe test's
+    result-equality assertion."""
     docs = load_table(spark, sf_dir, "documents")
-    tf, stats = _bm25_postings(docs, _BM25_TERMS)
-    return _bm25_score(tf, stats)
+    return (
+        _bm25_scored_scan(docs, _BM25_TERMS)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
 
 
 def _bm25_scored(tf: DataFrame, stats: DataFrame) -> DataFrame:
@@ -906,23 +1001,17 @@ def _bm25_scored(tf: DataFrame, stats: DataFrame) -> DataFrame:
     the fix pins the SPARK fold against layout, which is the hazard
     the rounding contract names."""
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df_ct"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("df_ct") + 0.5) / (F.col("df_ct") + 0.5) + 1.0
-    )
-    tf_sat = (
-        F.col("tf")
-        * (_BM25_K1 + 1.0)
-        / (
-            F.col("tf")
-            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-        )
-    )
     from .ivf import _ordered_sum
 
+    # contribution expression shared with the scan path
+    # (`_bm25_contrib`) — the two paths must stay bit-identical
     scored = (
         tf.join(F.broadcast(dfq), "term")
         .join(F.broadcast(stats))
-        .withColumn("contrib", idf * tf_sat)
+        .withColumn(
+            "contrib",
+            _bm25_contrib(F.col("tf"), F.col("dl"), F.col("df_ct")),
+        )
         .groupBy("doc_id")
         .agg(_ordered_sum("term", "contrib").alias("s"))
     )
@@ -930,9 +1019,9 @@ def _bm25_scored(tf: DataFrame, stats: DataFrame) -> DataFrame:
 
 
 def _bm25_score(tf: DataFrame, stats: DataFrame, limit: int = 10) -> DataFrame:
-    """Top-k tail over `_bm25_scored` — used by both the scan path
-    and the index-probe path (TakeOrderedAndProject, never a global
-    sort)."""
+    """Top-k tail over `_bm25_scored` — the index-probe path's tail
+    (TakeOrderedAndProject, never a global sort). The scan path
+    (`bm25_topk`) uses `_bm25_scored_scan` since r15."""
     return (
         _bm25_scored(tf, stats)
         .orderBy(F.col("bm25").desc(), "doc_id")
@@ -1448,17 +1537,18 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`bm25_pruned`, `similarity_ivf_pruned`) without touching the
     combiner — rank lists are the stable interface."""
     docs = load_table(spark, sf_dir, "documents")
-    tf, stats = _bm25_postings(docs, _BM25_TERMS)
     from pyspark.sql import Window
 
     # depth-20 cut via orderBy+limit, rank attached over the
     # survivors (TakeOrderedAndProject — the same discipline as
     # bm25_topk's own tail; the replaced empty-partition-spec window
     # single-partition-sorted every scored doc). Identical rows and
-    # ranks under the total (bm25 desc, doc_id) order.
+    # ranks under the total (bm25 desc, doc_id) order. r15: the
+    # scoring subtree is the shuffle-free scan path
+    # (`_bm25_scored_scan`), same as bm25_topk.
     w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
     lex = (
-        _bm25_scored(tf, stats)
+        _bm25_scored_scan(docs, _BM25_TERMS)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_RRF_DEPTH)
         .withColumn("rank", F.row_number().over(w_lex))

@@ -113,7 +113,8 @@ _STALE_SINCE: dict[str, int] = {
     "mad_outlier": 5,
     # round 5 made max_df_abs=64 the production default (the frac-only
     # path measured 50x at the 10x probe) — pair set + oracle changed.
-    "dedup_ngram_jaccard": 5,
+    # ("dedup_ngram_jaccard" bar later moved 5 → 15: see the round-15
+    # block at the bottom of this dict.)
     # round 5 upgraded the ANN + hashed-dedup families from rows-only
     # to assertion-contract oracles — outputs changed shape entirely.
     # (similarity_ivf/_pruned and similarity_pq bars later moved
@@ -498,10 +499,29 @@ _STALE_SINCE: dict[str, int] = {
     # oracle mirrors with SUM(... ORDER BY tf.term), so the oracle
     # strings changed too. ln()'s cross-engine ULP drift remains
     # absorbed by the 1e-6 round, unchanged.
-    "bm25_topk": 14,
-    "bm25_pruned": 14,
-    "hybrid_retrieval_rrf": 14,
-    "hybrid_retrieval_rrf_pruned": 14,
+    # (the r14 bar for the four bm25/hybrid entries moved 14 → 15:
+    # see the round-15 block below.)
+    # round 15 (optimization round): plan-shape rewrites, outputs and
+    # oracles unchanged — the dedup_simhash r11 precedent. The
+    # rounding/ordering-sensitive surfaces moved, so prior evidence
+    # is conservatively invalidated:
+    # - dedup_ngram_jaccard: helper ngram_jaccard_pairs re-keys the
+    #   pair join's streamed side (fan-out parallelism; fn_md5 of the
+    #   registered query is blind to helper changes — hand bump).
+    # - bm25_topk / hybrid_retrieval_rrf: scan path now scores via
+    #   _bm25_scored_scan (map-side per-term counts, fused stats+df
+    #   broadcast, zero postings shuffles; sorted-term in-expression
+    #   fold replaces _ordered_sum — bit-identical by the +0.0
+    #   identity, see _bm25_scored_scan's docstring).
+    # - bm25_pruned / hybrid_retrieval_rrf_pruned: probe path's
+    #   contribution expression refactored into the shared
+    #   _bm25_contrib (same math, same FP order; helper-level change,
+    #   hand bump like the r14 ivf block above).
+    "dedup_ngram_jaccard": 15,
+    "bm25_topk": 15,
+    "bm25_pruned": 15,
+    "hybrid_retrieval_rrf": 15,
+    "hybrid_retrieval_rrf_pruned": 15,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

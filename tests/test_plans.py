@@ -248,19 +248,23 @@ def test_runtime_bloom_filter_injected(plans):
     assert get_spark().conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
 
 
-def test_bm25_filters_postings_before_shuffle_and_takes_topk(plans):
+def test_bm25_scan_path_has_no_corpus_shuffle(plans):
+    """r15 optimization pin: the scan-path BM25 scores via map-side
+    per-term counts (`_bm25_scored_scan`) — no posting explode, no
+    (doc_id, term) tf shuffle, no per-doc score shuffle. The only
+    exchanges are the ONE-ROW fused stats+df aggregate (SinglePartition
+    + its broadcast) and the TakeOrderedAndProject top-k heap. A
+    regression to the exploded-postings formulation reintroduces two
+    corpus-sized hash exchanges."""
     p = plans("bm25_topk")
     # top-k must be a bounded heap, never a global sort
     assert "TakeOrderedAndProject" in p
-    # the query-term predicate must sit on the exploded postings (below
-    # the first exchange), so only matching postings ever shuffle
-    import re
-
-    gen = re.search(r"Generate explode", p)
-    filt = re.search(r"term#\d+ IN \(", p)
-    assert gen and filt, "expected an explode and an isin posting filter"
-    # df and corpus stats re-enter as broadcasts — no shuffle join
-    assert "BroadcastHashJoin" in p
+    # no posting explode anywhere
+    assert "Generate" not in p
+    # ZERO hash-partitioned exchanges: nothing corpus-sized shuffles
+    assert p.count("Exchange hashpartitioning") == 0
+    # the fused one-row stats enter as a broadcast; no shuffle join
+    assert "BroadcastExchange" in p
     assert "SortMergeJoin" not in p
 
 

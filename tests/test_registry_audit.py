@@ -1518,13 +1518,16 @@ def test_module_alias_hop_covers_the_live_sim_precedent():
 
 def test_cross_module_hop_covers_the_live_ordered_sum_precedent():
     """The motivating live site: analysis.py's `_bm25_scored` imports
-    `_ordered_sum` from ivf.py inside the function body. The scan
-    sides for bm25_topk must now include ivf's `_ordered_sum` source
-    (its array_sort fold) — the audit watches the actual cross-module
-    hot-path math, not just fixtures."""
+    `_ordered_sum` from ivf.py inside the function body. Since the r15
+    optimization the SCAN path (bm25_topk) scores via the shuffle-free
+    `_bm25_scored_scan` (no `_ordered_sum` — the fold is structural),
+    so the live cross-module precedent is the PROBE path: bm25_pruned's
+    scan sides must include ivf's `_ordered_sum` source (its array_sort
+    fold) — the audit watches the actual cross-module hot-path math,
+    not just fixtures."""
     registry._load_all()
-    sides = _spark_scan_sides(registry._REGISTRY["bm25_topk"].fn)
+    sides = _spark_scan_sides(registry._REGISTRY["bm25_pruned"].fn)
     assert any("array_sort" in s and "def _ordered_sum" in s for s in sides), (
-        "ivf._ordered_sum's source is not among bm25_topk's scan sides — "
+        "ivf._ordered_sum's source is not among bm25_pruned's scan sides — "
         "the cross-module hop lost the live precedent it was built for"
     )
