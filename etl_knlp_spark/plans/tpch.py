@@ -107,9 +107,17 @@ def _sum_u_dec(u, divisor: float):
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered 3-way join → per-order revenue
-    → top-10. Filters push into all three scans; customer/orders
-    broadcast at this SF (SMJ at scale); TakeOrderedAndProject caps the
-    result without a global sort."""
+    → top-10. Filters push into all three scans; TakeOrderedAndProject
+    caps the result without a global sort.
+
+    r15 optimization (guide §3.1): the join tree is FACT-LEFT-DEEP —
+    lineitem is the streamed side of every join, orders/customer are
+    the build sides. The previous dim-first tree ((c⋈o)⋈li) made the
+    filtered FACT table the build-right side, so the local plan
+    broadcast lineitem (the biggest input) while streaming the dims;
+    at scale the equivalent hazard is shuffling the fact table into
+    the dim chain's partitioning twice. Inner joins commute: results
+    identical (same oracle hash)."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -118,8 +126,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg((F.sum(_rev_u()) / F.lit(10000.0)).alias("revenue"))
         .select(
@@ -148,18 +156,31 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join (region→nation→supplier→lineitem→
     orders→customer) with a local-supplier condition (customer and
-    supplier share a nation). The bounded dims broadcast; only
-    lineitem⋈orders is a real shuffle at scale."""
+    supplier share a nation).
+
+    r15 optimization (guide §3.1): the bounded dim chain
+    (region⋈nation⋈supplier, ≤|supplier| rows after the ASIA filter)
+    pre-joins into ONE build side and the FACT table streams through
+    every join. The previous dim-first left-deep tree accumulated the
+    dims on the streamed side, so each fact/dim join built its hash
+    relation over the BIGGER input — the local plan broadcast
+    lineitem, orders AND customer (5 broadcast builds, the largest
+    over the fact table itself). Now lineitem is never a build side
+    at any scale; orders/customer flip to shuffle joins under AQE at
+    real SFs while the dim chain stays a broadcast. Inner joins
+    commute: results identical (same oracle hash)."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    dims = s.join(
+        n.join(r, n.n_regionkey == r.r_regionkey),
+        s.s_nationkey == n.n_nationkey,
+    )
     return (
-        r.join(n, n.n_regionkey == r.r_regionkey)
-        .join(s, s.s_nationkey == n.n_nationkey)
-        .join(li, li.l_suppkey == s.s_suppkey)
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, (c.c_custkey == o.o_custkey) & (c.c_nationkey == s.s_nationkey))
         .groupBy("n_name")
@@ -187,14 +208,20 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer, top-20.
     The returnflag filter pushes into the lineitem scan (reads a
     fraction of the fact table); nation broadcast-decorates at the end.
-    """
+
+    r15 optimization (guide §3.1): fact-left-deep join tree — the
+    filtered lineitem streams, orders/customer/nation are build
+    sides. The previous dim-first tree ((c⋈o)⋈li) made the filtered
+    fact table the build-right side (broadcast locally, the wrong
+    side to materialize at any scale). Inner joins commute: results
+    identical (same oracle hash)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg((F.sum(_rev_u()) / F.lit(10000.0)).alias("revenue"))

@@ -305,12 +305,11 @@ _STALE_SINCE: dict[str, int] = {
     # margin is ~10 orders under the half-cent boundary by
     # construction (BASELINE.md round-11 note).
     "q9_product_profit": 11,
-    "q3_shipping_priority": 11,
-    "q5_nation_volume": 11,
+    # (q3/q5/q10 bars later moved 11 → 15: fact-left-deep join-tree
+    # rewrite, see the round-15 block at the bottom of this dict.)
     "q6_forecast_revenue": 11,
     "q7_nation_trade": 11,
     "q8_market_share": 11,
-    "q10_returned_items": 11,
     "q14_promo_share": 11,
     "q17_small_quantity": 11,
     "q19_disjunctive_filter": 11,
@@ -522,6 +521,14 @@ _STALE_SINCE: dict[str, int] = {
     "bm25_pruned": 15,
     "hybrid_retrieval_rrf": 15,
     "hybrid_retrieval_rrf_pruned": 15,
+    # - q3/q5/q10: join trees rewritten fact-left-deep (lineitem
+    #   streams, dims build — guide §3.1; the old dim-first trees
+    #   broadcast the fact table locally). Inner-join reorder only;
+    #   outputs and oracles unchanged, integer-unit revenue sums
+    #   untouched (bars move 11 → 15).
+    "q3_shipping_priority": 15,
+    "q5_nation_volume": 15,
+    "q10_returned_items": 15,
 }
 
 # Names that must reach the driver's next sweep ahead of everything
