@@ -544,8 +544,17 @@ def minhash_band_signatures(
             ).alias("h"),
         )
     )
+    # Explicit partition count (r15, guide §2.5 — same rationale as
+    # simhash_signatures): the post-exchange aggregate evaluates 32
+    # xxhash64 calls per shingle, so its cost is CPU-dense per input
+    # byte and AQE's byte-sized coalescing under-parallelizes it at
+    # small shuffle volumes; at corpus scale the exchange is above the
+    # coalescing floor and the pinned plan is unchanged.
     sig_tbl = (
-        exploded.repartition("doc_id")
+        exploded.repartition(
+            int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "doc_id",
+        )
         .groupBy("doc_id")
         .agg(
             *[
@@ -902,12 +911,22 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     partitions × lanes while the kept one is the flat token stream.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # Explicit partition count (r15 optimization, guide §2.5): the
+    # post-exchange stage is compute-dense per byte (distinct-token
+    # dedup + 33 aggregates + the interpreted reassembly fold), but a
+    # keyless-count repartition lets AQE re-coalesce by INPUT bytes —
+    # at bench scale the ~1.4MB compressed token stream collapsed to
+    # 1-2 tasks carrying ~0.8s of CPU while the rest of the machine
+    # idled. Pinning the session's shuffle parallelism disables the
+    # byte-blind coalesce; at corpus scale the exchange exceeds the
+    # coalescing floor anyway, so the pinned plan is the same plan.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     exploded = (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
         .filter(F.size("toks") >= 1)
         .select("doc_id", F.explode("toks").alias("tok"))
         .select("doc_id", F.xxhash64("tok").alias("h"))
-        .repartition("doc_id")
+        .repartition(n_part, "doc_id")
         # distinct-token voting: dedupe (doc, token-hash) before the
         # lane sums — partition-local after the doc_id repartition.
         .dropDuplicates(["doc_id", "h"])
