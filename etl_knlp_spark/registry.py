@@ -529,6 +529,12 @@ _STALE_SINCE: dict[str, int] = {
     "q3_shipping_priority": 15,
     "q5_nation_volume": 15,
     "q10_returned_items": 15,
+    # - q1_dimension_build: trailing DISTINCT elided (provably
+    #   redundant after the pre-join distinct + 1:1 PK joins; oracle
+    #   keeps SELECT DISTINCT as the loud backstop). Output multiset
+    #   verified identical at sf0.001/0.01/0.1; already sweep-pinned
+    #   for r15 (verdict item #1), so the bar moves with it.
+    "q1_dimension_build": 15,
 }
 
 # Names that must reach the driver's next sweep ahead of everything

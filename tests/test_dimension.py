@@ -97,6 +97,23 @@ def test_registry_importable_without_session():
     assert "ok" in out.stdout
 
 
+def test_flagship_rows_are_distinct_without_final_distinct(spark, sf_dir):
+    """r15 optimization invariant: the trailing DISTINCT was elided
+    because the pre-join distinct + 1:1 PK joins already make every
+    output row unique (plans/dimension.py). If orders/customer ever
+    stopped being unique on their join keys, the left joins would fan
+    out and the elision would emit duplicates the oracle's SELECT
+    DISTINCT drops — this pins the uniqueness engine-side, next to the
+    code that relies on it (the oracle hash comparison is the loud
+    backstop at every SF)."""
+    df = entry_mod.queries()["q1_dimension_build"](spark, sf_dir)
+    total = df.count()
+    assert total == df.distinct().count(), (
+        "q1_dimension_build emitted duplicate rows — the 1:1 join "
+        "invariant behind the elided final DISTINCT is violated"
+    )
+
+
 def test_with_identity_is_unique(spark):
     df = spark.range(10_000).select(F.col("id").alias("x"))
     out = with_identity(df.repartition(8))

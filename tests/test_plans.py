@@ -36,6 +36,12 @@ def test_flagship_prunes_columns_and_broadcasts_dims(plans):
     assert "struct<l_orderkey:bigint,l_returnflag:string>" in p
     # DISTINCT aggregates partially before its exchange
     assert p.count("HashAggregate") >= 2
+    # r15 optimization pin: the trailing DISTINCT is elided (the
+    # pre-join distinct + 1:1 PK joins make it provably redundant), so
+    # the only hash exchange left is the pre-join distinct's — a
+    # regression re-adding the final DISTINCT shuffles the whole
+    # dimension table a second time at 100 TB.
+    assert p.count("Exchange hashpartitioning") == 1
 
 
 def test_sort_limit_plans_as_top_k(plans):
