@@ -544,6 +544,17 @@ def minhash_band_signatures(
             ).alias("h"),
         )
     )
+    return _band_signatures_from_hashes(exploded)
+
+
+def _band_signatures_from_hashes(hashes: DataFrame) -> DataFrame:
+    """(doc_id, h) shingle-hash stream → (doc_id, band_idx, band_hash)
+    band table — the aggregate half of `minhash_band_signatures`,
+    split out (r15 optimization) so `minhash_candidates` can feed it
+    from the already-checkpointed shingle arrays instead of
+    re-tokenizing and re-shingling the corpus a second time. min() is
+    duplicate-insensitive, so the distinct arrays and the raw exploded
+    stream produce bit-identical signatures."""
     # Explicit partition count (r15, guide §2.5 — same rationale as
     # simhash_signatures): the post-exchange aggregate evaluates 32
     # xxhash64 calls per shingle, so its cost is CPU-dense per input
@@ -551,8 +562,8 @@ def minhash_band_signatures(
     # small shuffle volumes; at corpus scale the exchange is above the
     # coalescing floor and the pinned plan is unchanged.
     sig_tbl = (
-        exploded.repartition(
-            int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        hashes.repartition(
+            int(hashes.sparkSession.conf.get("spark.sql.shuffle.partitions")),
             "doc_id",
         )
         .groupBy("doc_id")
@@ -617,10 +628,18 @@ def minhash_candidates(
     # materialize each stream once; output bit-identical, 1.08× at
     # sf0.1 where fixed costs dominate, and the saving approaches 2×
     # of the signature build as the corpus grows.
+    #
+    # r15 optimization: the band signatures now derive FROM the
+    # checkpointed shingle arrays (explode of shingle_hashes) instead
+    # of re-running scan → tokenize → 3-gram-hash a second time via
+    # minhash_band_signatures(docs) — the corpus is read and shingled
+    # exactly once per run. min() is duplicate-insensitive, so
+    # signatures off the distinct arrays are bit-identical to the
+    # raw-stream build (pinned by test_dedup's signature equality).
     shingled = _shingle_sets(docs, text_col, id_col).localCheckpoint(eager=False)
-    banded = minhash_band_signatures(docs, text_col, id_col).localCheckpoint(
-        eager=False
-    )
+    banded = _band_signatures_from_hashes(
+        shingled.select("doc_id", F.explode("shingle_hashes").alias("h"))
+    ).localCheckpoint(eager=False)
     # Per-bucket pair cap (round-5 verdict #3): a bucket of m members
     # emits m·(m-1)/2 pairs — quadratic in duplicate MULTIPLICITY, so
     # a hostile corpus (100-way duplicate groups at the 100× probe)
