@@ -148,7 +148,13 @@ def kmeans_fit(
     this at real scale). Training runs on `training_sample(vectors,
     train_cap)` so iteration cost is bounded by the cap, not the
     corpus; callers assign the full corpus once against the result."""
-    train = training_sample(vectors, train_cap)
+    # The bounded (≤ train_cap rows) training sample is persisted so
+    # the init collect and each Lloyd iteration re-read cached batches
+    # instead of re-running scan → cast → hash-residue sample per pass
+    # (r15 optimization — the same discipline pq_train already applies
+    # to its subvector table; 5 iterations re-scanned the corpus 6×
+    # here). Values are unchanged: training_sample is deterministic.
+    train = training_sample(vectors, train_cap).persist()
     init = (
         train.orderBy("vec_id")
         .limit(k)
@@ -182,6 +188,7 @@ def kmeans_fit(
             [(r["cluster_id"], r["centroid"]) for r in new_rows],
             "cluster_id INT, centroid ARRAY<DOUBLE>",
         )
+    train.unpersist()
     return centroids
 
 
