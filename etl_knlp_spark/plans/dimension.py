@@ -65,14 +65,20 @@ def dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are 1:1 per row (o_orderkey / c_custkey are primary keys — the
     # same invariant the pre-join pushdown above already relies on),
     # so the joined rows are already distinct on all four columns and
-    # the trailing DISTINCT removed nothing while costing a full
-    # result-sized exchange + two hash aggregates — at 100 TB that
-    # exchange carries the whole dimension table. The ORACLE keeps
-    # SELECT DISTINCT, so the driver's row-count + hash comparison
-    # fails loudly if the uniqueness invariant is ever violated;
-    # test_pipeline pins the no-duplicate invariant engine-side too.
+    # the trailing DISTINCT removed nothing. What it cost: two extra
+    # HashAggregate passes over the full result (Catalyst had already
+    # elided the second EXCHANGE via subset-clustering reuse — the
+    # child is partitioned on (l_orderkey, l_returnflag), a subset of
+    # the distinct keys — but the partial+final aggregates still
+    # hashed every output row twice; and any plan change that breaks
+    # the clustering reuse would silently reintroduce a result-sized
+    # exchange at 100 TB). The ORACLE keeps SELECT DISTINCT, so the
+    # driver's row-count + hash comparison fails loudly if the
+    # uniqueness invariant is ever violated; test_dimension pins the
+    # no-duplicate invariant engine-side too.
     # Measured at sf0.1 (interleaved min-of-5): 1.50 → 1.19 s with the
-    # row multiset verified identical; plan 2 hash exchanges → 1.
+    # row multiset verified identical; plan 17 → 15 nodes (the two
+    # trailing HashAggregates gone — plans/r15/q1_dimension_build_*).
     return (
         li2.join(orders, li2.l_orderkey == orders.o_orderkey, "left")
         .join(cust, orders.o_custkey == cust.c_custkey, "left")

@@ -37,10 +37,13 @@ def test_flagship_prunes_columns_and_broadcasts_dims(plans):
     # DISTINCT aggregates partially before its exchange
     assert p.count("HashAggregate") >= 2
     # r15 optimization pin: the trailing DISTINCT is elided (the
-    # pre-join distinct + 1:1 PK joins make it provably redundant), so
-    # the only hash exchange left is the pre-join distinct's — a
-    # regression re-adding the final DISTINCT shuffles the whole
-    # dimension table a second time at 100 TB.
+    # pre-join distinct + 1:1 PK joins make it provably redundant).
+    # Exactly 2 HashAggregates remain (the pre-join distinct's
+    # partial+final) and exactly 1 hash exchange — a regression
+    # re-adding the final DISTINCT re-hashes every output row twice
+    # (and, if a plan change ever breaks the subset-clustering reuse,
+    # shuffles the whole dimension table a second time at 100 TB).
+    assert p.count("HashAggregate") == 2
     assert p.count("Exchange hashpartitioning") == 1
 
 
