@@ -19,9 +19,13 @@ SHOWCASE = {
         "Flagship (reference E3). Column-pruned scans (2-3 columns of "
         "wide tables), both dimension joins broadcast at this SF, and "
         "DISTINCT runs as partial HashAggregate BEFORE its exchange — "
-        "duplicates die map-side. At 100 TB AQE flips the orders join "
-        "to shuffled SMJ; bucketing both tables on orderkey removes "
-        "that exchange (see sources/layout.py + test_layout_graph)."
+        "duplicates die map-side. r15: the TRAILING DISTINCT is elided "
+        "(provably redundant after the pre-join distinct + 1:1 PK "
+        "joins — the oracle keeps SELECT DISTINCT as the backstop), "
+        "removing two result-sized HashAggregate passes. At 100 TB "
+        "AQE flips the orders join to shuffled SMJ; bucketing both "
+        "tables on orderkey removes that exchange (see "
+        "sources/layout.py + test_layout_graph)."
     ),
     "filter_notnull": (
         "Predicate pushdown: every filter reaches the parquet scan as "
@@ -227,18 +231,19 @@ SHOWCASE = {
         "of size — the vector-search shape of partition pruning."
     ),
     "bm25_topk": (
-        "BM25 retrieval: the posting explode is filtered to the "
-        "query terms BEFORE any shuffle (the isin predicate sits "
-        "inside the Generate's parent Filter), df and corpus stats "
-        "enter as broadcasts, and the final top-k is "
-        "TakeOrderedAndProject — the corpus token stream never "
-        "shuffles wholesale. Since r14 the per-doc score aggregate "
-        "is the ordered fold (sort_array over a ≤|Q|-row "
-        "collect_list, then a sequential aggregate) instead of a "
-        "plain sum — rank-deciding float totals must not depend on "
-        "shuffle-arrival order; the buffer is bounded at the query "
-        "length by construction, so partial aggregation loses "
-        "nothing that matters."
+        "BM25 retrieval, r15 shuffle-free scan path: per-term counts "
+        "are a map-side projection (size(filter(tokens, x = term))), "
+        "so the plan has ZERO hash-partitioned exchanges — one fused "
+        "aggregate row (n_docs, avgdl, per-term dfs) broadcasts, the "
+        "score is a per-row expression over it, and the top-k is "
+        "TakeOrderedAndProject. The r14 ordered-fold layout pin is "
+        "now structural: contributions add in sorted-term order "
+        "inside one projection (absent terms add an exact +0.0), "
+        "bit-identical to the probe path's _ordered_sum fold through "
+        "the shared _bm25_contrib expression. The pre-r15 plan "
+        "shuffled the matching postings twice (tf aggregate + score "
+        "fold); the corpus token stream never shuffled wholesale in "
+        "either version."
     ),
     "bm25_pruned": (
         "BM25 against a term-bucketed postings index, now via the "
