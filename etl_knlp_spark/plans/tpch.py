@@ -165,10 +165,23 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims on the streamed side, so each fact/dim join built its hash
     relation over the BIGGER input — the local plan broadcast
     lineitem, orders AND customer (5 broadcast builds, the largest
-    over the fact table itself). Now lineitem is never a build side
-    at any scale; orders/customer flip to shuffle joins under AQE at
-    real SFs while the dim chain stays a broadcast. Inner joins
-    commute: results identical (same oracle hash)."""
+    over the fact table itself).
+
+    r16 optimization (guide §3.1, r15 verdict #1): the join ORDER
+    alone did not control the BUILD side — the 4-column-pruned
+    lineitem estimate fit under the session's 32 MB
+    autoBroadcastJoinThreshold, so the planner still picked the fact
+    table as the (BuildLeft) broadcast side of the li⋈dims join. An
+    explicit F.broadcast(dims) pins the bounded dim chain as the
+    build side at every SF. Size argument: dims projects to
+    (s_suppkey, s_nationkey, n_name) ≈ 20 bytes/row over the
+    region-filtered supplier set (1/5 of suppliers) — ~4 bytes/row of
+    that per SF unit, orders of magnitude under the broadcast cap at
+    any SF where a single-exchange plan is sane, versus the unbounded
+    fact table it replaces. orders/customer stay planner-chosen:
+    locally they broadcast; at real SFs their estimates exceed the
+    threshold and AQE plans shuffle joins with the fact stream.
+    Inner joins commute: results identical (same oracle hash)."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier")
@@ -180,7 +193,7 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.s_nationkey == n.n_nationkey,
     )
     return (
-        li.join(dims, li.l_suppkey == dims.s_suppkey)
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, (c.c_custkey == o.o_custkey) & (c.c_nationkey == s.s_nationkey))
         .groupBy("n_name")

@@ -527,8 +527,14 @@ _STALE_SINCE: dict[str, int] = {
     #   outputs and oracles unchanged, integer-unit revenue sums
     #   untouched (bars move 11 → 15).
     "q3_shipping_priority": 15,
-    "q5_nation_volume": 15,
     "q10_returned_items": 15,
+    # round 16 (optimization round 2): q5's build side pinned with an
+    # explicit F.broadcast(dims) (r15 verdict #1 — the join order
+    # alone left the pruned fact table under the 32 MB auto-broadcast
+    # threshold, so the planner still broadcast lineitem). Hint only;
+    # output, oracle and the integer-unit revenue fold unchanged
+    # (bar moves 15 → 16).
+    "q5_nation_volume": 16,
     # - q1_dimension_build: trailing DISTINCT elided (provably
     #   redundant after the pre-join distinct + 1:1 PK joins; oracle
     #   keeps SELECT DISTINCT as the loud backstop). Output multiset
