@@ -535,6 +535,14 @@ _STALE_SINCE: dict[str, int] = {
     # output, oracle and the integer-unit revenue fold unchanged
     # (bar moves 15 → 16).
     "q5_nation_volume": 16,
+    # round 16: the stream-stream join harnesses run under the RocksDB
+    # provider with join stateFormatVersion 3 (virtual column families
+    # — 4 state stores per partition folded into 1; see
+    # streaming/joins.py:_join_state_backend for the lock-contention
+    # profile and A/B). State layout only; join semantics, outputs and
+    # oracles unchanged (bars move 10 → 16).
+    "stream_stream_join": 16,
+    "stream_stream_outer_join": 16,
     # - q1_dimension_build: trailing DISTINCT elided (provably
     #   redundant after the pre-join distinct + 1:1 PK joins; oracle
     #   keeps SELECT DISTINCT as the loud backstop). Output multiset

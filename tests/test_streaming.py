@@ -387,3 +387,29 @@ def test_interval_overlap_join_matches_naive(spark):
             if ra.s <= rb.e and rb.s <= ra.e:
                 want.add((ra.aid, rb.bid, min(ra.e, rb.e) - max(ra.s, rb.s)))
     assert got == want and want
+
+
+def test_join_state_backend_scopes_and_restores_confs(spark):
+    """r16 optimization pin: the stream-stream join harnesses run
+    under RocksDB + join stateFormatVersion 3 (one state store per
+    partition instead of four — see _join_state_backend's docstring
+    for the provider-lock profile), and the context must RESTORE the
+    session's previous settings so non-join stateful queries keep the
+    default provider (measured faster for them)."""
+    from etl_knlp_spark.streaming.joins import (
+        _ROCKSDB_PROVIDER,
+        _join_state_backend,
+    )
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    ver_key = "spark.sql.streaming.join.stateFormatVersion"
+    before_prov = spark.conf.get(prov_key)
+    before_ver = spark.conf.get(ver_key)
+    with _join_state_backend(spark):
+        assert spark.conf.get(prov_key) == _ROCKSDB_PROVIDER
+        assert spark.conf.get(ver_key) == "3"
+    assert spark.conf.get(prov_key) == before_prov
+    assert spark.conf.get(ver_key) == before_ver
+    # and the default provider is NOT RocksDB here — the restore is
+    # load-bearing, not a no-op
+    assert before_prov != _ROCKSDB_PROVIDER
