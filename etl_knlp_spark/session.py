@@ -23,8 +23,17 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def get_spark(app_name: str = "etl_knlp_spark", cpus: int | None = None) -> SparkSession:
-    """Build (or reuse) a SparkSession with the engine's defaults."""
+def get_spark(
+    app_name: str = "etl_knlp_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``extra_conf`` lets measurement tooling (tools/job_profile.py) layer
+    context-creation-time settings (e.g. the event log) on top of the
+    engine defaults without duplicating them; queries and the bench never
+    pass it."""
     cpus = cpus or DEFAULT_CPUS
     builder = (
         SparkSession.builder.appName(app_name)
@@ -39,4 +48,6 @@ def get_spark(app_name: str = "etl_knlp_spark", cpus: int | None = None) -> Spar
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
