@@ -908,9 +908,15 @@ def _bm25_scored_scan(docs: DataFrame, terms) -> DataFrame:
       add in sorted-term order inside one projection, so no shuffle
       arrival order exists to pin. Absent terms contribute an exact
       +0.0 (IEEE x + 0.0 == x for the strictly positive contribs),
-      so the fold is bit-identical to the probe path's ordered fold
-      over present terms only — pinned by
-      test_bm25_pruned_probes_only_query_term_buckets's equality.
+      so GIVEN IDENTICAL BROADCAST STATS the fold is bit-identical to
+      the probe path's ordered fold over present terms only — pinned
+      by test_bm25_pruned_probes_only_query_term_buckets's equality.
+      (Scope note, r15 ADVICE: the two paths recompute n_docs/avgdl
+      in separate one-row aggregates whose F.avg partial-merge order
+      is not pinned; a last-ULP avgdl difference between plans is
+      absorbed by the 1e-6 rounding contract except exactly at a
+      half boundary — a pre-existing hazard shared by every
+      float-rounding query, not introduced here.)
 
     At 100 TB: two corpus scans (stats pass + score pass, both
     column-pruned to doc_id/text), zero corpus-sized exchanges. The

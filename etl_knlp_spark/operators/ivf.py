@@ -155,40 +155,48 @@ def kmeans_fit(
     # to its subvector table; 5 iterations re-scanned the corpus 6×
     # here). Values are unchanged: training_sample is deterministic.
     train = training_sample(vectors, train_cap).persist()
-    init = (
-        train.orderBy("vec_id")
-        .limit(k)
-        .collect()
-    )
-    centroids = spark.createDataFrame(
-        [(i, list(r["emb"])) for i, r in enumerate(init)],
-        "cluster_id INT, centroid ARRAY<DOUBLE>",
-    )
-    for _ in range(max_iter):
-        assigned = _assign(train, centroids)
-        # per-dimension means, long-form, then re-pack ordered arrays.
-        # The mean is an _ordered_mean keyed by vec_id (unique within
-        # each (cluster, pos) group, ≤ train_cap rows by construction):
-        # F.avg would fold in shuffle-arrival order and the centroid
-        # table is reproduced by every downstream assignment, so the
-        # codebook must be bit-identical across layouts.
-        new_rows = (
-            assigned.select("cluster_id", "vec_id", F.posexplode("emb").alias("pos", "v"))
-            .groupBy("cluster_id", "pos")
-            .agg(_ordered_mean("vec_id", "v").alias("m"))
-            .groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                ).alias("centroid")
-            )
-            .collect()  # k rows × dim doubles — bounded driver sync
+    # try/finally (r15 ADVICE): a failure in the init collect or any
+    # Lloyd iteration must not leak the cached sample for the session
+    # lifetime.
+    try:
+        init = (
+            train.orderBy("vec_id")
+            .limit(k)
+            .collect()
         )
         centroids = spark.createDataFrame(
-            [(r["cluster_id"], r["centroid"]) for r in new_rows],
+            [(i, list(r["emb"])) for i, r in enumerate(init)],
             "cluster_id INT, centroid ARRAY<DOUBLE>",
         )
-    train.unpersist()
+        for _ in range(max_iter):
+            assigned = _assign(train, centroids)
+            # per-dimension means, long-form, then re-pack ordered arrays.
+            # The mean is an _ordered_mean keyed by vec_id (unique within
+            # each (cluster, pos) group, ≤ train_cap rows by construction):
+            # F.avg would fold in shuffle-arrival order and the centroid
+            # table is reproduced by every downstream assignment, so the
+            # codebook must be bit-identical across layouts.
+            new_rows = (
+                assigned.select(
+                    "cluster_id", "vec_id", F.posexplode("emb").alias("pos", "v")
+                )
+                .groupBy("cluster_id", "pos")
+                .agg(_ordered_mean("vec_id", "v").alias("m"))
+                .groupBy("cluster_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("centroid")
+                )
+                .collect()  # k rows × dim doubles — bounded driver sync
+            )
+            centroids = spark.createDataFrame(
+                [(r["cluster_id"], r["centroid"]) for r in new_rows],
+                "cluster_id INT, centroid ARRAY<DOUBLE>",
+            )
+    finally:
+        train.unpersist()
     return centroids
 
 
