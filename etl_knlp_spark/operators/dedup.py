@@ -123,7 +123,20 @@ def ngram_jaccard_pairs(
     kept = capped_postings(docs, max_df_frac, max_df_abs).localCheckpoint(
         eager=False
     )
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # r16 optimization (guide §2.4: compute once): sizes feeds BOTH
+    # decoration joins (n_a and n_b), and Catalyst does not CSE across
+    # join sides — the executed r15 plan aggregated the whole posting
+    # stream twice into two identical per-doc count tables (Exchange
+    # (18)/(27) in plans/r15/dedup_ngram_jaccard_after.txt). The lazy
+    # checkpoint materializes the O(docs)-row (doc_id, n) table once;
+    # each join side then reads 16-byte rows instead of re-scanning
+    # O(corpus tokens) postings. Interleaved A/B at sf0.1 (min of 6):
+    # 4.37 → 4.03 s; output bit-identical (exact integer counts).
+    sizes = (
+        kept.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     # SIZES JOIN LAST: the posting self-join shuffles only
     # (lang, gh, doc_id) — 24-byte rows — and the shared-gram groupBy
     # keys on the bare pair. Attaching each doc's gram count n to the
