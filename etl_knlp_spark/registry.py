@@ -516,7 +516,8 @@ _STALE_SINCE: dict[str, int] = {
     #   contribution expression refactored into the shared
     #   _bm25_contrib (same math, same FP order; helper-level change,
     #   hand bump like the r14 ivf block above).
-    "dedup_ngram_jaccard": 15,
+    #   (dedup_ngram_jaccard's r15 bar moved 15 → 16: see the
+    #   round-16 block below.)
     "bm25_topk": 15,
     "bm25_pruned": 15,
     "hybrid_retrieval_rrf": 15,
@@ -528,6 +529,14 @@ _STALE_SINCE: dict[str, int] = {
     #   untouched (bars move 11 → 15).
     "q3_shipping_priority": 15,
     "q10_returned_items": 15,
+    # round 16: helper ngram_jaccard_pairs materializes the per-doc
+    # size table once (lazy localCheckpoint) instead of aggregating
+    # the posting stream separately under each decoration join —
+    # plan shape only, exact integer counts, output bit-identical
+    # (oracle green at sf0.01/sf0.1, hostile-layout probe green).
+    # fn_md5 of the registered query is blind to helper changes —
+    # hand bump per the r14 ivf precedent (bar moves 15 → 16).
+    "dedup_ngram_jaccard": 16,
     # round 16 (optimization round 2): q5's build side pinned with an
     # explicit F.broadcast(dims) (r15 verdict #1 — the join order
     # alone left the pruned fact table under the 32 MB auto-broadcast
