@@ -123,8 +123,8 @@ _STALE_SINCE: dict[str, int] = {
     # (bar later moved 5 → 11: see the round-11 session-2 comment at
     # the bottom of this dict — rhp_signatures became an Arrow matmul)
     "similarity_ann_lsh": 11,
-    "dedup_minhash": 5,
-    "dedup_fuzzy": 5,
+    # (dedup_minhash/dedup_fuzzy bars later moved 5 → 16: see the
+    # round-16 shingle_jaccard_exact block at the bottom of this dict.)
     # round 11: simhash_signatures rewritten to the bit-sliced 32-lane
     # aggregation (1.7× at sf0.1; bit-identical signatures, equality-
     # checked in-session and by test_simhash_deterministic) — function
@@ -141,7 +141,8 @@ _STALE_SINCE: dict[str, int] = {
     # propagation rounds stop re-running the corpus join; outputs
     # identical, sources changed. Same bump for the other cc/exact-
     # join consumers below.)
-    "near_dup_clusters": 11,
+    # (near_dup_clusters bar later moved 11 → 16: round-16
+    # shingle_jaccard_exact block at the bottom of this dict.)
     "pack_sequences": 5,
     "udf_tokenize": 5,
     "udf_langid": 5,
@@ -214,7 +215,8 @@ _STALE_SINCE: dict[str, int] = {
     # run_band_index_stream cleans up its sink/checkpoint — output
     # identical, function source changed.
     "unigram_train": 8,
-    "stream_dedup_minhash": 8,
+    # (stream_dedup_minhash bar later moved 8 → 16: round-16
+    # shingle_jaccard_exact block at the bottom of this dict.)
     # round 8 session 4 (all three registered this same session, no
     # driver rows exist yet; bumped because their sources changed
     # post-registration and the audit bar is mechanical): the suffix
@@ -374,8 +376,8 @@ _STALE_SINCE: dict[str, int] = {
     # consumers re-ran the scan); the cluster family and
     # entity_golden_record inherit the connected_components edge
     # checkpoint and the exact-join pair budget.
-    "near_dup_clusters_star": 11,
-    "dedup_keep_best": 11,
+    # (near_dup_clusters_star/dedup_keep_best bars later moved
+    # 11 → 16: round-16 shingle_jaccard_exact block below.)
     "entity_golden_record": 11,
     "cms_heavy_hitters": 11,
     "theilsen_trend": 11,
@@ -537,6 +539,20 @@ _STALE_SINCE: dict[str, int] = {
     # fn_md5 of the registered query is blind to helper changes —
     # hand bump per the r14 ivf precedent (bar moves 15 → 16).
     "dedup_ngram_jaccard": 16,
+    # round 16: helper shingle_jaccard_exact checkpoints its posting
+    # stream and size table (they fed four consumers, each re-running
+    # scan → shingle → explode; A/B 23.2 → 12.2 s at sf0.1).
+    # Materialization only — the verifier keeps its deliberately
+    # LSH-independent posting-join formulation and its exact integer
+    # counts; outputs bit-identical, oracles green at sf0.01 (all
+    # six consumers) and sf0.1 (the heavy three). Hand bump for every
+    # registered consumer of the helper.
+    "dedup_minhash": 16,
+    "dedup_fuzzy": 16,
+    "near_dup_clusters": 16,
+    "near_dup_clusters_star": 16,
+    "dedup_keep_best": 16,
+    "stream_dedup_minhash": 16,
     # round 16 (optimization round 2): q5's build side pinned with an
     # explicit F.broadcast(dims) (r15 verdict #1 — the join order
     # alone left the pruned fact table under the 32 MB auto-broadcast
