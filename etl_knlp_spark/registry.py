@@ -130,7 +130,8 @@ _STALE_SINCE: dict[str, int] = {
     # checked in-session and by test_simhash_deterministic) — function
     # source changed, so the audit bar moves even though outputs and
     # oracle are unchanged.
-    "dedup_simhash": 11,
+    # (bar later moved 11 → 16: round-16 contract-signature
+    # checkpoint, see the shingle_jaccard_exact block below.)
     # round 5 upgraded the last rows-only cohort: full oracles for
     # near_dup_clusters (exact edges + recursive-CTE components),
     # pack_sequences (recursive-CTE walk), udf_tokenize/udf_langid
@@ -553,6 +554,12 @@ _STALE_SINCE: dict[str, int] = {
     "near_dup_clusters_star": 16,
     "dedup_keep_best": 16,
     "stream_dedup_minhash": 16,
+    # round 16: the dedup_simhash contract checkpoints its signature
+    # table (six consumers re-ran the doubled-corpus signature build;
+    # A/B 3.40 → 2.82 s at sf0.01, wash at sf0.1 — kept on the
+    # corpus-scale pass count). Contract booleans and count
+    # unchanged; oracle green at sf0.01/sf0.1.
+    "dedup_simhash": 16,
     # round 16 (optimization round 2): q5's build side pinned with an
     # explicit F.broadcast(dims) (r15 verdict #1 — the join order
     # alone left the pruned fact table under the 32 MB auto-broadcast
