@@ -560,6 +560,12 @@ _STALE_SINCE: dict[str, int] = {
     # corpus-scale pass count). Contract booleans and count
     # unchanged; oracle green at sf0.01/sf0.1.
     "dedup_simhash": 16,
+    # round 16: item_cf_cosine checkpoints its basket table (fed the
+    # pre-flight, per-item counts and both pair-join sides) and the
+    # budget-bounded pair aggregate (the union doubled it). A/B
+    # 3.21 → 2.70 s at sf0.01, 8.07 → 7.34 s at sf0.1; outputs
+    # bit-identical, oracle green at both SFs.
+    "item_cf_cosine": 16,
     # round 16 (optimization round 2): q5's build side pinned with an
     # explicit F.broadcast(dims) (r15 verdict #1 — the join order
     # alone left the pruned fact table under the 32 MB auto-broadcast
